@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+shipped library has no Python dependency).
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query parquet in <outDir>, registers the sf tables in DuckDB,
+runs the oracle SQL from oracle_sql.json, sorts columns by name, sorts
+rows, and compares cell values exactly.
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+with open(f"{out_dir}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(oracles):
+    res_dir = f"{out_dir}/{name}"
+    files = glob.glob(f"{res_dir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark result parquet"); fails += 1; continue
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    try:
+        exp = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fails += 1; continue
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+    mismatch = None
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        try:
+            eq = (gv == ev) | (gv.isna() & ev.isna())
+        except Exception:
+            eq = gv.astype(str) == ev.astype(str)
+        if not eq.all():
+            i = int(eq.idxmin())
+            mismatch = (c, i, gv.iloc[i], ev.iloc[i]); break
+    if mismatch:
+        c, i, a, b = mismatch
+        print(f"FAIL {name}: col {c} row {i}: spark={a!r} duckdb={b!r} (dtypes {g[c].dtype}/{e[c].dtype})")
+        fails += 1
+    else:
+        print(f"OK   {name}: {len(g)} rows")
+
+# rows-only queries (no oracle)
+for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(res_dir.rstrip("/"))
+    if name in oracles:
+        continue
+    files = glob.glob(f"{res_dir}/*.parquet")
+    n = sum(pd.read_parquet(f).shape[0] for f in files) if files else 0
+    print(f"{'OK  ' if n > 0 else 'FAIL'} {name}: rows-only, {n} rows")
+    if n == 0: fails += 1
+
+sys.exit(1 if fails else 0)
