@@ -1,0 +1,162 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** CDC change-log operators (SURVEY.md §2.A).
+  *
+  * The reference replicates a Postgres WAL through Debezium: a totally
+  * ordered log of insert/update/delete events per key, applied to a target
+  * (reference: architecture.md:39-70, debezium-connector-config.json).
+  * Here the `events` table plays the change log: `event_id` is the
+  * monotonic offset (LSN analog), `user_id` the primary key, and
+  * `event_type` maps onto the Debezium op codes:
+  * signup → insert, click/view/purchase → update, error → delete.
+  *
+  * Scale notes: latest-state uses `max_by`-style aggregation (one shuffle
+  * on the key, map-side partial aggregation) rather than a sort window —
+  * at 100 TB a `row_number` window sorts every partition while the
+  * aggregate form combines locally first.
+  */
+object CdcOps {
+
+  /** Debezium-style op code from the event type. */
+  def opCode(eventType: Column): Column =
+    when(eventType === "signup", "I")
+      .when(eventType === "error", "D")
+      .otherwise("U")
+
+  private val opSql =
+    "CASE WHEN event_type = 'signup' THEN 'I' WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
+
+  /** cdc_latest_state — last-writer-wins materialization: for each key the
+    * payload of the change record with the highest offset. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("user_id"))
+      .agg(
+        max(col("event_id")).as("last_event_id"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        max_by(col("value"), col("event_id")).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val latestStateSql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |       value AS last_value
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** cdc_apply_upsert_delete — apply the log to an (empty) target with
+    * Debezium sink semantics: the latest op per key wins; a key whose
+    * latest op is a delete is absent from the snapshot. */
+  def applyUpsertDelete(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("op", opCode(col("event_type")))
+    ev.groupBy(col("user_id"))
+      .agg(
+        max(col("event_id")).as("last_event_id"),
+        max_by(col("op"), col("event_id")).as("last_op"),
+        max_by(col("value"), col("event_id")).as("value"))
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_event_id"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val applyUpsertDeleteSql: String =
+    s"""SELECT user_id, last_event_id, value
+      |FROM (SELECT user_id, event_id AS last_event_id, $opSql AS last_op, value,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND last_op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
+  /** cdc_changelog_stats — operational view of the change stream: per-day,
+    * per-op record counts, distinct keys touched, and exact payload volume. */
+  def changelogStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("op", opCode(col("event_type")))
+    ev.groupBy(to_date(col("ts")).as("day"), col("op"))
+      .agg(
+        count(lit(1)).as("n_changes"),
+        countDistinct(col("user_id")).as("n_keys"),
+        (sum(floor(col("value") * 100d + 0.5d).cast("long")) / 100d).as("sum_value"))
+      .orderBy(col("day"), col("op"))
+  }
+
+  val changelogStatsSql: String =
+    s"""SELECT CAST(ts AS DATE) AS day, $opSql AS op,
+      |  COUNT(*) AS n_changes,
+      |  COUNT(DISTINCT user_id) AS n_keys,
+      |  SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, op""".stripMargin
+
+  /** cdc_batch_ledger — derive a batch_control-shaped ledger from loaded
+    * data (reference: data_generator.py:72-94 records batch_id, row_count,
+    * completion LSN). Batches are deciles of the key space; the batch's
+    * completion LSN is its max key (LSN analog). */
+  def batchLedger(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val maxKey = o.agg(max(col("o_orderkey")).as("mx"))
+    o.crossJoin(broadcast(maxKey))
+      .withColumn("batch_id", floor(col("o_orderkey") * 10 / (col("mx") + 1)).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("row_count"),
+        min(col("o_orderkey")).as("start_lsn"),
+        max(col("o_orderkey")).as("completion_lsn"),
+        (sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")) / 100d).as("batch_amount"),
+        lit("COMPLETED").as("status"))
+      .orderBy(col("batch_id"))
+  }
+
+  val batchLedgerSql: String =
+    """SELECT CAST(FLOOR(o_orderkey * 10 / ((SELECT MAX(o_orderkey) FROM orders) + 1)) AS BIGINT) AS batch_id,
+      |  COUNT(*) AS row_count,
+      |  MIN(o_orderkey) AS start_lsn,
+      |  MAX(o_orderkey) AS completion_lsn,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS batch_amount,
+      |  'COMPLETED' AS status
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY batch_id""".stripMargin
+
+  /** cdc_dedup_events — exactly-once repair for at-least-once delivery:
+    * the same change record may be delivered more than once (same offset);
+    * keep exactly one copy per offset. Duplicate deliveries are simulated
+    * deterministically (every 97th offset is delivered twice). */
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dupes = ev.filter(col("event_id") % 97 === 0)
+    val delivered = ev.unionAll(dupes)
+    delivered
+      .groupBy(col("event_id"))
+      .agg(
+        first(col("user_id")).as("user_id"),
+        first(col("event_type")).as("event_type"),
+        first(col("value")).as("value"),
+        count(lit(1)).as("deliveries"))
+      .groupBy(col("deliveries"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("deliveries"))
+  }
+
+  val dedupEventsSql: String =
+    """WITH delivered AS (
+      |  SELECT event_id, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 97 = 0
+      |), per_event AS (
+      |  SELECT event_id, MIN(user_id) AS user_id, COUNT(*) AS deliveries
+      |  FROM delivered GROUP BY event_id
+      |)
+      |SELECT deliveries, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM per_event GROUP BY deliveries ORDER BY deliveries""".stripMargin
+}

@@ -1,0 +1,267 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Source↔target reconciliation (SURVEY.md §2.B).
+  *
+  * Re-expresses the reference's verification surface:
+  *  - count compare             (verify_replication.py:54-70)
+  *  - row-by-row consistency    (verify_replication.py:99-146)
+  *  - batch replication status  (check_batch_replication_status.sql)
+  *  - latest batch status       (check_latest_batch_replication_status.sql)
+  *  - multi-table health        (check_multiple_tables_replication_status.sql)
+  * plus the scale-path `recon_hash_bucket` two-phase compare.
+  *
+  * The "target" side is the source with a deterministic simulated drift so
+  * diffs are non-empty and exactly checkable (SURVEY.md §2.B):
+  *  - rows dropped where key % 1000 = 7     (missing_in_target)
+  *  - extra rows where key % 1000 = 13, re-keyed +100000000 (missing_in_source)
+  *  - o_totalprice += 1.0 where key % 500 = 3   (value_mismatch)
+  */
+object Reconcile {
+
+  /** The deterministic drifted copy of `orders` standing in for the target
+    * database table. */
+  def driftedTarget(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val kept = o.filter(col("o_orderkey") % 1000 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 500 === 3, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+    val extra = o.filter(col("o_orderkey") % 1000 === 13)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    kept.unionAll(extra)
+  }
+
+  private val driftedTargetSql =
+    """SELECT o_orderkey,
+      |       o_custkey,
+      |       CASE WHEN o_orderkey % 500 = 3 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 1000 <> 7
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 1000 = 13""".stripMargin
+
+  /** recon_count — source vs target row counts (the verifier's first,
+    * cheapest check). One row per logical table. */
+  def reconCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = Tables.orders(spark, dir).count()
+    val tgt = driftedTarget(spark, dir).count()
+    Seq(("orders", src, tgt, src == tgt))
+      .toDF("table_name", "source_count", "target_count", "counts_match")
+  }
+
+  val reconCountSql: String =
+    s"""SELECT 'orders' AS table_name,
+      |  (SELECT COUNT(*) FROM orders) AS source_count,
+      |  (SELECT COUNT(*) FROM ($driftedTargetSql)) AS target_count,
+      |  (SELECT COUNT(*) FROM orders) = (SELECT COUNT(*) FROM ($driftedTargetSql)) AS counts_match""".stripMargin
+
+  /** recon_row_diff — row-by-row consistency: full outer join on the
+    * primary key, emitting only divergent rows with a diff class. */
+  def reconRowDiff(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("src_amount"))
+    val tgt = driftedTarget(spark, dir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("tgt_amount"))
+    src.join(tgt, Seq("key"), "full_outer")
+      .withColumn("diff_type",
+        when(col("tgt_amount").isNull, "missing_in_target")
+          .when(col("src_amount").isNull, "missing_in_source")
+          .when(col("src_amount") =!= col("tgt_amount"), "value_mismatch"))
+      .filter(col("diff_type").isNotNull)
+      .select(col("key"), col("diff_type"), col("src_amount"), col("tgt_amount"))
+      .orderBy(col("key"))
+  }
+
+  val reconRowDiffSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |src AS (SELECT o_orderkey AS key, o_totalprice AS src_amount FROM orders),
+      |t2  AS (SELECT o_orderkey AS key, o_totalprice AS tgt_amount FROM tgt)
+      |SELECT COALESCE(src.key, t2.key) AS key,
+      |  CASE WHEN t2.key IS NULL THEN 'missing_in_target'
+      |       WHEN src.key IS NULL THEN 'missing_in_source'
+      |       WHEN src.src_amount <> t2.tgt_amount THEN 'value_mismatch' END AS diff_type,
+      |  src.src_amount, t2.tgt_amount
+      |FROM src FULL OUTER JOIN t2 ON src.key = t2.key
+      |WHERE (t2.key IS NULL OR src.key IS NULL OR src.src_amount <> t2.tgt_amount)
+      |ORDER BY key""".stripMargin
+
+  /** Portable per-row digest used by the bucketed compare: engine-agnostic
+    * modular arithmetic over (key, exact cents). The library-facing variant
+    * would use xxhash64; the oracle needs a hash both engines compute
+    * identically. */
+  private def rowDigest(key: Column, amount: Column): Column =
+    (key * 2654435761L % 1000000007L +
+      floor(amount * 100d + 0.5d).cast("long") % 1000000007L) % 1000000007L
+
+  /** recon_hash_bucket — the 100 TB reconciliation path: aggregate each
+    * side to B bucket digests (count + sum of row digests); only buckets
+    * whose digests differ need row-level drill-down. Map-side combine makes
+    * this near scan-speed; the shuffle is B rows per side. */
+  def reconHashBucket(spark: SparkSession, dir: String): DataFrame = {
+    def digest(df: DataFrame, cnt: String, dig: String): DataFrame =
+      df.withColumn("bucket", col("o_orderkey") % 64)
+        .withColumn("rd", rowDigest(col("o_orderkey"), col("o_totalprice")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dig))
+    val src = digest(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice")), "src_count", "src_digest")
+    val tgt = digest(driftedTarget(spark, dir), "tgt_count", "tgt_digest")
+    src.join(tgt, Seq("bucket"), "full_outer")
+      .withColumn("bucket_match",
+        coalesce(col("src_count"), lit(-1L)) === coalesce(col("tgt_count"), lit(-2L)) &&
+        coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-2L)))
+      .select(col("bucket"), col("src_count"), col("tgt_count"),
+              col("src_digest"), col("tgt_digest"), col("bucket_match"))
+      .orderBy(col("bucket"))
+  }
+
+  val reconHashBucketSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |srcd AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS src_count,
+      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS src_digest
+      |  FROM orders GROUP BY 1),
+      |tgtd AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS tgt_count,
+      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS tgt_digest
+      |  FROM tgt GROUP BY 1)
+      |SELECT COALESCE(srcd.bucket, tgtd.bucket) AS bucket,
+      |  src_count, tgt_count, src_digest, tgt_digest,
+      |  COALESCE(src_count, -1) = COALESCE(tgt_count, -2)
+      |    AND COALESCE(src_digest, -1) = COALESCE(tgt_digest, -2) AS bucket_match
+      |FROM srcd FULL OUTER JOIN tgtd ON srcd.bucket = tgtd.bucket
+      |ORDER BY bucket""".stripMargin
+
+  // ---- batch replication status family ----------------------------------
+  // Ledger batches = key-space deciles (CdcOps.batchLedger); the slot's
+  // confirmed_flush_lsn analog is a deterministic watermark at 75% of the
+  // max key, so some batches are complete and some lag — mirroring
+  // check_batch_replication_status.sql:74-82 (replication_complete,
+  // lag_bytes).
+
+  private def ledgerWithSlot(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = CdcOps.batchLedger(spark, dir)
+      .select(col("batch_id"), col("row_count"), col("completion_lsn"))
+    val slot = Tables.orders(spark, dir)
+      .agg(floor(max(col("o_orderkey")) * 3 / 4).cast("long").as("slot_lsn"))
+    ledger.crossJoin(broadcast(slot))
+  }
+
+  private val ledgerWithSlotSql =
+    """SELECT CAST(FLOOR(o_orderkey * 10 / ((SELECT MAX(o_orderkey) FROM orders) + 1)) AS BIGINT) AS batch_id,
+      |  COUNT(*) AS row_count,
+      |  MAX(o_orderkey) AS completion_lsn,
+      |  (SELECT CAST(FLOOR(MAX(o_orderkey) * 3 / 4) AS BIGINT) FROM orders) AS slot_lsn
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** batch_status — per-batch replication_complete + lag vs the slot
+    * watermark (check_batch_replication_status.sql). Lag is in key units
+    * (the LSN analog of pg_wal_lsn_diff bytes). */
+  def batchStatus(spark: SparkSession, dir: String): DataFrame =
+    ledgerWithSlot(spark, dir)
+      .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
+      .withColumn("lag_bytes",
+        when(col("slot_lsn") < col("completion_lsn"),
+             col("completion_lsn") - col("slot_lsn")).otherwise(0L))
+      .orderBy(col("batch_id").desc)
+
+  val batchStatusSql: String =
+    s"""SELECT batch_id, row_count, completion_lsn, slot_lsn,
+      |  slot_lsn >= completion_lsn AS replication_complete,
+      |  CASE WHEN slot_lsn < completion_lsn THEN completion_lsn - slot_lsn ELSE 0 END AS lag_bytes
+      |FROM ($ledgerWithSlotSql)
+      |ORDER BY batch_id DESC""".stripMargin
+
+  /** latest_batch_status — the most recent batch only
+    * (check_latest_batch_replication_status.sql: ROW_NUMBER ... DESC,
+    * rn = 1). Staleness is measured in LSN units (max_lsn − completion_lsn)
+    * rather than wall-clock minutes so the result is deterministic. */
+  def latestBatchStatus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("batch_id").desc)
+    ledgerWithSlot(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
+      .select(col("batch_id").as("latest_batch_id"), col("row_count"),
+              col("completion_lsn"), col("slot_lsn"), col("replication_complete"))
+  }
+
+  val latestBatchStatusSql: String =
+    s"""SELECT batch_id AS latest_batch_id, row_count, completion_lsn, slot_lsn,
+      |  slot_lsn >= completion_lsn AS replication_complete
+      |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY batch_id DESC) AS rn FROM ($ledgerWithSlotSql))
+      |WHERE rn = 1""".stripMargin
+
+  /** multi_table_health — health classification across tables
+    * (check_multiple_tables_replication_status.sql:129-147): READY when
+    * complete, else STUCK / SLOW / REPLICATING by staleness, priority-
+    * ordered STUCK < SLOW < REPLICATING < READY. Two logical tables:
+    * `orders` (key deciles) and `lineitem` (l_orderkey deciles). */
+  def multiTableHealth(spark: SparkSession, dir: String): DataFrame = {
+    def side(df: DataFrame, key: String, name: String): DataFrame = {
+      val mx = df.agg(max(col(key)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .withColumn("batch_id", floor(col(key) * 10 / (col("mx") + 1)).cast("long"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("row_count"), max(col(key)).as("completion_lsn"),
+             max(col("mx")).as("max_lsn"))
+        .withColumn("table_name", lit(name))
+    }
+    val o = side(Tables.orders(spark, dir).select(col("o_orderkey")), "o_orderkey", "orders")
+    val l = side(Tables.lineitem(spark, dir).select(col("l_orderkey")), "l_orderkey", "lineitem")
+    val w = Window.partitionBy(col("table_name")).orderBy(col("batch_id").desc)
+    o.unionByName(l)
+      .withColumn("slot_lsn", floor(col("max_lsn") * 3 / 4).cast("long"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
+      .withColumn("staleness", col("completion_lsn") - col("slot_lsn"))
+      .withColumn("health_status",
+        when(col("replication_complete"), "READY")
+          .when(col("staleness") > col("max_lsn") / 5, "STUCK")
+          .when(col("staleness") > col("max_lsn") / 10, "SLOW")
+          .otherwise("REPLICATING"))
+      .withColumn("health_rank",
+        when(col("health_status") === "STUCK", 1)
+          .when(col("health_status") === "SLOW", 2)
+          .when(col("health_status") === "REPLICATING", 3).otherwise(4))
+      .select(col("table_name"), col("batch_id").as("latest_batch_id"),
+              col("row_count"), col("completion_lsn"), col("slot_lsn"),
+              col("replication_complete"), col("health_status"), col("health_rank"))
+      .orderBy(col("health_rank"), col("table_name"))
+  }
+
+  val multiTableHealthSql: String =
+    """WITH sides AS (
+      |  SELECT 'orders' AS table_name, CAST(FLOOR(o_orderkey * 10 / ((SELECT MAX(o_orderkey) FROM orders) + 1)) AS BIGINT) AS batch_id,
+      |    COUNT(*) AS row_count, MAX(o_orderkey) AS completion_lsn,
+      |    (SELECT MAX(o_orderkey) FROM orders) AS max_lsn
+      |  FROM orders GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'lineitem', CAST(FLOOR(l_orderkey * 10 / ((SELECT MAX(l_orderkey) FROM lineitem) + 1)) AS BIGINT),
+      |    COUNT(*), MAX(l_orderkey), (SELECT MAX(l_orderkey) FROM lineitem)
+      |  FROM lineitem GROUP BY 2
+      |), latest AS (
+      |  SELECT *, CAST(FLOOR(max_lsn * 3 / 4) AS BIGINT) AS slot_lsn,
+      |    ROW_NUMBER() OVER (PARTITION BY table_name ORDER BY batch_id DESC) AS rn
+      |  FROM sides
+      |), h AS (
+      |  SELECT table_name, batch_id AS latest_batch_id, row_count, completion_lsn, slot_lsn,
+      |    slot_lsn >= completion_lsn AS replication_complete,
+      |    CASE WHEN slot_lsn >= completion_lsn THEN 'READY'
+      |         WHEN completion_lsn - slot_lsn > max_lsn / 5 THEN 'STUCK'
+      |         WHEN completion_lsn - slot_lsn > max_lsn / 10 THEN 'SLOW'
+      |         ELSE 'REPLICATING' END AS health_status
+      |  FROM latest WHERE rn = 1
+      |)
+      |SELECT *, CASE health_status WHEN 'STUCK' THEN 1 WHEN 'SLOW' THEN 2
+      |          WHEN 'REPLICATING' THEN 3 ELSE 4 END AS health_rank
+      |FROM h ORDER BY health_rank, table_name""".stripMargin
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.{CdcOps, Reconcile}
+import graft.core.Tables
+
+class CdcSpec extends SparkSpec {
+
+  test("cdc_latest_state: one row per key, offset is the key's max") {
+    val res = CdcOps.latestState(spark, sf)
+    val keys = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(res.count() === keys)
+    val manual = Tables.events(spark, sf).groupBy("user_id")
+      .agg(max("event_id").as("mx"))
+    val joined = res.join(manual, "user_id")
+      .filter(col("last_event_id") =!= col("mx"))
+    assert(joined.count() === 0)
+  }
+
+  test("cdc_apply_upsert_delete: deleted keys absent, no key whose last op is D") {
+    val snap = CdcOps.applyUpsertDelete(spark, sf)
+    val lastOps = Tables.events(spark, sf)
+      .withColumn("op", CdcOps.opCode(col("event_type")))
+      .groupBy("user_id").agg(max_by(col("op"), col("event_id")).as("last_op"))
+    val deleted = lastOps.filter(col("last_op") === "D")
+    assert(snap.join(deleted, "user_id").count() === 0)
+    assert(snap.count() === lastOps.filter(col("last_op") =!= "D").count())
+  }
+
+  test("cdc_dedup_events: planted duplicates are exactly the event_id % 97 == 0 set") {
+    val res = CdcOps.dedupEvents(spark, sf).collect()
+      .map(r => r.getAs[Long]("deliveries") -> r.getAs[Long]("n_events")).toMap
+    val planted = Tables.events(spark, sf).filter(col("event_id") % 97 === 0).count()
+    val total = Tables.events(spark, sf).count()
+    assert(res(2L) === planted)
+    assert(res(1L) === total - planted)
+  }
+
+  test("recon_row_diff: diff classes match the planted drift exactly") {
+    val diffs = Reconcile.reconRowDiff(spark, sf)
+    val byType = diffs.groupBy("diff_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    assert(byType.getOrElse("missing_in_target", 0L) ===
+      o.filter(col("o_orderkey") % 1000 === 7).count())
+    assert(byType.getOrElse("missing_in_source", 0L) ===
+      o.filter(col("o_orderkey") % 1000 === 13).count())
+    assert(byType.getOrElse("value_mismatch", 0L) ===
+      o.filter(col("o_orderkey") % 500 === 3 && col("o_orderkey") % 1000 =!= 7).count())
+  }
+
+  test("recon_hash_bucket: mismatched buckets cover all drifted keys, clean buckets match") {
+    val buckets = Reconcile.reconHashBucket(spark, sf)
+    val bad = buckets.filter(!col("bucket_match")).select("bucket")
+      .collect().map(_.getLong(0)).toSet
+    // every drifted key's bucket must be flagged
+    val driftKeys = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 1000 === 7 || col("o_orderkey") % 500 === 3)
+      .select((col("o_orderkey") % 64).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(driftKeys.subsetOf(bad))
+  }
+
+  test("multi_table_health: one row per table with a valid status") {
+    val res = Reconcile.multiTableHealth(spark, sf).collect()
+    assert(res.map(_.getAs[String]("table_name")).toSet === Set("orders", "lineitem"))
+    val valid = Set("READY", "REPLICATING", "SLOW", "STUCK")
+    assert(res.forall(r => valid.contains(r.getAs[String]("health_status"))))
+  }
+}
