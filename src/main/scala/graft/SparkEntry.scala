@@ -12,6 +12,22 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Analytics.q1Agg _),
+    "q2_filter_project" -> (Analytics.q2FilterProject _),
+    "q3_join_agg" -> (Analytics.q3JoinAgg _),
+    "q4_semi_join" -> (Analytics.q4SemiJoin _),
+    "q5_anti_join" -> (Analytics.q5AntiJoin _),
+    "q6_window_running" -> (Analytics.q6WindowRunning _),
+    "q7_topk_per_group" -> (Analytics.q7TopkPerGroup _),
+    "q8_distinct_agg" -> (Analytics.q8DistinctAgg _),
+    "q8_approx_distinct" -> (Analytics.q8ApproxDistinct _),
+    "q9_rollup" -> (Analytics.q9Rollup _),
+    "q10_case_classify" -> (Analytics.q10CaseClassify _),
+    "q11_json_extract" -> (Analytics.q11JsonExtract _),
+    "q12_sessionize" -> (Analytics.q12Sessionize _),
+    "q13_set_ops" -> (Analytics.q13SetOps _),
+    "q14_pivot" -> (Analytics.q14Pivot _),
+    "q15_cross_like" -> (Analytics.q15CrossLike _),
+    "q16_asof_join" -> (Analytics.q16AsofJoin _),
     "cdc_latest_state" -> (CdcOps.latestState _),
     "cdc_apply_upsert_delete" -> (CdcOps.applyUpsertDelete _),
     "cdc_changelog_stats" -> (CdcOps.changelogStats _),
@@ -29,6 +45,21 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Analytics.q1AggSql,
+    "q2_filter_project" -> Analytics.q2FilterProjectSql,
+    "q3_join_agg" -> Analytics.q3JoinAggSql,
+    "q4_semi_join" -> Analytics.q4SemiJoinSql,
+    "q5_anti_join" -> Analytics.q5AntiJoinSql,
+    "q6_window_running" -> Analytics.q6WindowRunningSql,
+    "q7_topk_per_group" -> Analytics.q7TopkPerGroupSql,
+    "q8_distinct_agg" -> Analytics.q8DistinctAggSql,
+    "q9_rollup" -> Analytics.q9RollupSql,
+    "q10_case_classify" -> Analytics.q10CaseClassifySql,
+    "q11_json_extract" -> Analytics.q11JsonExtractSql,
+    "q12_sessionize" -> Analytics.q12SessionizeSql,
+    "q13_set_ops" -> Analytics.q13SetOpsSql,
+    "q14_pivot" -> Analytics.q14PivotSql,
+    "q15_cross_like" -> Analytics.q15CrossLikeSql,
+    "q16_asof_join" -> Analytics.q16AsofJoinSql,
     "cdc_latest_state" -> CdcOps.latestStateSql,
     "cdc_apply_upsert_delete" -> CdcOps.applyUpsertDeleteSql,
     "cdc_changelog_stats" -> CdcOps.changelogStatsSql,

@@ -1,11 +1,16 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Relational analytics core (SURVEY.md §2.C).
+/** Relational analytics core (SURVEY.md §2.C) — the generalized SQL
+  * machinery of the reference's monitoring queries (CTEs, window
+  * functions, CASE classification, joins incl. cross join, LIKE matching,
+  * aggregates, priority ordering; see
+  * check_multiple_tables_replication_status.sql).
   *
   * Determinism discipline for the DuckDB oracle: double-typed money
   * aggregates are summed as exact integral cents
@@ -49,4 +54,376 @@ object Analytics {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2_filter_project — predicate + projection, both pushed to the scan
+    * (`PushedFilters` + 4-column `ReadSchema`; checked in AnalyticsSpec). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q2FilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q3_join_agg — 3-way join (orders fact × customer × nation dims) +
+    * group + top-N. `nation` is broadcast (tiny); orders⋈customer is the
+    * one shuffle. Deterministic top-10 via exact-cents revenue + name
+    * tiebreak. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("n_name"))
+      .limit(10)
+  }
+
+  val q3JoinAggSql: String =
+    """SELECT n_name,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name
+      |LIMIT 10""".stripMargin
+
+  /** q4_semi_join — EXISTS as left-semi: orders having a high-quantity
+    * line item. Semi join never duplicates or widens the left side. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49d).select(col("l_orderkey"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q4SemiJoinSql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q5_anti_join — NOT EXISTS as left-anti: customers with no urgent
+    * order. The filter on the right side is applied before the join, so
+    * the anti join probes a reduced build side. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
+  val q5AntiJoinSql: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q6_window_running — per-customer order sequence: row_number and
+    * running total. The running sum accumulates exact long cents (an
+    * order-dependent double running sum would diverge between engines);
+    * each row's output is one long→double division. */
+  def q6WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("running_spend",
+        sum(cents(col("o_totalprice"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / lit(100d))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_seq"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val q6WindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  ROW_NUMBER() OVER w AS order_seq,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, order_seq""".stripMargin
+
+  /** q7_topk_per_group — top-3 orders by price per customer. row_number
+    * (not rank) with a key tiebreak so the top-k set is deterministic. */
+  def q7TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("price_rank", row_number().over(w))
+      .filter(col("price_rank") <= 3)
+      .orderBy(col("o_custkey"), col("price_rank"))
+  }
+
+  val q7TopkPerGroupSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, price_rank
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+      |      FROM orders)
+      |WHERE price_rank <= 3
+      |ORDER BY o_custkey, price_rank""".stripMargin
+
+  /** q8_distinct_agg — exact count-distinct per group (two-phase
+    * distinct aggregation; Catalyst expands to a partial dedup then
+    * count). The HLL approx variant is `q8_approx_distinct` (rows-only —
+    * sketch internals are engine-specific). */
+  def q8DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val q8DistinctAggSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q8_approx_distinct — approx_count_distinct (HyperLogLog++): the
+    * constant-memory scale path for distinct counting. Rows-only (sketches
+    * aren't cross-engine comparable); ScalaTest bounds the error vs exact. */
+  def q8ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q9_rollup — ROLLUP hierarchy aggregation (priority → status), the
+    * GROUPING SETS family. NULL subtotal markers are COALESCE'd to 'ALL'
+    * on both engines so row identity is unambiguous. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  val q9RollupSql: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** q10_case_classify — CASE classification + priority ordering: the
+    * shape of the reference's health report
+    * (check_multiple_tables_replication_status.sql:129-147). */
+  def q10CaseClassify(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("size_class",
+        when(col("o_totalprice") > 300000d, "LARGE")
+          .when(col("o_totalprice") > 150000d, "MEDIUM")
+          .otherwise("SMALL"))
+      .withColumn("class_rank",
+        when(col("size_class") === "LARGE", 1)
+          .when(col("size_class") === "MEDIUM", 2).otherwise(3))
+      .groupBy(col("size_class"), col("class_rank"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("class_rank"))
+
+  val q10CaseClassifySql: String =
+    """SELECT CASE WHEN o_totalprice > 300000 THEN 'LARGE'
+      |            WHEN o_totalprice > 150000 THEN 'MEDIUM' ELSE 'SMALL' END AS size_class,
+      |  CASE WHEN o_totalprice > 300000 THEN 1
+      |       WHEN o_totalprice > 150000 THEN 2 ELSE 3 END AS class_rank,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY class_rank""".stripMargin
+
+  /** q11_json_extract — JSON field extraction from the events payload
+    * (`props` = `{"k": <int>}`), aggregated per event_type. */
+  def q11JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q11JsonExtractSql: String =
+    """SELECT event_type,
+      |  COUNT(k) AS n_with_k, SUM(k) AS sum_k, MAX(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q12_sessionize — gap-based sessionization: a new session starts when
+    * a user is idle > 30 min. lag → boundary flag → running sum = session
+    * id (all within one per-user window partition; one shuffle on
+    * user_id), then per-session aggregates. */
+  def q12Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val q12SessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** q13_set_ops — UNION / INTERSECT / EXCEPT over two derived key sets:
+    * customers with an urgent order (A) vs high-balance customers (B). */
+  def q13SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val b = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000d)
+      .select(col("c_custkey").as("custkey")).distinct()
+    val tagged =
+      a.union(b).distinct().withColumn("set_op", lit("union"))
+        .unionByName(a.intersect(b).withColumn("set_op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("set_op", lit("except_a_b")))
+        .unionByName(b.except(a).withColumn("set_op", lit("except_b_a")))
+    tagged.orderBy(col("set_op"), col("custkey"))
+  }
+
+  val q13SetOpsSql: String =
+    """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT custkey, 'union' AS set_op FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)
+      |UNION ALL
+      |SELECT custkey, 'intersect' FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+      |UNION ALL
+      |SELECT custkey, 'except_a_b' FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+      |UNION ALL
+      |SELECT custkey, 'except_b_a' FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+      |ORDER BY set_op, custkey""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q14_pivot — pivot event_type into columns (per-day op-mix matrix; the
+    * Kafka-topic monitoring shape). Explicit pivot values keep the output
+    * schema static — no extra pass to discover distinct keys. */
+  def q14Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+      .orderBy(col("day"))
+
+  val q14PivotSql: String =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** q15_cross_like — cross join + LIKE pattern match: the reference's
+    * slot↔publication matching shape (replication slot names LIKE
+    * '%table%'). Both sides tiny dims → BroadcastNestedLoopJoin. */
+  def q15CrossLike(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).select(col("n_name"))
+    val r = Tables.region(spark, dir).select(col("r_name"))
+    n.crossJoin(broadcast(r))
+      .withColumn("name_match", expr("n_name LIKE '%' || substr(r_name, 1, 2) || '%'"))
+      .orderBy(col("n_name"), col("r_name"))
+  }
+
+  val q15CrossLikeSql: String =
+    """SELECT n_name, r_name,
+      |  n_name LIKE '%' || substr(r_name, 1, 2) || '%' AS name_match
+      |FROM nation CROSS JOIN region
+      |ORDER BY n_name, r_name""".stripMargin
+
+  /** q16_asof_join — as-of (nearest-preceding) join, the trades↔quotes
+    * shape: each purchase is matched to the user's latest preceding
+    * click/view. Implemented scalably as union + per-key window
+    * (last non-null over preceding rows) — one shuffle on the key, no
+    * range explosion; DuckDB oracles it with native ASOF JOIN.
+    * Equal-timestamp quotes are deduped to max event_id; a quote at
+    * exactly the purchase ts counts (<=, quote ordered first via tag). */
+  def q16AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+              lit(null).cast("long").as("quote_event_id"),
+              lit(null).cast("timestamp").as("quote_ts"))
+    val quotes = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("quote_event_id"))
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+              lit(0).as("tag"), col("quote_event_id"), col("ts").as("quote_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(quotes)
+      .withColumn("asof_event_id", last(col("quote_event_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(col("quote_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+              col("ts").as("purchase_ts"), col("asof_event_id"), col("asof_ts"))
+      .orderBy(col("user_id"), col("purchase_event_id"))
+  }
+
+  val q16AsofJoinSql: String =
+    """WITH purchases AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |), quotes AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS quote_event_id
+      |  FROM events WHERE event_type IN ('click', 'view')
+      |  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+      |)
+      |SELECT p.user_id AS user_id, p.event_id AS purchase_event_id, p.ts AS purchase_ts,
+      |  q.quote_event_id AS asof_event_id, q.ts AS asof_ts
+      |FROM purchases p ASOF LEFT JOIN quotes q
+      |  ON p.user_id = q.user_id AND q.ts <= p.ts
+      |ORDER BY p.user_id, purchase_event_id""".stripMargin
 }
