@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.Analytics
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.cdc.{CdcOps, Reconcile}
+import graft.streaming.CdcStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -39,6 +40,20 @@ object SparkEntry {
     "batch_status" -> (Reconcile.batchStatus _),
     "latest_batch_status" -> (Reconcile.latestBatchStatus _),
     "multi_table_health" -> (Reconcile.multiTableHealth _),
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_minhash" -> (Dedup.dedupMinhash _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_embedding" -> (Similarity.dedupEmbedding _),
+    "knn_brute" -> (Similarity.knnBrute _),
+    "knn_lsh" -> (Similarity.knnLsh _),
+    "text_langid" -> (TextAnalysis.textLangid _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "mm_features" -> (Multimodal.mmFeatures _),
+    "stream_cdc_apply" -> (CdcStream.streamCdcApply _),
+    "stream_window_agg" -> (CdcStream.streamWindowAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +86,13 @@ object SparkEntry {
     "batch_status" -> Reconcile.batchStatusSql,
     "latest_batch_status" -> Reconcile.latestBatchStatusSql,
     "multi_table_health" -> Reconcile.multiTableHealthSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_embedding" -> Similarity.dedupEmbeddingSql,
+    "knn_brute" -> Similarity.knnBruteSql,
+    "text_langid" -> TextAnalysis.textLangidSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "text_tokens" -> TextAnalysis.textTokensSql,
+    "text_fingerprint" -> TextAnalysis.textFingerprintSql,
   )
 }

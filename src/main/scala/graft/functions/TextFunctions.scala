@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives as pure Column expressions (SURVEY.md §2.D).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (all
+  * codegen'd — no Scala UDFs), so the operators composed from these stay
+  * inside whole-stage codegen and Catalyst can prune/push around them.
+  * Each primitive has an exactly-equivalent DuckDB SQL form used by the
+  * oracle queries (TextAnalysis/Dedup).
+  */
+object TextFunctions {
+
+  /** Normalized text: lowercase, trimmed, single-spaced. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of normalized text. */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Count of tokens from `c` that appear in `marker` (language marker /
+    * stopword hits). */
+  def markerHits(c: Column, markers: Seq[String]): Column =
+    size(filter(words(c), w => w.isin(markers: _*)))
+
+  /** Word 3-gram shingles (distinct) of normalized text; empty array for
+    * texts shorter than 3 words. */
+  def shingles3(c: Column): Column = {
+    val ws = words(c)
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(0), size(ws) - 3), i =>
+        concat_ws("_", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Polynomial rolling hash over the characters of normalized text:
+    * h = fold(h*31 + ascii(c)) mod 1e9+7. Deterministic and cheap; the
+    * DuckDB equivalent is list_reduce over string_split. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(split(normText(c), ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+
+  /** BPE-ish regex token count: alnum runs + isolated non-alnum marks. */
+  def regexTokenCount(c: Column): Column =
+    size(regexp_extract_all(normText(c), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  // SQL fragments (DuckDB) mirroring the primitives above, for oracle use.
+  def normTextSql(e: String): String = s"regexp_replace(lower(trim($e)), '\\s+', ' ', 'g')"
+  def wordsSql(e: String): String = s"string_split(${normTextSql(e)}, ' ')"
+  def rollingHashSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split(${normTextSql(e)}, ''), c -> ascii(c)::BIGINT)), (a, b) -> (a*31 + b) % 1000000007)"
+  def regexTokenCountSql(e: String): String =
+    s"len(regexp_extract_all(${normTextSql(e)}, '[a-z0-9]+|[^a-z0-9 ]'))"
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication family for a training-data pipeline (SURVEY.md §2.D).
+  *
+  * The synthetic corpus has no natural duplicates, so the operators run
+  * over `corpus()` = documents ∪ planted exact copies ∪ planted near
+  * copies — the same deterministic-drift pattern the reconciliation
+  * operators use, applied identically in the DuckDB oracle so results
+  * are exactly checkable.
+  *
+  * Scale design (100 TB): every candidate generator is
+  * explode → groupBy/join on a bounded key (fingerprint, shingle,
+  * band bucket) — never an O(n²) cross join. Frequent shingles and
+  * oversized buckets are dropped by a frequency cap (the standard
+  * "stopword shingle" guard), which both bounds skew and kills the
+  * quadratic blowup of boilerplate-heavy buckets.
+  */
+object Dedup {
+
+  /** The dedup corpus: base docs + exact copies (doc_id%17==0, re-keyed
+    * +1_000_000) + near copies (doc_id%10==0, re-keyed +2_000_000, every
+    * 7th word dropped). */
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val exact = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(filter(split(col("text"), " "), (_, i) => (i + 1) % 7 =!= 0), " ").as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  /** DuckDB rendering of the same corpus (list_filter index is 1-based —
+    * matches Spark's 0-based `i + 1`). */
+  val corpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000,
+      |  array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
+      |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** dedup_exact — exact duplicate grouping by normalized-text md5.
+    * One shuffle on the 128-bit fingerprint; group sizes are the
+    * duplicate cluster sizes. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
+  val dedupExactSql: String =
+    s"""WITH corpus AS ($corpusSql)
+      |SELECT md5(${normTextSql("text")}) AS fp, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      |FROM corpus
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY fp""".stripMargin
+
+  /** Max number of docs a shingle may appear in before it is dropped as
+    * non-discriminative ("stopword shingle") — bounds bucket skew. */
+  val ShingleFreqCap = 50
+
+  /** Per-doc distinct 3-gram shingles of the corpus, rare ones only. */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    val sh = corpus(spark, dir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleFreqCap && col("df") >= 2)
+    sh.join(rare.select("s"), Seq("s"))
+  }
+
+  private val docShinglesSql: String =
+    s"""corpus AS ($corpusSql),
+      |toks AS (
+      |  SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |    i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS s
+      |  FROM toks WHERE len(ws) >= 3
+      |),
+      |rare AS (
+      |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $ShingleFreqCap
+      |),
+      |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s))""".stripMargin
+
+  /** Distinct-shingle count per doc (unfiltered — the true set size, so
+    * jaccard denominators are exact even when rare-filtering candidates).
+    * NOTE: candidate generation uses rare shingles only; the intersection
+    * is computed over rare shingles too, so jaccard here is defined over
+    * the rare-shingle space on BOTH sides (identical in the oracle). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val rsh = docShingles(spark, dir)
+    val sizes = rsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = rsh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = rsh.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= 0.35d)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $docShinglesSql,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.35
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  val NumHashes = 64
+  val NumBands = 32 // 32 bands x 2 rows — tuned for j≈0.4 near-dups:
+  // P(band match) = j², P(≥2 of 32 bands) ≈ 99% at j=0.44 and ≈ 2e-5 at
+  // j=0.02, so requiring 2 shared bands keeps recall high with near-zero
+  // false candidates.
+  private val P = 1000000007L
+
+  /** Deterministic affine permutation params (split-mix style). */
+  private def perm(j: Int): (Long, Long) = {
+    val x = (j * 2654435761L + 104729L) % P
+    ((x * 2 + 1) % P, (x * 48611L + 15485863L) % P)
+  }
+
+  /** Per-doc minhash signature columns m0..m63 from xxhash64(shingle):
+    * min-aggregated per permutation — map-side partial aggregation, one
+    * shuffle on doc_id (vs. collect-based signatures which don't scale). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = corpus(spark, dir)
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    val mins = (0 until NumHashes).map { j =>
+      val (a, b) = perm(j)
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$j")
+    }
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** dedup_minhash — MinHash+LSH near-dup candidate pairs:
+    * shingle → 64 minhashes → 16 band hashes → bucket self-join.
+    * Rows-only (hash internals aren't portable SQL); DedupSpec asserts
+    * planted near-dup recall. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val rows = NumHashes / NumBands
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*).as("band_hash"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash"))
+    val sized = buckets.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") >= 2 && col("bs") <= 100) // skew cap
+    val bounded = buckets.join(sized.select("band_id", "band_hash"), Seq("band_id", "band_hash"))
+    val a = bounded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bounded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_id", "band_hash")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .filter(col("n_shared_bands") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** dedup_simhash — 64-bit SimHash over tokens; near-dup candidates via
+    * 4×16-bit band equality, confirmed by hamming distance ≤ 8.
+    * Rows-only; DedupSpec asserts planted near-dup recall. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = corpus(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg0 = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sigs = agg0.select(col("doc_id"), sim.as("simhash"))
+    val bandCols = (0 until 4).map { k =>
+      struct(lit(k).as("band_id"),
+        shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("band_key"))
+    }
+    val buckets = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band_id"), col("bb.band_key"))
+    val sized = buckets.groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("bs")).filter(col("bs") >= 2 && col("bs") <= 100)
+    val bounded = buckets.join(sized.select("band_id", "band_key"), Seq("band_id", "band_key"))
+    val a = bounded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = bounded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_id", "band_key")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** A multimodal record: opaque payload bytes + typed metadata. */
+case class MmRecord(doc_id: Long, payload: Array[Byte], width: Int, height: Int, fmt: String)
+
+/** Extracted features for one record. */
+case class MmFeatures(doc_id: Long, width: Int, height: Int, n_bytes: Int,
+                      feature: Array[Double], feature_norm: Double)
+
+/** Multimodal column plumbing (SURVEY.md §2.D).
+  *
+  * Images/audio/video are opaque `binary` columns with typed metadata;
+  * decode / feature-extraction runs batch-wise per partition — the Scala
+  * analog of `mapInPandas` (partition-local, no shuffle, arbitrary
+  * library calls inside). The decode step itself is a deterministic STUB
+  * (byte-bucket histogram standing in for a real image decode — codec
+  * libs aren't in this container); the Spark-side plumbing — schema,
+  * binary column, typed Dataset boundary, per-partition batching — is
+  * real and tested (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** Stub "decode": 16-bin byte histogram, L2-normalized. Deterministic
+    * placeholder with the exact shape of a real feature extractor
+    * (bytes → fixed-dim float vector). */
+  private[graft] def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xFF) % 16) += 1.0; i += 1 }
+    val norm = math.sqrt(hist.map(x => x * x).sum)
+    if (norm == 0) hist else hist.map(_ / norm)
+  }
+
+  /** The multimodal table: documents' text bytes standing in for an
+    * image payload, with typed metadata derived deterministically. */
+  def mmTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      ((col("n_chars") % 64) + 8).cast("int").as("width"),
+      ((col("doc_id") % 48) + 8).cast("int").as("height"),
+      lit("fake-rgb8").as("fmt"))
+
+  /** mm_features — decode + feature-extract over the binary column,
+    * partition-local (mapPartitions over a typed Dataset; each partition
+    * is one batch, so a real decoder could amortize codec init exactly
+    * like a Pandas UDF batch). Rows-only. */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mmTable(spark, dir).as[MmRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val f = decodeStub(r.payload)
+          MmFeatures(r.doc_id, r.width, r.height, r.payload.length,
+            f, math.sqrt(f.map(x => x * x).sum))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+}

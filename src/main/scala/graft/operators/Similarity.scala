@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Similarity search over the embeddings table (SURVEY.md §2.D).
+  *
+  * Cosine similarity is computed on a deterministic fixed-point grid:
+  * per-element products are quantized to 1e-9 (floor(x*y*1e9 + 0.5) as
+  * long) and summed as exact longs, so the value is bit-identical
+  * regardless of summation order or engine — double sums would diverge
+  * between Spark and the DuckDB oracle. The final divide/sqrt are single
+  * IEEE ops on identical inputs.
+  *
+  * Scale design: brute-force kNN is O(Q×N) with the (small) query set
+  * broadcast — never N×N. The LSH variant prunes to same-bucket
+  * candidates across L hash tables. Embedding near-dup restricts pairs
+  * to a blocking key (label), the embarrassing-parallel blocked form.
+  */
+object Similarity {
+
+  /** Quantized dot product of two double-array columns (exact long). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => floor(x * y * lit(1e9) + lit(0.5d))),
+      lit(0L), (acc, x) => acc + x)
+
+  private def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Quantized cosine from precomputed dot and squared norms. */
+  private def qcos(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+
+  /** Embeddings with doubled vector + precomputed quantized squared norm. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    val v = toDouble(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", qdot(col("v"), col("v")))
+  }
+
+  private val vecsSql: String =
+    """SELECT vec_id, label, embedding,
+      |  CAST(list_sum(list_transform(embedding,
+      |    (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))
+      |    AS BIGINT) AS nrm
+      |FROM embeddings""".stripMargin
+
+  private val pairDotSql: String =
+    """CAST(list_sum(list_transform(a.embedding,
+      |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))
+      |  AS BIGINT)""".stripMargin
+
+  /** dedup_embedding — embedding-cosine near-duplicate pairs above a
+    * threshold, blocked by label (pairs across blocks are not compared —
+    * the blocking key stands in for a coarse ANN pre-filter at scale). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", qcos(qdot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos_sim") >= 0.30d)
+      .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH e AS ($vecsSql)
+      |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.30
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val K = 5
+
+  /** knn_brute — exact top-k cosine neighbors for each query vector
+    * (vec_id % 100 == 0). The query side is broadcast; the corpus is
+    * scanned once — O(Q×N) work, no N×N blowup, deterministic tiebreak
+    * on neighbor id. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
+
+  val knnBruteSql: String =
+    s"""WITH e AS ($vecsSql)
+      |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |    ORDER BY CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC,
+      |             b.vec_id) AS knn_rank,
+      |  CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+      |QUALIFY knn_rank <= $K
+      |ORDER BY query_id, knn_rank""".stripMargin
+
+  // ---- random-hyperplane LSH ---------------------------------------------
+
+  val LshTables = 16
+  val LshBits = 6
+  val Dim = 64
+
+  /** Deterministic Rademacher hyperplanes: sign(plane p, dim i) from a
+    * split-mix of (p, i) — reproducible across runs with no RNG state. */
+  private def planeSign(p: Int, i: Int): Double = {
+    var x = p.toLong * 64 + i + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** sig for table t: LshBits sign-bits packed into an int. */
+  private def sigCol(v: Column, t: Int): Column =
+    (0 until LshBits).map { k =>
+      val plane = (0 until Dim).map(i => planeSign(t * LshBits + k, i))
+      val dot = aggregate(
+        zip_with(v, typedlit(plane), (x, p) => x * p),
+        lit(0d), (acc, x) => acc + x)
+      when(dot > 0d, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** knn_lsh — bucketed approximate kNN: L hash tables of b-bit
+    * random-hyperplane signatures; candidates = same-bucket vectors in
+    * any table; exact quantized cosine re-rank of candidates.
+    * Rows-only; SimilaritySpec measures recall against knn_brute. */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val sigs = (0 until LshTables).map(t =>
+      struct(lit(t).as("t"), sigCol(col("v"), t).as("sig")))
+    val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
+      explode(array(sigs: _*)).as("ts"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("ts.t"), col("ts.sig"))
+    val q = bucketed.filter(col("vec_id") % 100 === 0)
+      .select(col("t"), col("sig"), col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cands = bucketed.join(q, Seq("t", "sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cands
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text analysis for a training-data pipeline (SURVEY.md §2.D): language
+  * ID, quality scoring, token counting, document fingerprinting — all
+  * over the `documents` table, all pure Column expressions (codegen'd,
+  * embarrassingly parallel: no shuffle except the final small
+  * aggregation where one exists).
+  */
+object TextAnalysis {
+
+  private val enMarkers = Seq("the", "a", "of", "and", "to", "is")
+  private val esMarkers = Seq("el", "la", "de", "y", "que", "en")
+  private val deMarkers = Seq("der", "die", "das", "und", "ist", "zu")
+
+  private def markersSql(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** text_langid — stopword-marker language ID (n-gram heuristic): score
+    * each language by marker-word hits, argmax with 'und' (undetermined)
+    * fallback. Output is the confusion matrix against the metadata lang
+    * label. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        markerHits(col("text"), enMarkers).as("en_hits"),
+        markerHits(col("text"), esMarkers).as("es_hits"),
+        markerHits(col("text"), deMarkers).as("de_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits"), "en")
+          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits"), "es")
+          .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits"), "de")
+          .otherwise("und"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("en_hits")).as("total_en_hits"))
+      .orderBy(col("lang"), col("pred_lang"))
+
+  val textLangidSql: String = {
+    val w = wordsSql("text")
+    def hits(m: Seq[String]) = s"len(list_filter($w, x -> x IN ${markersSql(m)}))"
+    s"""WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    ${hits(enMarkers)} AS en_hits,
+      |    ${hits(esMarkers)} AS es_hits,
+      |    ${hits(deMarkers)} AS de_hits
+      |  FROM documents
+      |), pred AS (
+      |  SELECT lang, en_hits,
+      |    CASE WHEN en_hits > es_hits AND en_hits > de_hits THEN 'en'
+      |         WHEN es_hits > en_hits AND es_hits > de_hits THEN 'es'
+      |         WHEN de_hits > en_hits AND de_hits > es_hits THEN 'de'
+      |         ELSE 'und' END AS pred_lang
+      |  FROM scored
+      |)
+      |SELECT lang, pred_lang, COUNT(*) AS n_docs, SUM(en_hits) AS total_en_hits
+      |FROM pred GROUP BY lang, pred_lang
+      |ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** text_quality — per-document quality metrics: length, word count,
+    * average word length, stopword ratio, and a CASE quality class
+    * (filtering rule of a pretraining pipeline). Ratios are single IEEE
+    * divisions of integers — bit-identical across engines. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        size(ws).as("n_words"),
+        markerHits(col("text"), enMarkers).as("stop_hits"))
+      .withColumn("avg_word_len",
+        (col("n_chars_raw") - (col("n_words") - 1)).cast("double") / col("n_words"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+      .withColumn("quality_class",
+        when(col("n_words") < 40, "TOO_SHORT")
+          .when(col("stop_ratio") > 0.12, "BOILERPLATE")
+          .otherwise("OK"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val w = wordsSql("text")
+    s"""SELECT doc_id,
+      |  length(text) AS n_chars_raw,
+      |  len($w) AS n_words,
+      |  len(list_filter($w, x -> x IN ${markersSql(enMarkers)})) AS stop_hits,
+      |  CAST(length(text) - (len($w) - 1) AS DOUBLE) / len($w) AS avg_word_len,
+      |  CAST(len(list_filter($w, x -> x IN ${markersSql(enMarkers)})) AS DOUBLE) / len($w) AS stop_ratio,
+      |  CASE WHEN len($w) < 40 THEN 'TOO_SHORT'
+      |       WHEN CAST(len(list_filter($w, x -> x IN ${markersSql(enMarkers)})) AS DOUBLE) / len($w) > 0.12 THEN 'BOILERPLATE'
+      |       ELSE 'OK' END AS quality_class
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** text_tokens — token counting per source: whitespace tokens and a
+    * BPE-ish regex tokenization (alnum runs + punctuation marks). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(words(col("text"))).as("ws_tokens"),
+        regexTokenCount(col("text")).as("re_tokens"),
+        length(col("text")).as("n_chars_raw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        sum(col("n_chars_raw")).as("total_chars"))
+      .orderBy(col("source"))
+
+  val textTokensSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+      |  SUM(len(${wordsSql("text")})) AS total_ws_tokens,
+      |  SUM(${regexTokenCountSql("text")}) AS total_re_tokens,
+      |  SUM(length(text)) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** text_fingerprint — per-document fingerprints: md5 of normalized text
+    * (exact-dedup key) and a polynomial rolling hash (cheap shift-
+    * resistant fingerprint; the minhash family builds on the same idea). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fp_md5"),
+        rollingHash(col("text")).as("fp_roll"))
+      .withColumn("fp_prefix", substring(col("fp_md5"), 1, 8))
+      .orderBy(col("doc_id"))
+
+  val textFingerprintSql: String =
+    s"""SELECT doc_id,
+      |  md5(${normTextSql("text")}) AS fp_md5,
+      |  ${rollingHashSql("text")} AS fp_roll,
+      |  substr(md5(${normTextSql("text")}), 1, 8) AS fp_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+
+  private def plantedPairs(mod: Long, offset: Long): Set[(Long, Long)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % mod === 0).select("doc_id")
+      .collect().map(_.getLong(0)).map(d => (d, d + offset)).toSet
+
+  test("dedup_exact: exactly the planted copies, cluster size 2") {
+    val res = Dedup.dedupExact(spark, sf).collect()
+    val planted = plantedPairs(17, 1000000L)
+    assert(res.length === planted.size)
+    val found = res.map(r => (r.getAs[Long]("min_doc_id"), r.getAs[Long]("max_doc_id"))).toSet
+    assert(found === planted)
+    assert(res.forall(_.getAs[Long]("n_docs") === 2L))
+  }
+
+  test("dedup_ngram_jaccard: recovers planted near copies with high jaccard") {
+    val res = Dedup.dedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = plantedPairs(10, 2000000L)
+    val recalled = near.count(res.contains)
+    assert(recalled >= near.size * 9 / 10, s"recall $recalled/${near.size}")
+  }
+
+  test("dedup_minhash: planted near + exact copies recalled >= 90%") {
+    val res = Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = plantedPairs(10, 2000000L) ++ plantedPairs(17, 1000000L)
+    val recalled = planted.count(res.contains)
+    assert(recalled >= planted.size * 9 / 10, s"recall $recalled/${planted.size}")
+  }
+
+  test("dedup_simhash: planted near copies recalled, exact copies hamming 0") {
+    val res = Dedup.dedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming")).toMap
+    val exact = plantedPairs(17, 1000000L)
+    val exactRecalled = exact.count(res.contains)
+    assert(exactRecalled === exact.size)
+    exact.foreach(p => assert(res(p) === 0))
+    val near = plantedPairs(10, 2000000L)
+    val nearRecalled = near.count(res.contains)
+    assert(nearRecalled >= near.size / 2, s"near recall $nearRecalled/${near.size}")
+  }
+
+  test("dedup_embedding: symmetric-free pairs, cos within [-1,1]") {
+    val res = Similarity.dedupEmbedding(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= 0.30 && c <= 1.0 + 1e-9)
+    }
+  }
+}

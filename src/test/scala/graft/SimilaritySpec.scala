@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("knn_brute: k neighbors per query, descending cosine, no self-match") {
+    val res = Similarity.knnBrute(spark, sf).collect()
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === Similarity.K)
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val cos = rows.sortBy(_.getAs[Int]("knn_rank")).map(_.getAs[Double]("cos_sim"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("knn_lsh: candidates nonempty; recall@1 vs brute >= 30%") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .filter(col("knn_rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val lsh = Similarity.knnLsh(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(lsh.nonEmpty)
+    // recall@1-in-top5: the true nearest neighbor appears in LSH's top-5
+    val hits = brute.count { case (q, n1) => lsh.get(q).exists(_.contains(n1)) }
+    assert(hits * 10 >= brute.size * 3, s"recall@1 $hits/${brute.size}")
+  }
+}

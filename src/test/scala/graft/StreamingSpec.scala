@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.{CdcStream, ChangeEvent}
+import graft.cdc.CdcOps
+
+class StreamingSpec extends SparkSpec {
+
+  test("applyLatest over MemoryStream: per-key last-writer-wins across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent]
+    val q = CdcStream.applyLatest(spark, input.toDF())
+      .writeStream.format("memory").queryName("t_apply")
+      .outputMode(OutputMode.Update).start()
+    // batch 1: key 1 insert + update; key 2 insert
+    input.addData(ChangeEvent(1, 1, "I", 1.0, 0), ChangeEvent(3, 1, "U", 3.0, 2),
+      ChangeEvent(2, 2, "I", 2.0, 1))
+    q.processAllAvailable()
+    // batch 2: key 2 delete; key 1 stale event (lower offset — must not win)
+    input.addData(ChangeEvent(5, 2, "D", 0.0, 4), ChangeEvent(0, 1, "U", 9.0, 0))
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("t_apply")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("last_event_id"), col("last_op"), col("last_value")),
+        col("last_event_id")).as("s"))
+      .select(col("user_id"), col("s.last_event_id"), col("s.last_op"), col("s.last_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(latest(1L) === ((3L, "U", 3.0)))  // stale offset-0 event ignored
+    assert(latest(2L) === ((5L, "D", 0.0)))  // tombstone emitted
+  }
+
+  test("stream_cdc_apply replay matches batch latest-state") {
+    val streamed = CdcStream.streamCdcApply(spark, sf)
+      .select("user_id", "last_event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = CdcOps.latestState(spark, sf)
+      .select("user_id", "last_event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
+  test("stream_window_agg replay: per-op totals match batch counts") {
+    val streamed = CdcStream.streamWindowAgg(spark, sf)
+    // each event lands in exactly 2 sliding windows (1 day / 12 h hop)
+    val totals = streamed.groupBy("op").agg(sum("n_changes").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.core.Tables.events(spark, sf)
+      .withColumn("op", CdcOps.opCode(col("event_type")))
+      .groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    batch.foreach { case (op, n) => assert(totals(op) === 2 * n, s"op $op") }
+  }
+}

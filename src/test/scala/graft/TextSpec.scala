@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.functions.TextFunctions
+
+class TextSpec extends SparkSpec {
+
+  test("text_langid: confusion matrix covers all docs") {
+    val res = TextAnalysis.textLangid(spark, sf)
+    val total = res.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total === spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("text_quality: ratios in range, classes valid") {
+    val res = TextAnalysis.textQuality(spark, sf).collect()
+    res.foreach { r =>
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(sr >= 0.0 && sr <= 1.0)
+      assert(Set("TOO_SHORT", "BOILERPLATE", "OK")(r.getAs[String]("quality_class")))
+    }
+  }
+
+  test("text_tokens: regex tokens >= whitespace tokens (punct splits)") {
+    val res = TextAnalysis.textTokens(spark, sf).collect()
+    res.foreach { r =>
+      assert(r.getAs[Long]("total_re_tokens") >= r.getAs[Long]("total_ws_tokens"))
+    }
+  }
+
+  test("rolling hash: deterministic and shift-sensitive") {
+    import spark.implicits._
+    val df = Seq(("abc"), ("abd"), ("abc")).toDF("text")
+      .select(TextFunctions.rollingHash(col("text")).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) === hs(2))
+    assert(hs(0) !== hs(1))
+  }
+}
