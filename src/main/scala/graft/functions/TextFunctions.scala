@@ -25,15 +25,23 @@ object TextFunctions {
   def markerHits(c: Column, markers: Seq[String]): Column =
     size(filter(words(c), w => w.isin(markers: _*)))
 
-  /** Word 3-gram shingles (distinct) of normalized text; empty array for
-    * texts shorter than 3 words. */
-  def shingles3(c: Column): Column = {
-    val ws = words(c)
+  /** Word 3-gram shingles (distinct) from an ALREADY-MATERIALIZED words
+    * array column; empty array for texts shorter than 3 words.
+    *
+    * `ws` must be a plain column reference, not an inline `words(text)`
+    * expression: higher-order-function lambdas are evaluated interpreted
+    * with no common-subexpression elimination, so an inline expression
+    * would re-run split+regexp for every element access (measured 10×
+    * slowdown on the dedup path). */
+  def shingles3FromWords(ws: Column): Column =
     when(size(ws) >= 3,
       array_distinct(transform(sequence(lit(0), size(ws) - 3), i =>
         concat_ws("_", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word 3-gram shingles of normalized text. Prefer materializing
+    * `words(c)` with withColumn and calling shingles3FromWords. */
+  def shingles3(c: Column): Column = shingles3FromWords(words(c))
 
   /** Polynomial rolling hash over the characters of normalized text:
     * h = fold(h*31 + ascii(c)) mod 1e9+7. Deterministic and cheap; the

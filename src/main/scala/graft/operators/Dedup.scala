@@ -72,13 +72,23 @@ object Dedup {
     * non-discriminative ("stopword shingle") — bounds bucket skew. */
   val ShingleFreqCap = 50
 
-  /** Per-doc distinct 3-gram shingles of the corpus, rare ones only. */
+  /** Per-doc distinct 3-gram shingles of the corpus — (doc_id, s) rows.
+    * The words array is materialized as a column first so the shingle
+    * transform doesn't re-split per element (see shingles3FromWords). */
+  private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(shingles3FromWords(col("ws"))).as("s"))
+
+  /** Rare shingles only (frequency-capped), persisted: the result feeds
+    * three plan branches (sizes + both join sides); without persist each
+    * branch would recompute the full shingle pipeline. At cluster scale
+    * this is the standard materialize-the-candidate-set checkpoint. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    val sh = corpus(spark, dir)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val sh = corpusShingles(spark, dir).persist() // feeds freq count + join
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ShingleFreqCap && col("df") >= 2)
-    sh.join(rare.select("s"), Seq("s"))
+    sh.join(rare.select("s"), Seq("s")).persist() // feeds sizes + both pair sides
   }
 
   private val docShinglesSql: String =
@@ -153,8 +163,7 @@ object Dedup {
     * min-aggregated per permutation — map-side partial aggregation, one
     * shuffle on doc_id (vs. collect-based signatures which don't scale). */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = corpus(spark, dir)
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    val sh = corpusShingles(spark, dir)
       .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = perm(j)
@@ -177,6 +186,7 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash"))
+      .persist() // feeds the size filter and both self-join sides
     val sized = buckets.groupBy(col("band_id"), col("band_hash"))
       .agg(count(lit(1)).as("bs"))
       .filter(col("bs") >= 2 && col("bs") <= 100) // skew cap
@@ -197,7 +207,8 @@ object Dedup {
     * Rows-only; DedupSpec asserts planted near-dup recall. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = corpus(spark, dir)
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
@@ -214,6 +225,7 @@ object Dedup {
     val buckets = sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band_id"), col("bb.band_key"))
+      .persist() // feeds the size filter and both self-join sides
     val sized = buckets.groupBy(col("band_id"), col("band_key"))
       .agg(count(lit(1)).as("bs")).filter(col("bs") >= 2 && col("bs") <= 100)
     val bounded = buckets.join(sized.select("band_id", "band_key"), Seq("band_id", "band_key"))

@@ -22,11 +22,10 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** Quantized dot product of two double-array columns (exact long). */
+  /** Quantized dot product of two double-array columns (exact long) —
+    * the codegen'd QuantizedDot expression (see graftvec.QuantizedDot). */
   def qdot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => floor(x * y * lit(1e9) + lit(0.5d))),
-      lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graftvec.VectorExpressions.qdot(a, b)
 
   private def toDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -124,14 +123,14 @@ object Similarity {
     if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** sig for table t: LshBits sign-bits packed into an int. */
+  /** sig for table t: LshBits sign-bits packed into an int. The plane
+    * dot uses the codegen'd qdot against a literal sign vector (the
+    * 1e-9 quantization cannot flip a sign except at |dot| < 5e-10,
+    * immaterial for bucketing). */
   private def sigCol(v: Column, t: Int): Column =
     (0 until LshBits).map { k =>
       val plane = (0 until Dim).map(i => planeSign(t * LshBits + k, i))
-      val dot = aggregate(
-        zip_with(v, typedlit(plane), (x, p) => x * p),
-        lit(0d), (acc, x) => acc + x)
-      when(dot > 0d, lit(1 << k)).otherwise(lit(0))
+      when(qdot(v, typedlit(plane)) > 0L, lit(1 << k)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** knn_lsh — bucketed approximate kNN: L hash tables of b-bit
@@ -145,6 +144,7 @@ object Similarity {
     val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
       explode(array(sigs: _*)).as("ts"))
       .select(col("vec_id"), col("v"), col("nrm"), col("ts.t"), col("ts.sig"))
+      .persist() // signature computation feeds both the corpus and query side
     val q = bucketed.filter(col("vec_id") % 100 === 0)
       .select(col("t"), col("sig"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("nrm").as("qn"))
