@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_embedding" -> (Similarity.dedupEmbedding _),
     "knn_brute" -> (Similarity.knnBrute _),
     "knn_lsh" -> (Similarity.knnLsh _),
+    "knn_ivf" -> (Similarity.knnIvf _),
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),

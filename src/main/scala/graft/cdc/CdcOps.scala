@@ -32,17 +32,27 @@ object CdcOps {
   private val opSql =
     "CASE WHEN event_type = 'signup' THEN 'I' WHEN event_type = 'error' THEN 'D' ELSE 'U' END"
 
+  /** Generic last-writer-wins materialization over any change log: for
+    * each key, the payload columns of the record with the highest offset.
+    * One shuffle on the key with map-side partial aggregation (max_by) —
+    * at 100 TB this beats a row_number window, which sorts every
+    * partition and cannot partially aggregate. Output columns are named
+    * `last_<payload>` plus `last_<offset>`. */
+  def latestStateOf(log: DataFrame, keyCol: String, offsetCol: String,
+                    payloadCols: Seq[String]): DataFrame = {
+    val aggs = max(col(offsetCol)).as(s"last_$offsetCol") +:
+      payloadCols.map(c => max_by(col(c), col(offsetCol)).as(s"last_$c"))
+    log.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** cdc_latest_state — last-writer-wins materialization: for each key the
     * payload of the change record with the highest offset. */
-  def latestState(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    ev.groupBy(col("user_id"))
-      .agg(
-        max(col("event_id")).as("last_event_id"),
-        max_by(col("event_type"), col("event_id")).as("last_type"),
-        max_by(col("value"), col("event_id")).as("last_value"))
+  def latestState(spark: SparkSession, dir: String): DataFrame =
+    latestStateOf(Tables.events(spark, dir), "user_id", "event_id",
+      Seq("event_type", "value"))
+      .withColumnsRenamed(Map("last_event_type" -> "last_type", "last_value" -> "last_value"))
+      .select(col("user_id"), col("last_event_id"), col("last_type"), col("last_value"))
       .orderBy(col("user_id"))
-  }
 
   val latestStateSql: String =
     """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
@@ -52,18 +62,21 @@ object CdcOps {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** Generic Debezium-sink apply over any change log with an I/U/D op
+    * column: the latest op per key wins; keys whose latest op is a delete
+    * are absent from the snapshot (tombstone semantics). */
+  def applyLogOf(log: DataFrame, keyCol: String, offsetCol: String,
+                 opCol: String, payloadCols: Seq[String]): DataFrame =
+    latestStateOf(log, keyCol, offsetCol, opCol +: payloadCols)
+      .filter(col(s"last_$opCol") =!= "D")
+
   /** cdc_apply_upsert_delete — apply the log to an (empty) target with
     * Debezium sink semantics: the latest op per key wins; a key whose
     * latest op is a delete is absent from the snapshot. */
   def applyUpsertDelete(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).withColumn("op", opCode(col("event_type")))
-    ev.groupBy(col("user_id"))
-      .agg(
-        max(col("event_id")).as("last_event_id"),
-        max_by(col("op"), col("event_id")).as("last_op"),
-        max_by(col("value"), col("event_id")).as("value"))
-      .filter(col("last_op") =!= "D")
-      .select(col("user_id"), col("last_event_id"), col("value"))
+    applyLogOf(ev, "user_id", "event_id", "op", Seq("value"))
+      .select(col("user_id"), col("last_event_id"), col("last_value").as("value"))
       .orderBy(col("user_id"))
   }
 

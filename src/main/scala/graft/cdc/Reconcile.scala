@@ -63,22 +63,29 @@ object Reconcile {
       |  (SELECT COUNT(*) FROM ($driftedTargetSql)) AS target_count,
       |  (SELECT COUNT(*) FROM orders) = (SELECT COUNT(*) FROM ($driftedTargetSql)) AS counts_match""".stripMargin
 
-  /** recon_row_diff — row-by-row consistency: full outer join on the
-    * primary key, emitting only divergent rows with a diff class. */
-  def reconRowDiff(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.orders(spark, dir)
-      .select(col("o_orderkey").as("key"), col("o_totalprice").as("src_amount"))
-    val tgt = driftedTarget(spark, dir)
-      .select(col("o_orderkey").as("key"), col("o_totalprice").as("tgt_amount"))
-    src.join(tgt, Seq("key"), "full_outer")
+  /** Generic row-by-row consistency diff between any two relations keyed
+    * by `keyCol`, comparing `valueCol`: full outer join on the key,
+    * emitting only divergent rows classified as missing_in_target /
+    * missing_in_source / value_mismatch (the verifier's
+    * compare_table_consistency, verify_replication.py:99-146). */
+  def rowDiffOf(src: DataFrame, tgt: DataFrame,
+                keyCol: String, valueCol: String): DataFrame = {
+    val s = src.select(col(keyCol).as("key"), col(valueCol).as("src_amount"))
+    val t = tgt.select(col(keyCol).as("key"), col(valueCol).as("tgt_amount"))
+    s.join(t, Seq("key"), "full_outer")
       .withColumn("diff_type",
         when(col("tgt_amount").isNull, "missing_in_target")
           .when(col("src_amount").isNull, "missing_in_source")
           .when(col("src_amount") =!= col("tgt_amount"), "value_mismatch"))
       .filter(col("diff_type").isNotNull)
       .select(col("key"), col("diff_type"), col("src_amount"), col("tgt_amount"))
-      .orderBy(col("key"))
   }
+
+  /** recon_row_diff — row diff of orders vs the drift-simulated target. */
+  def reconRowDiff(spark: SparkSession, dir: String): DataFrame =
+    rowDiffOf(Tables.orders(spark, dir), driftedTarget(spark, dir),
+      "o_orderkey", "o_totalprice")
+      .orderBy(col("key"))
 
   val reconRowDiffSql: String =
     s"""WITH tgt AS ($driftedTargetSql),
@@ -105,23 +112,46 @@ object Reconcile {
     * side to B bucket digests (count + sum of row digests); only buckets
     * whose digests differ need row-level drill-down. Map-side combine makes
     * this near scan-speed; the shuffle is B rows per side. */
-  def reconHashBucket(spark: SparkSession, dir: String): DataFrame = {
+  /** Generic bucketed digest compare: aggregate each side to `buckets`
+    * (count, sum-of-row-digests) pairs; only buckets whose digests differ
+    * need row-level drill-down. The digest column expression must be an
+    * order-independent exact value (long). Near scan-speed via map-side
+    * combine; the shuffle is `buckets` rows per side. */
+  def hashBucketDiffOf(src: DataFrame, tgt: DataFrame, keyCol: String,
+                       digestOf: Column, buckets: Int): DataFrame = {
     def digest(df: DataFrame, cnt: String, dig: String): DataFrame =
-      df.withColumn("bucket", col("o_orderkey") % 64)
-        .withColumn("rd", rowDigest(col("o_orderkey"), col("o_totalprice")))
+      df.withColumn("bucket", pmod(col(keyCol), lit(buckets.toLong)))
+        .withColumn("rd", digestOf)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dig))
-    val src = digest(Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice")), "src_count", "src_digest")
-    val tgt = digest(driftedTarget(spark, dir), "tgt_count", "tgt_digest")
-    src.join(tgt, Seq("bucket"), "full_outer")
+    digest(src, "src_count", "src_digest")
+      .join(digest(tgt, "tgt_count", "tgt_digest"), Seq("bucket"), "full_outer")
       .withColumn("bucket_match",
         coalesce(col("src_count"), lit(-1L)) === coalesce(col("tgt_count"), lit(-2L)) &&
         coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-2L)))
       .select(col("bucket"), col("src_count"), col("tgt_count"),
               col("src_digest"), col("tgt_digest"), col("bucket_match"))
-      .orderBy(col("bucket"))
   }
+
+  /** The rows whose buckets mismatched, ready for row-level drill-down —
+    * phase 2 of the two-phase compare: row_diff cost is paid only on the
+    * (tiny) divergent fraction of the key space. */
+  def drillDownOf(src: DataFrame, tgt: DataFrame, keyCol: String,
+                  valueCol: String, badBuckets: DataFrame, buckets: Int): DataFrame = {
+    def restrict(df: DataFrame) =
+      df.withColumn("bucket", pmod(col(keyCol), lit(buckets.toLong)))
+        .join(broadcast(badBuckets.select("bucket")), Seq("bucket"))
+    rowDiffOf(restrict(src), restrict(tgt), keyCol, valueCol)
+  }
+
+  def reconHashBucket(spark: SparkSession, dir: String): DataFrame =
+    hashBucketDiffOf(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+      driftedTarget(spark, dir),
+      "o_orderkey",
+      rowDigest(col("o_orderkey"), col("o_totalprice")),
+      64)
+      .orderBy(col("bucket"))
 
   val reconHashBucketSql: String =
     s"""WITH tgt AS ($driftedTargetSql),

@@ -47,17 +47,21 @@ object Dedup {
       |  array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
       |FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  /** dedup_exact — exact duplicate grouping by normalized-text md5.
-    * One shuffle on the 128-bit fingerprint; group sizes are the
-    * duplicate cluster sizes. */
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir)
-      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+  /** Generic exact-duplicate grouping over any (id, text) relation:
+    * group by normalized-text md5. One shuffle on the 128-bit
+    * fingerprint; group sizes are the duplicate cluster sizes. */
+  def exactDuplicatesOf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(normText(col(textCol)).cast("binary")).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("min_doc_id"),
-        max(col("doc_id")).as("max_doc_id"))
+        min(col(idCol)).as(s"min_$idCol"),
+        max(col(idCol)).as(s"max_$idCol"))
       .filter(col("n_docs") > 1)
+
+  /** dedup_exact — exact duplicates of the planted corpus. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    exactDuplicatesOf(corpus(spark, dir), "doc_id", "text")
       .orderBy(col("fp"))
 
   val dedupExactSql: String =
@@ -72,13 +76,17 @@ object Dedup {
     * non-discriminative ("stopword shingle") — bounds bucket skew. */
   val ShingleFreqCap = 50
 
-  /** Per-doc distinct 3-gram shingles of the corpus — (doc_id, s) rows.
-    * The words array is materialized as a column first so the shingle
-    * transform doesn't re-split per element (see shingles3FromWords). */
-  private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir)
+  /** Per-doc distinct 3-gram shingles of any (doc_id, text) relation —
+    * (doc_id, s) rows. The words array is materialized as a column first
+    * so the shingle transform doesn't re-split per element (see
+    * shingles3FromWords). */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), explode(shingles3FromWords(col("ws"))).as("s"))
+
+  private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(corpus(spark, dir))
 
   /** Rare shingles only (frequency-capped), persisted: the result feeds
     * three plan branches (sizes + both join sides); without persist each
@@ -161,10 +169,10 @@ object Dedup {
 
   /** Per-doc minhash signature columns m0..m63 from xxhash64(shingle):
     * min-aggregated per permutation — map-side partial aggregation, one
-    * shuffle on doc_id (vs. collect-based signatures which don't scale). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = corpusShingles(spark, dir)
-      .withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    * shuffle on doc_id (vs. collect-based signatures which don't scale).
+    * Input: (doc_id, s) shingle rows. */
+  def signaturesOf(shingleRows: DataFrame): DataFrame = {
+    val sh = shingleRows.withColumn("h", pmod(xxhash64(col("s")), lit(P)))
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = perm(j)
       min(pmod(col("h") * a + b, lit(P))).as(s"m$j")
@@ -172,12 +180,23 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
+    signaturesOf(corpusShingles(spark, dir))
+
+  /** Generic MinHash+LSH near-dup candidate pairs over any (doc_id,
+    * text) relation: shingle → 64 minhashes → 32 band hashes → bucket
+    * self-join, requiring ≥ 2 shared bands. */
+  def minhashPairsOf(docs: DataFrame): DataFrame =
+    minhashFromSignatures(signaturesOf(shinglesOf(docs)))
+
   /** dedup_minhash — MinHash+LSH near-dup candidate pairs:
-    * shingle → 64 minhashes → 16 band hashes → bucket self-join.
+    * shingle → 64 minhashes → 32 band hashes → bucket self-join.
     * Rows-only (hash internals aren't portable SQL); DedupSpec asserts
     * planted near-dup recall. */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashFromSignatures(signatures(spark, dir))
+
+  private def minhashFromSignatures(sigs: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
@@ -202,11 +221,11 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** dedup_simhash — 64-bit SimHash over tokens; near-dup candidates via
-    * 4×16-bit band equality, confirmed by hamming distance ≤ 8.
-    * Rows-only; DedupSpec asserts planted near-dup recall. */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = corpus(spark, dir)
+  /** Generic 64-bit SimHash near-dup pairs over any (doc_id, text)
+    * relation; near-dup candidates via 4×16-bit band equality, confirmed
+    * by hamming distance ≤ 8. */
+  def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .withColumn("h", xxhash64(col("w")))
@@ -240,4 +259,9 @@ object Dedup {
       .filter(col("hamming") <= 8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** dedup_simhash — SimHash near-dup pairs of the planted corpus.
+    * Rows-only; DedupSpec asserts planted near-dup recall. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(corpus(spark, dir))
 }

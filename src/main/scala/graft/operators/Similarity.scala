@@ -77,23 +77,28 @@ object Similarity {
 
   val K = 5
 
+  /** Generic exact top-k cosine neighbors: `queries` (query_id, qv, qn)
+    * is broadcast against `corpus` (neighbor_id, v, nrm) — O(Q×N) work,
+    * no N×N blowup, deterministic tiebreak on neighbor id. */
+  def knnOf(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
+  }
+
   /** knn_brute — exact top-k cosine neighbors for each query vector
-    * (vec_id % 100 == 0). The query side is broadcast; the corpus is
-    * scanned once — O(Q×N) work, no N×N blowup, deterministic tiebreak
-    * on neighbor id. */
+    * (vec_id % 100 == 0). */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
-      .withColumn("knn_rank", row_number().over(w))
-      .filter(col("knn_rank") <= K)
-      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
+    knnOf(q, e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), K)
       .orderBy(col("query_id"), col("knn_rank"))
   }
 
@@ -107,6 +112,50 @@ object Similarity {
       |FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
       |QUALIFY knn_rank <= $K
       |ORDER BY query_id, knn_rank""".stripMargin
+
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  val IvfSampleMod = 50 // centroid "training" sample: vec_id % 50 == 0
+  val Nprobe = 8
+
+  /** knn_ivf — IVF-style ANN: a deterministic sample of the corpus acts
+    * as the coarse quantizer (no iterative k-means — reproducible and
+    * cheap; at deployment the centroid set would come from an offline
+    * training job). Every vector is assigned to its nearest centroid
+    * (one O(N×C) broadcast pass); queries probe the Nprobe nearest
+    * cells and exact-re-rank only those cells' members. Scale path:
+    * assignment is a broadcast map-side pass + one shuffle on cell id;
+    * probe cost is Nprobe/C of the corpus per query.
+    * Rows-only; SimilaritySpec measures recall vs knn_brute. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfSampleMod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCells(df: DataFrame, idCol: String, vCol: String, nCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", qcos(qdot(col(vCol), col("cv")), col(nCol), col("cn")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= n)
+        .drop("cv", "cn", "cent_cos", "cent_rank")
+    }
+    val cells = nearestCells(
+      e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+      "neighbor_id", "v", "nrm", 1).persist()
+    val probes = nearestCells(
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
+      "query_id", "qv", "qn", Nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(cells, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
 
   // ---- random-hyperplane LSH ---------------------------------------------
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cdc.{CdcOps, Reconcile}
+import graft.operators.Dedup
+
+/** The generic DataFrame-in/DataFrame-out library surface, exercised on
+  * hand-built inputs (independent of the driver test tables). */
+class LibraryApiSpec extends SparkSpec {
+
+  test("latestStateOf: arbitrary key/offset/payload columns") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "a", 1.0), (1L, 30L, "c", 3.0), (1L, 20L, "b", 2.0),
+      (2L, 5L, "x", 9.0)
+    ).toDF("k", "off", "p1", "p2")
+    val res = CdcOps.latestStateOf(log, "k", "off", Seq("p1", "p2"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("last_off"), r.getAs[String]("last_p1"), r.getAs[Double]("last_p2")))).toMap
+    assert(res(1L) === ((30L, "c", 3.0)))
+    assert(res(2L) === ((5L, "x", 9.0)))
+  }
+
+  test("applyLogOf: delete tombstones drop keys") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "I", 1.0), (1L, 2L, "D", 0.0),
+      (2L, 3L, "I", 2.0), (2L, 4L, "U", 5.0)
+    ).toDF("k", "off", "op", "v")
+    val res = CdcOps.applyLogOf(log, "k", "off", "op", Seq("v"))
+    assert(res.collect().map(_.getAs[Long]("k")).toSet === Set(2L))
+  }
+
+  test("rowDiffOf + hashBucketDiffOf + drillDownOf: two-phase compare finds exactly the planted drift") {
+    import spark.implicits._
+    val src = (1L to 1000L).map(i => (i, i * 1.5)).toDF("id", "amt")
+    val tgt = (1L to 1000L).filterNot(_ == 507L) // one missing
+      .map(i => (i, if (i == 13L) 99.9 else i * 1.5)) // one mismatched
+      .toDF("id", "amt")
+    val full = Reconcile.rowDiffOf(src, tgt, "id", "amt").collect()
+    assert(full.map(r => (r.getAs[Long]("key"), r.getAs[String]("diff_type"))).toSet ===
+      Set((507L, "missing_in_target"), (13L, "value_mismatch")))
+
+    val digest = (col("id") * 31L + floor(col("amt") * 100 + 0.5).cast("long")) % 1000000007L
+    val bucketReport = Reconcile.hashBucketDiffOf(src, tgt, "id", digest, 16)
+    val bad = bucketReport.filter(!col("bucket_match"))
+    assert(bad.count() === 2) // 507 % 16 = 11, 13 % 16 = 13 — two distinct buckets
+    val drill = Reconcile.drillDownOf(src, tgt, "id", "amt", bad, 16).collect()
+    assert(drill.map(r => (r.getAs[Long]("key"), r.getAs[String]("diff_type"))).toSet ===
+      full.map(r => (r.getAs[Long]("key"), r.getAs[String]("diff_type"))).toSet)
+  }
+
+  test("exactDuplicatesOf / minhashPairsOf / simhashPairsOf on a tiny planted corpus") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight " * 4
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                  // exact dup of 1
+      (3L, base.replace("lazy", "sleepy")),        // near dup of 1
+      (4L, "completely different words entirely unrelated content here nothing shared at all with others")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.exactDuplicatesOf(docs, "doc_id", "text").collect()
+    assert(exact.length === 1 && exact(0).getAs[Long]("n_docs") === 2L)
+    val mh = Dedup.minhashPairsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(mh.contains((1L, 2L)) && mh.contains((1L, 3L)) && mh.contains((2L, 3L)))
+    assert(!mh.exists(p => p._1 == 4L || p._2 == 4L))
+    val sh = Dedup.simhashPairsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(sh.contains((1L, 2L)))
+    assert(!sh.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

@@ -16,6 +16,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn_ivf: candidates nonempty; recall@1 vs brute >= 30%") {
+    val brute = Similarity.knnBrute(spark, sf)
+      .filter(col("knn_rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.knnIvf(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(ivf.nonEmpty)
+    val hits = brute.count { case (q, n1) => ivf.get(q).exists(_.contains(n1)) }
+    assert(hits * 10 >= brute.size * 3, s"recall@1 $hits/${brute.size}")
+  }
+
   test("knn_lsh: candidates nonempty; recall@1 vs brute >= 30%") {
     val brute = Similarity.knnBrute(spark, sf)
       .filter(col("knn_rank") === 1).collect()
