@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DebeziumJson, FeedSource}
+import graft.cdc.CdcOps
+
+class SourcesSpec extends SparkSpec {
+
+  private def env(op: String, before: String, after: String, lsn: Long): String =
+    s"""{"before":$before,"after":$after,
+       |"source":{"lsn":$lsn,"ts_ms":1700000000000,"db":"sourcedb","schema":"public","table":"orders"},
+       |"op":"$op","ts_ms":${1700000000000L + lsn}}""".stripMargin.replace("\n", "")
+
+  private def row(id: Long, cust: Long, amt: Double): String =
+    s"""{"order_id":$id,"customer_id":$cust,"amount":$amt,"timestamp":"2024-01-01 00:00:00","batch_id":"b1"}"""
+
+  test("parseEnvelope: c/u/d/r ops, key from after or before, LSN order feeds latestStateOf") {
+    import spark.implicits._
+    val events = Seq(
+      env("c", "null", row(1, 10, 5.0), 100),
+      env("u", row(1, 10, 5.0), row(1, 10, 7.5), 200),
+      env("r", "null", row(2, 20, 9.0), 50),   // snapshot read
+      env("d", row(2, 20, 9.0), "null", 300)   // delete: key from before
+    ).toDF("value")
+    val parsed = DebeziumJson.parseEnvelope(events, "value", DebeziumJson.ordersRow, "order_id")
+    val byKey = parsed.collect().groupBy(_.getAs[Long]("key"))
+    assert(byKey(1L).map(_.getAs[String]("op")).toSet === Set("I", "U"))
+    assert(byKey(2L).map(_.getAs[String]("op")).toSet === Set("I", "D"))
+
+    // last-writer-wins by LSN then drop deleted keys = applied snapshot
+    val snapshot = CdcOps.applyLogOf(
+      parsed.withColumn("amount", col("payload.amount")), "key", "lsn", "op", Seq("amount"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Double]("last_amount")).toMap
+    assert(snapshot === Map(1L -> 7.5)) // key 2 deleted at lsn 300
+  }
+
+  test("parseUnwrapped: __deleted rewrite mode") {
+    import spark.implicits._
+    val recs = Seq(
+      s"""{"order_id":1,"customer_id":10,"amount":5.0,"timestamp":"t","batch_id":"b1","__deleted":"false"}""",
+      s"""{"order_id":2,"customer_id":20,"amount":9.0,"timestamp":"t","batch_id":"b1","__deleted":"true"}"""
+    ).toDF("value")
+    val parsed = DebeziumJson.parseUnwrapped(recs, "value", DebeziumJson.ordersRow, "order_id")
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("op")).toMap
+    assert(parsed === Map(1L -> "U", 2L -> "D"))
+  }
+
+  test("FeedSource: reads batch feed files, ledger counts + corrupt quarantine") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-feeds")
+    java.nio.file.Files.writeString(dir.resolve("orders_batch_1.csv"),
+      "customer_id,amount,timestamp\n10,5.5,2024-01-01 00:00:00\n11,6.5,2024-01-01 00:01:00\n")
+    java.nio.file.Files.writeString(dir.resolve("orders_batch_2.csv"),
+      "customer_id,amount,timestamp\n12,7.5,2024-01-02 00:00:00\nBADROW,not_a_number\n")
+    val feeds = FeedSource.readFeeds(spark, dir.toString)
+    val ledger = FeedSource.feedLedger(feeds).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("row_count"), r.getAs[Long]("corrupt_rows"), r.getAs[String]("status")))).toMap
+    assert(ledger(1L) === ((2L, 0L, "COMPLETED")))
+    assert(ledger(2L)._2 >= 1L)
+    assert(ledger(2L)._3 === "FAILED")
+  }
+}
