@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Similarity}
+import graft.core.Skew
+
+/** Plan-shape regression tests: the scale properties claimed in
+  * SURVEY.md §5 must be visible in the executed plan. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2: both filters pushed to the parquet scan; only 5 columns read") {
+    val p = plan(Analytics.q2FilterProject(spark, sf))
+    // the rendered PushedFilters list is elided; assert the leading
+    // entries and that both filter columns reached the scan
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), GreaterThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey") && !p.contains("l_returnflag"))
+  }
+
+  test("q3: both dimension joins broadcast, no sort-merge join") {
+    val p = plan(Analytics.q3JoinAgg(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q4/q5: semi and anti joins build on the filtered side") {
+    assert(plan(Analytics.q4SemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(plan(Analytics.q5AntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("dedup_embedding: label join broadcasts, qdot is a native expression") {
+    val p = plan(Similarity.dedupEmbedding(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("qdot("))
+  }
+
+  test("qdot participates in whole-stage codegen") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(org.apache.spark.sql.graftvec.VectorExpressions.qdot(col("a"), col("b")).as("d"))
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(codegen.contains("Found 1 WholeStageCodegen") || codegen.contains("WholeStageCodegen"))
+    assert(df.collect()(0).getLong(0) === 11000000000L) // 3e9 + 8e9
+  }
+
+  test("GraftExtensions: qdot callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT qdot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
+    assert(r(0).getLong(0) === 11000000000L)
+  }
+
+  test("saltedJoin: equals the plain join, salt column not leaked") {
+    import spark.implicits._
+    // hot key 1 dominates
+    val big = ((1 to 1000).map(i => (1L, i.toLong)) ++ Seq((2L, 0L))).toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), 8)
+    val plain = big.join(small, Seq("k"))
+    assert(salted.columns.toSeq === plain.columns.toSeq)
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
+  }
+}
