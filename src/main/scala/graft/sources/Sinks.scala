@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (reference: jdbc-sink-connector-config.json — upsert-mode sink
+  * applying the change stream to the target DB).
+  *
+  * Without a database in this environment, the idempotent-apply shape
+  * is expressed against the lake: the latest-state snapshot is written
+  * as parquet partitioned by a stable key bucket, so (a) re-running the
+  * apply overwrites only the partitions it recomputes (dynamic
+  * partition overwrite = idempotent retries), and (b) a downstream
+  * reconciliation read of one bucket touches one directory —
+  * partition pruning does the work of an index. */
+object Sinks {
+
+  /** Write a keyed snapshot partitioned by hash-bucket of the key.
+    * `buckets` should be sized so one bucket ≈ one comfortable task
+    * (at 100 TB: thousands). */
+  def writeSnapshot(snapshot: DataFrame, keyCol: String, path: String,
+                    buckets: Int): Unit =
+    snapshot
+      .withColumn("_bucket", pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .repartition(col("_bucket"))
+      .write
+      .partitionBy("_bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+}

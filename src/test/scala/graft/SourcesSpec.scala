@@ -45,6 +45,19 @@ class SourcesSpec extends SparkSpec {
     assert(parsed === Map(1L -> "U", 2L -> "D"))
   }
 
+  test("Sinks.writeSnapshot: bucket-partitioned, idempotent overwrite, readable") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    graft.sources.Sinks.writeSnapshot(snap, "k", out, 4)
+    graft.sources.Sinks.writeSnapshot(snap, "k", out, 4) // idempotent rerun
+    val back = spark.read.parquet(out)
+    assert(back.count() === 3)
+    assert(back.columns.contains("_bucket"))
+    assert(back.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("FeedSource: reads batch feed files, ledger counts + corrupt quarantine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-feeds")
     java.nio.file.Files.writeString(dir.resolve("orders_batch_1.csv"),
