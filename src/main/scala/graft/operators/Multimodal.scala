@@ -10,7 +10,8 @@ case class MmRecord(doc_id: Long, payload: Array[Byte], width: Int, height: Int,
 
 /** Extracted features for one record. */
 case class MmFeatures(doc_id: Long, width: Int, height: Int, n_bytes: Int,
-                      feature: Array[Double], feature_norm: Double)
+                      feature: Array[Double], feature_norm: Double,
+                      resized: Array[Double], n_frames: Int)
 
 /** Multimodal column plumbing (SURVEY.md §2.D).
   *
@@ -36,6 +37,21 @@ object Multimodal {
     if (norm == 0) hist else hist.map(_ / norm)
   }
 
+  /** Stub "resize": 2× average-pool of a feature map (the image-resize
+    * analog on the extracted representation). */
+  private[graft] def resizeStub(feature: Array[Double]): Array[Double] =
+    feature.grouped(2).map(g => g.sum / g.length).toArray
+
+  /** Stub "frame sampling": the payload is treated as fixed-size frames
+    * (a video's GOP analog); every `stride`-th frame is selected.
+    * Returns the sampled frame count — a real pipeline would emit the
+    * frame byte slices for per-frame decode. */
+  private[graft] def frameSample(payload: Array[Byte], frameBytes: Int = 256,
+                                 stride: Int = 4): Int = {
+    val frames = (payload.length + frameBytes - 1) / frameBytes
+    (frames + stride - 1) / stride
+  }
+
   /** The multimodal table: documents' text bytes standing in for an
     * image payload, with typed metadata derived deterministically. */
   def mmTable(spark: SparkSession, dir: String): DataFrame =
@@ -57,7 +73,8 @@ object Multimodal {
         it.map { r =>
           val f = decodeStub(r.payload)
           MmFeatures(r.doc_id, r.width, r.height, r.payload.length,
-            f, math.sqrt(f.map(x => x * x).sum))
+            f, math.sqrt(f.map(x => x * x).sum),
+            resizeStub(f), frameSample(r.payload))
         }
       }
       .toDF()
