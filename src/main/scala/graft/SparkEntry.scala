@@ -55,6 +55,7 @@ object SparkEntry {
     "mm_features" -> (Multimodal.mmFeatures _),
     "stream_cdc_apply" -> (CdcStream.streamCdcApply _),
     "stream_window_agg" -> (CdcStream.streamWindowAgg _),
+    "stream_sessionize" -> (CdcStream.streamSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

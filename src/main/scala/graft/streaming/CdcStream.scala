@@ -63,6 +63,19 @@ object CdcStream {
       .toDF()
   }
 
+  /** Native session_window sessionization over the change stream —
+    * the streaming twin of Analytics.q12Sessionize (same 30-minute gap):
+    * state-backed session merging instead of a lag/cumsum window, so
+    * sessions close incrementally as the watermark advances. */
+  def sessionCounts(changeEvents: DataFrame): DataFrame =
+    changeEvents
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Watermarked sliding-window per-op counts over the change stream. */
   def windowCounts(changeEvents: DataFrame): DataFrame =
     changeEvents
@@ -113,4 +126,11 @@ object CdcStream {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir, s"stream_window_agg_sink", OutputMode.Complete, windowCounts)
       .orderBy(col("win_start"), col("op"))
+
+  /** stream_sessionize — rows-only: native session_window gap sessions
+    * after full replay (Complete mode — session_window aggregations
+    * don't support Update). */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_sessionize_sink", OutputMode.Complete, sessionCounts)
+      .orderBy(col("user_id"), col("session_start"))
 }

@@ -43,6 +43,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_sessionize replay matches batch q12 sessionization") {
+    val streamed = CdcStream.streamSessionize(spark, sf)
+    val batch = graft.operators.Analytics.q12Sessionize(spark, sf)
+    assert(streamed.count() === batch.count())
+    val sTotal = streamed.agg(sum("n_events")).collect()(0).getLong(0)
+    val bTotal = batch.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(sTotal === bTotal)
+  }
+
   test("stream_window_agg replay: per-op totals match batch counts") {
     val streamed = CdcStream.streamWindowAgg(spark, sf)
     // each event lands in exactly 2 sliding windows (1 day / 12 h hop)
