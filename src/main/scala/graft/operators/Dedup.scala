@@ -91,12 +91,19 @@ object Dedup {
   /** Rare shingles only (frequency-capped), persisted: the result feeds
     * three plan branches (sizes + both join sides); without persist each
     * branch would recompute the full shingle pipeline. At cluster scale
-    * this is the standard materialize-the-candidate-set checkpoint. */
+    * this is the standard materialize-the-candidate-set checkpoint.
+    *
+    * The document frequency is a count over a window partitioned by the
+    * shingle — ONE shuffle on s, after which the cached partitioning is
+    * exactly what the pair self-join needs (no further exchange) — vs. a
+    * groupBy+join formulation which shuffles twice. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
-    val sh = corpusShingles(spark, dir).persist() // feeds freq count + join
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    corpusShingles(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= ShingleFreqCap && col("df") >= 2)
-    sh.join(rare.select("s"), Seq("s")).persist() // feeds sizes + both pair sides
+      .drop("df")
+      .persist()
   }
 
   private val docShinglesSql: String =
@@ -205,11 +212,12 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id"), col("bb.band_hash"))
-      .persist() // feeds the size filter and both self-join sides
-    val sized = buckets.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("bs"))
+      .withColumn("bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("band_hash"))))
       .filter(col("bs") >= 2 && col("bs") <= 100) // skew cap
-    val bounded = buckets.join(sized.select("band_id", "band_hash"), Seq("band_id", "band_hash"))
+      .drop("bs")
+      .persist() // feeds both self-join sides, pre-partitioned on the bucket
+    val bounded = buckets
     val a = bounded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_a"))
     val b = bounded.select(col("band_id"), col("band_hash"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_hash")).filter(col("doc_a") < col("doc_b"))
@@ -241,13 +249,14 @@ object Dedup {
       struct(lit(k).as("band_id"),
         shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("band_key"))
     }
-    val buckets = sigs.select(col("doc_id"), col("simhash"),
+    val bounded = sigs.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band_id"), col("bb.band_key"))
-      .persist() // feeds the size filter and both self-join sides
-    val sized = buckets.groupBy(col("band_id"), col("band_key"))
-      .agg(count(lit(1)).as("bs")).filter(col("bs") >= 2 && col("bs") <= 100)
-    val bounded = buckets.join(sized.select("band_id", "band_key"), Seq("band_id", "band_key"))
+      .withColumn("bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("band_key"))))
+      .filter(col("bs") >= 2 && col("bs") <= 100)
+      .drop("bs")
+      .persist() // feeds both self-join sides, pre-partitioned on the bucket
     val a = bounded.select(col("band_id"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = bounded.select(col("band_id"), col("band_key"),
