@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.cdc.CdcOps
+import graft.core.Skew
+
+/** Property-style invariants on ScalaCheck-generated data (raw Gen with
+  * fixed seeds — no scalatest bridge in the dependency set). */
+class PropertySpec extends SparkSpec {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+
+  test("qdot equals the quantized reference sum for random vectors") {
+    import spark.implicits._
+    val pairs = (1 to 10).map(i => (sample(vecGen, i), sample(vecGen, i + 1000)))
+    val got = pairs.toDF("a", "b")
+      .select(org.apache.spark.sql.graftvec.VectorExpressions.qdot(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      val expected = a.zip(b).map { case (x, y) => math.floor(x * y * 1e9 + 0.5).toLong }.sum
+      assert(g === expected)
+    }
+  }
+
+  test("latestStateOf picks the max-offset row for every key (random logs)") {
+    import spark.implicits._
+    val logGen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 5L)
+      off <- Gen.chooseNum(1L, 1000L)
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (k, off, v))
+    for (seed <- 1 to 5) {
+      val uniq = sample(logGen, seed).groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val got = CdcOps.latestStateOf(uniq.toDF("k", "off", "v"), "k", "off", Seq("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val expected = uniq.groupBy(_._1).map { case (k, rs) =>
+        val m = rs.maxBy(_._2); k -> ((m._2, m._3))
+      }
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
+  test("saltedJoin is equivalent to plain join for any salt count (random data)") {
+    import spark.implicits._
+    val bigGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0, 100)))
+    val smallGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 6L), Gen.alphaStr.map(_.take(4))))
+    for (seed <- 1 to 5) {
+      val big = sample(bigGen, seed)
+      val small = sample(smallGen, seed + 500).distinctBy(_._1)
+      val salts = (seed % 7) + 1
+      val b = big.toDF("k", "payload")
+      val s = small.toDF("k", "name")
+      val plain = b.join(s, Seq("k")).collect().map(_.toSeq).toList.sortBy(_.toString)
+      val salted = Skew.saltedJoin(b, s, Seq("k"), salts)
+        .collect().map(_.toSeq).toList.sortBy(_.toString)
+      assert(salted === plain, s"seed $seed salts $salts")
+    }
+  }
+}
