@@ -29,6 +29,8 @@ object SparkEntry {
     "q14_pivot" -> (Analytics.q14Pivot _),
     "q15_cross_like" -> (Analytics.q15CrossLike _),
     "q16_asof_join" -> (Analytics.q16AsofJoin _),
+    "q17_percentile" -> (Analytics.q17Percentile _),
+    "q18_correlated" -> (Analytics.q18Correlated _),
     "cdc_latest_state" -> (CdcOps.latestState _),
     "cdc_apply_upsert_delete" -> (CdcOps.applyUpsertDelete _),
     "cdc_changelog_stats" -> (CdcOps.changelogStats _),
@@ -77,6 +79,8 @@ object SparkEntry {
     "q14_pivot" -> Analytics.q14PivotSql,
     "q15_cross_like" -> Analytics.q15CrossLikeSql,
     "q16_asof_join" -> Analytics.q16AsofJoinSql,
+    "q17_percentile" -> Analytics.q17PercentileSql,
+    "q18_correlated" -> Analytics.q18CorrelatedSql,
     "cdc_latest_state" -> CdcOps.latestStateSql,
     "cdc_apply_upsert_delete" -> CdcOps.applyUpsertDeleteSql,
     "cdc_changelog_stats" -> CdcOps.changelogStatsSql,

@@ -382,6 +382,54 @@ object Analytics {
       |FROM nation CROSS JOIN region
       |ORDER BY n_name, r_name""".stripMargin
 
+  /** q17_percentile — exact interpolated percentiles per group (p50/p95
+    * of order value by priority). Spark's `percentile` and DuckDB's
+    * `quantile_cont` both use linear interpolation on the sorted set —
+    * verified bit-identical. The approximate scale path is
+    * `approx_percentile` (same family as q8_approx_distinct). */
+  def q17Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50_price"),
+        expr("percentile(o_totalprice, 0.95)").as("p95_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val q17PercentileSql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50_price,
+      |  quantile_cont(o_totalprice, 0.95) AS p95_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q18_correlated — correlated-subquery shape: orders priced above
+    * 1.5× their customer's average. Decorrelated as an aggregate +
+    * equi-join (what Catalyst does to correlated subqueries anyway);
+    * the average is exact-cents-derived so both engines compare the
+    * same doubles. */
+  def q18Correlated(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val avgs = o.groupBy(col("o_custkey"))
+      .agg(((sum(cents(col("o_totalprice"))) / lit(100d)) / count(lit(1))).as("cust_avg"))
+    o.join(avgs, Seq("o_custkey"))
+      .filter(col("o_totalprice") > col("cust_avg") * 1.5d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q18CorrelatedSql: String =
+    """WITH avgs AS (
+      |  SELECT o_custkey,
+      |    (SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0) / COUNT(*) AS cust_avg
+      |  FROM orders GROUP BY o_custkey
+      |)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, avgs.cust_avg
+      |FROM orders o JOIN avgs USING (o_custkey)
+      |WHERE o.o_totalprice > avgs.cust_avg * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q16_asof_join — as-of (nearest-preceding) join, the trades↔quotes
     * shape: each purchase is matched to the user's latest preceding
     * click/view. Implemented scalably as union + per-key window
