@@ -172,4 +172,85 @@ object CdcOps {
       |)
       |SELECT deliveries, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       |FROM per_event GROUP BY deliveries ORDER BY deliveries""".stripMargin
+
+  /** cdc_scd2 — Slowly-Changing-Dimension Type-2 history materialization
+    * from the change log: every change becomes a version row with
+    * [valid_from_id, valid_to_id) offset validity (null valid_to = current
+    * version). The standard history-table sink pattern for a Debezium
+    * stream (keep every state, not just the latest).
+    *
+    * Scale: one shuffle + per-key sort — inherent, since every version row
+    * is emitted (unlike latest-state there is no partial-aggregation
+    * shortcut); the window sort is the canonical plan at any scale. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("op", opCode(col("event_type")))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_id", lead(col("event_id"), 1).over(w))
+      .withColumn("is_current", col("valid_to_id").isNull)
+      .select(col("user_id"), col("version"), col("event_id").as("valid_from_id"),
+              col("valid_to_id"), col("op"), col("value"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val scd2HistorySql: String =
+    s"""SELECT user_id,
+      |  ROW_NUMBER() OVER w AS version,
+      |  event_id AS valid_from_id,
+      |  LEAD(event_id) OVER w AS valid_to_id,
+      |  $opSql AS op, value,
+      |  LEAD(event_id) OVER w IS NULL AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** cdc_snapshot_merge — Debezium initial-snapshot + streaming-tail
+    * semantics: state is materialized as of a watermark offset (the
+    * consistent snapshot), then the change-log tail past the watermark is
+    * merged on top. Because snapshot offsets are all ≤ watermark < tail
+    * offsets, the merge is just the same last-writer-wins apply over the
+    * union — snapshot rows re-enter as upserts at their original offset.
+    * One shuffle on the key, map-side combined. */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("op", opCode(col("event_type")))
+    val wm = ev.agg(floor(max(col("event_id")) * 0.8d).cast("long").as("wm"))
+    val tagged = ev.crossJoin(broadcast(wm))
+    val snap = applyLogOf(
+        tagged.filter(col("event_id") <= col("wm")),
+        "user_id", "event_id", "op", Seq("value"))
+      .select(col("user_id"), col("last_event_id").as("event_id"),
+              lit("U").as("op"), col("last_value").as("value"))
+    val tail = tagged.filter(col("event_id") > col("wm"))
+      .select(col("user_id"), col("event_id"), col("op"), col("value"))
+    applyLogOf(snap.unionByName(tail), "user_id", "event_id", "op", Seq("value"))
+      .crossJoin(broadcast(wm))
+      .select(col("user_id"), col("last_event_id"),
+              col("last_value").as("value"),
+              (col("last_event_id") > col("wm")).as("from_tail"))
+      .orderBy(col("user_id"))
+  }
+
+  val snapshotMergeSql: String =
+    s"""WITH w AS (SELECT CAST(FLOOR(MAX(event_id) * 0.8) AS BIGINT) AS wm FROM events),
+      |snap AS (
+      |  SELECT user_id, event_id, value FROM (
+      |    SELECT user_id, event_id, value, $opSql AS op,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |    FROM events, w WHERE event_id <= w.wm)
+      |  WHERE rn = 1 AND op <> 'D'
+      |), unioned AS (
+      |  SELECT user_id, event_id, 'U' AS op, value FROM snap
+      |  UNION ALL
+      |  SELECT user_id, event_id, $opSql AS op, value FROM events, w WHERE event_id > w.wm
+      |)
+      |SELECT user_id, event_id AS last_event_id, value,
+      |  event_id > (SELECT wm FROM w) AS from_tail
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |      FROM unioned)
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
 }

@@ -460,6 +460,47 @@ object Analytics {
       .orderBy(col("user_id"), col("purchase_event_id"))
   }
 
+  /** q19_range_join — non-equi range-containment join: every change event
+    * is assigned to its batch by LSN-range containment
+    * (`event_id BETWEEN start_lsn AND end_lsn`), the reference's
+    * batch_control completion_lsn bookkeeping turned into a join. The
+    * ledger side is tiny (one row per batch) → explicitly broadcast, so
+    * the plan is a BroadcastNestedLoopJoin: the fact side streams at scan
+    * speed with zero shuffle; at 100 TB the ledger is still KB-sized.
+    * (With a large range side the scale path is binning both sides to an
+    * equi-key — exactly what the batch_id derivation below does.) */
+  def q19RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val ledger = ev.crossJoin(broadcast(mx))
+      .withColumn("batch_id", floor(col("event_id") * 10 / (col("mx") + 1)).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(min(col("event_id")).as("start_lsn"), max(col("event_id")).as("end_lsn"))
+    ev.join(broadcast(ledger),
+        col("event_id").between(col("start_lsn"), col("end_lsn")))
+      .groupBy(col("batch_id"), col("start_lsn"), col("end_lsn"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_keys"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("batch_id"))
+  }
+
+  val q19RangeJoinSql: String =
+    """WITH mx AS (SELECT MAX(event_id) AS mx FROM events),
+      |ledger AS (
+      |  SELECT CAST(FLOOR(event_id * 10 / (mx + 1)) AS BIGINT) AS batch_id,
+      |    MIN(event_id) AS start_lsn, MAX(event_id) AS end_lsn
+      |  FROM events, mx GROUP BY 1
+      |)
+      |SELECT l.batch_id, l.start_lsn, l.end_lsn,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT e.user_id) AS n_keys,
+      |  SUM(CAST(FLOOR(e.value*100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events e JOIN ledger l ON e.event_id BETWEEN l.start_lsn AND l.end_lsn
+      |GROUP BY 1, 2, 3
+      |ORDER BY batch_id""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

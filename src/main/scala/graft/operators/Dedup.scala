@@ -273,4 +273,103 @@ object Dedup {
     * Rows-only; DedupSpec asserts planted near-dup recall. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(corpus(spark, dir))
+
+  // ---- Duplicate clustering (connected components) ------------------------
+
+  /** Connected components over an undirected pair set (doc_a, doc_b) →
+    * (doc_id, cluster_id) where cluster_id = min doc_id of the component.
+    * Pregel-style iterative min-label propagation: each round every node
+    * takes the min label across itself and its neighbors; rounds =
+    * graph diameter (near-dup graphs are star/clique-shaped, so 2-4).
+    * Each round is one distributed join+aggregate; `localCheckpoint`
+    * truncates the growing lineage. At cluster scale the same primitive
+    * is run as large-star/small-star (alternating halving), which keeps
+    * the round count logarithmic on pathological chains. */
+  def connectedComponentsOf(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = prop.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = prop
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The full duplicate edge set of the planted corpus: exact-duplicate
+    * pairs (same normalized-text md5) ∪ near-dup pairs (rare-shingle
+    * jaccard ≥ 0.35 — the confirmed pairs, not LSH candidates, so the
+    * edge set is deterministic and oracle-expressible). */
+  private def dupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = corpus(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+    val a = fps.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = fps.select(col("fp"), col("doc_id").as("doc_b"))
+    val exactPairs = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val nearPairs = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    exactPairs.unionByName(nearPairs).distinct()
+  }
+
+  /** dedup_clusters — duplicate clusters: connected components over
+    * exact-dup ∪ near-dup pairs, labeling every clustered doc with the
+    * min doc_id of its component plus the component size (the "keep one
+    * per cluster" step of a dedup pipeline). Oracle: DuckDB recursive-CTE
+    * transitive closure — tractable because components are tiny; the
+    * Spark side never materializes the closure, only labels. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponentsOf(dupPairs(spark, dir))
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $docShinglesSql,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |nearp AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.35
+      |),
+      |fps AS (SELECT doc_id, md5(${normTextSql("text")}) AS fp FROM corpus),
+      |exactp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |),
+      |pairs AS (SELECT * FROM exactp UNION SELECT * FROM nearp),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |),
+      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+      |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT doc_id, cluster_id, cluster_size
+      |FROM lab JOIN csz USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
 }

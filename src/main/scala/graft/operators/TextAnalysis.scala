@@ -137,4 +137,48 @@ object TextAnalysis {
       |  ${rollingHashSql("text")} AS fp_roll,
       |  substr(md5(${normTextSql("text")}), 1, 8) AS fp_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** text_ngram_topk — corpus n-gram statistics: top-k bigrams per
+    * language (count all occurrences, deterministic tie-break on the
+    * bigram itself). The corpus-frequency step of stopword/boilerplate
+    * mining. Scale: explode → one shuffle on (lang, bigram) with map-side
+    * combine; the top-k window runs on the already-aggregated (small)
+    * count table, and rank-k output is bounded. The words array is
+    * materialized before the zip_with lambda (HOF no-CSE discipline). */
+  def textNgramTopk(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val bigrams = Tables.documents(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val counts = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val textNgramTopkSql: String =
+    s"""WITH toks AS (
+      |  SELECT lang, ${wordsSql("text")} AS ws FROM documents
+      |), bg AS (
+      |  SELECT lang,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM toks WHERE len(ws) >= 2
+      |), counts AS (
+      |  SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk,
+      |    bigram, n
+      |  FROM counts
+      |)
+      |SELECT lang, rnk, bigram, n FROM ranked
+      |WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
 }

@@ -81,4 +81,11 @@ class AnalyticsSpec extends SparkSpec {
            plan.contains("LessThanOrEqual(l_shipdate"))
     assert(!plan.contains("l_partkey")) // pruned column must not be read
   }
+  test("q19_range_join: 10 batches, every event in exactly one LSN range") {
+    val res = Analytics.q19RangeJoin(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf)
+    assert(res.count() === 10)
+    assert(res.agg(sum(col("n_events"))).first().getLong(0) === ev.count())
+  }
+
 }

@@ -67,4 +67,33 @@ class CdcSpec extends SparkSpec {
     val valid = Set("READY", "REPLICATING", "SLOW", "STUCK")
     assert(res.forall(r => valid.contains(r.getAs[String]("health_status"))))
   }
+  test("cdc_scd2: full history, one current version per key, contiguous validity") {
+    val h = CdcOps.scd2History(spark, sf)
+    val ev = Tables.events(spark, sf)
+    assert(h.count() === ev.count())
+    assert(h.filter(col("is_current")).count() ===
+      ev.select("user_id").distinct().count())
+    val a = h.select(col("user_id"), col("version"), col("valid_to_id"))
+    val b = h.select(col("user_id"), (col("version") - 1).as("version"),
+      col("valid_from_id"))
+    val broken = a.join(b, Seq("user_id", "version"))
+      .filter(col("valid_to_id") =!= col("valid_from_id"))
+    assert(broken.count() === 0)
+  }
+
+  test("cdc_snapshot_merge: snapshot+tail merge equals full-log apply") {
+    val merged = CdcOps.snapshotMerge(spark, sf)
+      .select("user_id", "last_event_id", "value")
+    val full = CdcOps.applyUpsertDelete(spark, sf)
+      .select("user_id", "last_event_id", "value")
+    assert(merged.exceptAll(full).count() === 0)
+    assert(full.exceptAll(merged).count() === 0)
+    // from_tail flag must equal (last_event_id > watermark) row-by-row
+    val ev = Tables.events(spark, sf)
+    val wm = ev.agg(floor(max(col("event_id")) * 0.8d).cast("long")).first().getLong(0)
+    val wrong = CdcOps.snapshotMerge(spark, sf)
+      .filter(col("from_tail") =!= (col("last_event_id") > wm))
+    assert(wrong.count() === 0)
+  }
+
 }

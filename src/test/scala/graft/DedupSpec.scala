@@ -58,4 +58,26 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.30 && c <= 1.0 + 1e-9)
     }
   }
+  test("connectedComponentsOf: chains and cycles collapse to min label") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+      .toDF("doc_a", "doc_b")
+    val lab = Dedup.connectedComponentsOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("dedup_clusters: exact copies land in their base's cluster") {
+    val lab = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val bases = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 17 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    bases.foreach { d =>
+      assert(lab.contains(d) && lab.contains(d + 1000000L))
+      assert(lab(d + 1000000L) === lab(d))
+    }
+  }
+
 }

@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
     assert(r(0).getLong(0) === 11000000000L)
   }
 
+  test("q19: range join broadcasts the ledger side (no shuffle of the fact side)") {
+    val p = plan(Analytics.q19RangeJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("saltedJoin: equals the plain join, salt column not leaked") {
     import spark.implicits._
     // hot key 1 dominates

@@ -36,4 +36,14 @@ class TextSpec extends SparkSpec {
     assert(hs(0) === hs(2))
     assert(hs(0) !== hs(1))
   }
+  test("text_ngram_topk: contiguous ranks 1..k per lang, counts non-increasing") {
+    val rows = TextAnalysis.textNgramTopk(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("rnk"), r.getAs[Long]("n")))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+  }
+
 }
