@@ -126,7 +126,13 @@ object Dedup {
     * NOTE: candidate generation uses rare shingles only; the intersection
     * is computed over rare shingles too, so jaccard here is defined over
     * the rare-shingle space on BOTH sides (identical in the oracle). */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unordered jaccard pairs — shared by dedup_ngram_jaccard (adds the
+    * presentation sort) and dedup_clusters (feeds the component loop,
+    * where a sort would be wasted work). */
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val rsh = docShingles(spark, dir)
     val sizes = rsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = rsh.select(col("doc_id").as("doc_a"), col("s"))
@@ -140,7 +146,6 @@ object Dedup {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= 0.35d)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val dedupNgramJaccardSql: String =
@@ -294,15 +299,20 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check: labels only ever decrease, so the label total
+    // strictly decreases iff any label changed — one tiny aggregate per
+    // round instead of a join against the previous round.
+    var prevSum = labels.agg(sum(col("cluster_id"))).first().getLong(0)
+    var converged = false
+    while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster_id"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      changed = prop.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("prev")).count()
+      val newSum = prop.agg(sum(col("cluster_id"))).first().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = prop
     }
     edges.unpersist()
@@ -320,7 +330,7 @@ object Dedup {
     val b = fps.select(col("fp"), col("doc_id").as("doc_b"))
     val exactPairs = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-    val nearPairs = dedupNgramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val nearPairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     exactPairs.unionByName(nearPairs).distinct()
   }
 

@@ -211,4 +211,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
       .orderBy(col("query_id"), col("knn_rank"))
   }
+  /** mm_doc_embed — cross-modal join: the text table and the embedding
+    * table joined on their shared id (doc_id = vec_id — the "every doc
+    * has an embedding row" layout of a multimodal corpus), rolled up per
+    * (source, label): doc counts, token volume, and the exact quantized
+    * norm total. At scale this is the canonical fact-fact equi-join —
+    * both sides bucketed/co-partitioned on the id so the join is
+    * shuffle-free; here AQE picks a broadcast. */
+  def mmDocEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.words(col("text"))).as("n_words"))
+    val e = vecs(spark, dir).select(col("vec_id"), col("label"), col("nrm"))
+    d.join(e, d("doc_id") === e("vec_id"))
+      .groupBy(col("source"), col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_words")).as("total_words"),
+           sum(col("nrm")).as("sum_nrm"))
+      .orderBy(col("source"), col("label"))
+  }
+
+  val mmDocEmbedSql: String =
+    s"""WITH e AS ($vecsSql),
+      |d AS (SELECT doc_id, source, len(${graft.functions.TextFunctions.wordsSql("text")}) AS n_words FROM documents)
+      |SELECT d.source, e.label, COUNT(*) AS n_docs,
+      |  SUM(d.n_words) AS total_words, SUM(e.nrm) AS sum_nrm
+      |FROM d JOIN e ON d.doc_id = e.vec_id
+      |GROUP BY 1, 2
+      |ORDER BY source, label""".stripMargin
+
 }

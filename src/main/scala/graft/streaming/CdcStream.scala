@@ -133,4 +133,36 @@ object CdcStream {
   def streamSessionize(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir, s"stream_sessionize_sink", OutputMode.Complete, sessionCounts)
       .orderBy(col("user_id"), col("session_start"))
+
+  /** Exactly-once repair under streaming: at-least-once delivery (every
+    * 97th offset delivered twice — the same planted pattern as the batch
+    * cdc_dedup_events) repaired with `dropDuplicatesWithinWatermark`:
+    * per-offset dedup state is evicted as the watermark advances, so
+    * state is bounded by the watermark horizon, not by stream history. */
+  def dedupDeliveries(changeEvents: DataFrame): DataFrame = {
+    val delivered = changeEvents
+      .unionByName(changeEvents.filter(col("event_id") % 97 === 0))
+    delivered
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
+  /** stream_dedup — oracle-checked (the one streaming op with a SQL
+    * oracle): after exactly-once repair the delivered stream collapses
+    * back to the original log, so per-op counts must equal the plain
+    * events table's. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_dedup_sink", OutputMode.Append,
+      dedupDeliveries)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_keys"))
+      .orderBy(col("op"))
+
+  val streamDedupSql: String =
+    """SELECT CASE WHEN event_type = 'signup' THEN 'I'
+      |            WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_keys
+      |FROM events GROUP BY 1 ORDER BY op""".stripMargin
 }

@@ -57,6 +57,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("cdc_snapshot_merge: both apply stages partially aggregate (no row_number window)") {
+    val p = plan(graft.cdc.CdcOps.snapshotMerge(spark, sf))
+    // last-writer-wins is max_by aggregation — partial+final per stage —
+    // never a sort-window (which cannot combine map-side)
+    assert(p.contains("SortAggregate") || p.contains("HashAggregate"))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"))
+  }
+
+  test("mm_doc_embed: id join broadcasts one side at test scale") {
+    val p = plan(graft.operators.Similarity.mmDocEmbed(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("saltedJoin: equals the plain join, salt column not leaked") {
     import spark.implicits._
     // hot key 1 dominates

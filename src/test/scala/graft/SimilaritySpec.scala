@@ -40,4 +40,11 @@ class SimilaritySpec extends SparkSpec {
     val hits = brute.count { case (q, n1) => lsh.get(q).exists(_.contains(n1)) }
     assert(hits * 10 >= brute.size * 3, s"recall@1 $hits/${brute.size}")
   }
+  test("mm_doc_embed: join is complete (every doc has its embedding row)") {
+    val res = Similarity.mmDocEmbed(spark, sf)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(res.agg(sum(col("n_docs"))).first().getLong(0) === nDocs)
+    assert(res.filter(col("sum_nrm") <= 0).count() === 0)
+  }
+
 }

@@ -52,6 +52,40 @@ class StreamingSpec extends SparkSpec {
     assert(sTotal === bTotal)
   }
 
+  test("dropDuplicatesWithinWatermark: duplicate offsets dropped across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ChangeEvent]
+    // bypass dedupDeliveries' planted-dup union — feed explicit duplicates
+    val deduped = input.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append).start()
+    // ts well past epoch 0 — a row at the initial watermark (0) would be
+    // treated as late and dropped outright
+    val h = 3600L * 1000000L
+    input.addData(ChangeEvent(1, 1, "I", 1.0, 10 * h), ChangeEvent(2, 2, "I", 2.0, 10 * h + 1))
+    q.processAllAvailable()
+    // second delivery of offset 1 in a later micro-batch, within watermark
+    input.addData(ChangeEvent(1, 1, "I", 1.0, 10 * h), ChangeEvent(3, 3, "I", 3.0, 10 * h + 2))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("stream_dedup replay: per-op counts equal the unduplicated log") {
+    val res = CdcStream.streamDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.core.Tables.events(spark, sf)
+      .withColumn("op", CdcOps.opCode(col("event_type")))
+      .groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res === batch)
+  }
+
   test("stream_window_agg replay: per-op totals match batch counts") {
     val streamed = CdcStream.streamWindowAgg(spark, sf)
     // each event lands in exactly 2 sliding windows (1 day / 12 h hop)
