@@ -177,7 +177,9 @@ object CdcOps {
     * from the change log: every change becomes a version row with
     * [valid_from_id, valid_to_id) offset validity (null valid_to = current
     * version). The standard history-table sink pattern for a Debezium
-    * stream (keep every state, not just the latest).
+    * stream (keep every state, not just the latest — the reference keeps
+    * delete records for this purpose: tombstones.on.delete +
+    * delete.handling.mode=rewrite, debezium-connector-config.json:17,25).
     *
     * Scale: one shuffle + per-key sort — inherent, since every version row
     * is emitted (unlike latest-state there is no partial-aggregation
@@ -208,7 +210,9 @@ object CdcOps {
 
   /** cdc_snapshot_merge — Debezium initial-snapshot + streaming-tail
     * semantics: state is materialized as of a watermark offset (the
-    * consistent snapshot), then the change-log tail past the watermark is
+    * consistent snapshot; the reference's connector tails a persistent
+    * replication slot from a known LSN — debezium-connector-config.json:16,
+    * architecture.md:62-70), then the change-log tail past the watermark is
     * merged on top. Because snapshot offsets are all ≤ watermark < tail
     * offsets, the merge is just the same last-writer-wins apply over the
     * union — snapshot rows re-enter as upserts at their original offset.

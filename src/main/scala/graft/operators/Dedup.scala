@@ -348,8 +348,10 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $docShinglesSql,
+  /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` — the
+    * recursive-CTE transitive closure of the duplicate edge set. */
+  private val clusterLabCtes: String =
+    s"""$docShinglesSql,
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -377,9 +379,34 @@ object Dedup {
       |  UNION
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
       |),
-      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+      |lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterLabCtes,
       |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
       |SELECT doc_id, cluster_id, cluster_size
       |FROM lab JOIN csz USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** dedup_canonical — the dedup end-product: the full corpus manifest
+    * with each doc's cluster id and a keep flag (the component's min
+    * doc_id survives; unclustered docs are their own cluster and are
+    * kept). Downstream training reads `WHERE is_kept`. One left join of
+    * the corpus against the (small) cluster labels. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponentsOf(dupPairs(spark, dir))
+    corpus(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_kept", col("cluster_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH RECURSIVE $clusterLabCtes
+      |SELECT c.doc_id,
+      |  COALESCE(lab.cluster_id, c.doc_id) AS cluster_id,
+      |  COALESCE(lab.cluster_id, c.doc_id) = c.doc_id AS is_kept
+      |FROM corpus c LEFT JOIN lab ON c.doc_id = lab.doc_id
+      |ORDER BY c.doc_id""".stripMargin
 }

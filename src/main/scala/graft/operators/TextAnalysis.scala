@@ -138,6 +138,43 @@ object TextAnalysis {
       |  substr(md5(${normTextSql("text")}), 1, 8) AS fp_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** text_clean — normalization/scrubbing pass of a pretraining pipeline:
+    * strip URLs and e-mail addresses, lowercase, collapse whitespace.
+    * Emits per-doc before/after lengths and the cleaned-text fingerprint
+    * (the exact-dedup key of the CLEANED corpus — scrub-then-dedup is the
+    * standard order, since boilerplate URLs differ across mirror copies).
+    * Pure per-row string expressions: embarrassingly parallel, no
+    * shuffle except the presentation sort. */
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("clean",
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("text")), "https?://\\S+", " "),
+            "\\S+@\\S+", " "),
+          "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("text")).as("raw_len"),
+        length(col("clean")).as("clean_len"),
+        md5(col("clean").cast("binary")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+
+  val textCleanSql: String =
+    """SELECT doc_id,
+      |  length(text) AS raw_len,
+      |  length(trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(lower(text), 'https?://\S+', ' ', 'g'),
+      |      '\S+@\S+', ' ', 'g'),
+      |    '\s+', ' ', 'g'))) AS clean_len,
+      |  md5(trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(lower(text), 'https?://\S+', ' ', 'g'),
+      |      '\S+@\S+', ' ', 'g'),
+      |    '\s+', ' ', 'g'))) AS clean_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** text_ngram_topk — corpus n-gram statistics: top-k bigrams per
     * language (count all occurrences, deterministic tie-break on the
     * bigram itself). The corpus-frequency step of stopword/boilerplate

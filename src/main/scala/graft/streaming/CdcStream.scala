@@ -134,8 +134,9 @@ object CdcStream {
     replay(spark, dir, s"stream_sessionize_sink", OutputMode.Complete, sessionCounts)
       .orderBy(col("user_id"), col("session_start"))
 
-  /** Exactly-once repair under streaming: at-least-once delivery (every
-    * 97th offset delivered twice — the same planted pattern as the batch
+  /** Exactly-once repair under streaming: at-least-once delivery (the
+    * reference streams changes through Kafka, architecture.md:66 — every
+    * 97th offset delivered twice as the same planted pattern as the batch
     * cdc_dedup_events) repaired with `dropDuplicatesWithinWatermark`:
     * per-offset dedup state is evicted as the watermark advances, so
     * state is bounded by the watermark horizon, not by stream history. */

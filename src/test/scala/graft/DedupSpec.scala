@@ -80,4 +80,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_canonical: one kept doc per cluster, all corpus docs present") {
+    val man = Dedup.dedupCanonical(spark, sf)
+    assert(man.count() === Dedup.corpus(spark, sf).count())
+    // exactly one kept doc per cluster
+    val bad = man.groupBy("cluster_id")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("kept"))
+      .filter(col("kept") =!= 1)
+    assert(bad.count() === 0)
+    // every planted exact copy is dropped (its base doc_id is always
+    // smaller; the base itself may lose to an even smaller natural
+    // near-dup — doc 391 ≈ doc 260 in the synthetic corpus)
+    val bases = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 17 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    val kept = man.filter(col("is_kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    bases.foreach { d => assert(!kept.contains(d + 1000000L)) }
+  }
+
 }

@@ -46,4 +46,10 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("text_clean: cleaning never grows text, fingerprint is of cleaned form") {
+    val res = TextAnalysis.textClean(spark, sf)
+    assert(res.filter(col("clean_len") > col("raw_len")).count() === 0)
+    assert(res.filter(length(col("clean_fp")) =!= 32).count() === 0)
+  }
+
 }
