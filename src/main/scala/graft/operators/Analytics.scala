@@ -501,6 +501,67 @@ object Analytics {
       |GROUP BY 1, 2, 3
       |ORDER BY batch_id""".stripMargin
 
+  /** q20_range_frame — time-RANGE window frame (not ROWS): trailing
+    * 7-day revenue per order priority over the daily totals. The frame is
+    * anchored on the day VALUE, so gaps in the calendar shrink the frame —
+    * semantics a rows-frame can't express. Windowed over the already
+    * day-aggregated table (tiny), so the sort cost is bounded by distinct
+    * days, not row count; the cents totals stay exact longs until the
+    * final divide. */
+  def q20RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("pri"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      .withColumn("dnum", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("pri")).orderBy(col("dnum")).rangeBetween(-6, 0)
+    daily.select(col("pri"), col("day"),
+        (col("cents") / lit(100d)).as("day_total"),
+        (sum(col("cents")).over(w) / lit(100d)).as("trail7_total"))
+      .orderBy(col("pri"), col("day"))
+  }
+
+  val q20RangeFrameSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+      |    SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS cents
+      |  FROM orders GROUP BY 1, 2, 3
+      |)
+      |SELECT pri, day, cents / 100.0 AS day_total,
+      |  SUM(cents) OVER (PARTITION BY pri ORDER BY dnum
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS trail7_total
+      |FROM daily ORDER BY pri, day""".stripMargin
+
+  /** q21_grouping_sets — explicit GROUPING SETS (disjoint dimensions +
+    * grand total — not a rollup hierarchy), with grouping() flags naming
+    * each set. Planned as a single Expand+Aggregate: one scan, one
+    * shuffle, regardless of set count. */
+  def q21GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"),
+        grouping(col("o_orderpriority")).as("g_pri"),
+        grouping(col("o_orderstatus")).as("g_status"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        col("g_pri"), col("g_status"), col("n_orders"), col("total_price"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  val q21GroupingSetsSql: String =
+    """SELECT
+      |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_pri,
+      |  CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

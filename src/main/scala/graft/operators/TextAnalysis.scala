@@ -175,6 +175,34 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** sample_stratified — deterministic stratified corpus sampling: k docs
+    * per source stratum, ordered by the md5 of the doc id (a seeded,
+    * engine-portable stand-in for a random draw — `rand()` would break
+    * the oracle). The per-stratum rank is a window over the stratum
+    * partition: one shuffle on source, top-k retained. This is the
+    * corpus-subsampling step of a training-mix pipeline (fixed quota per
+    * source, reproducible across runs and engines). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, source, lang, rk FROM (
+      |  SELECT doc_id, source, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20
+      |ORDER BY source, rk""".stripMargin
+
   /** text_ngram_topk — corpus n-gram statistics: top-k bigrams per
     * language (count all occurrences, deterministic tie-break on the
     * bigram itself). The corpus-frequency step of stopword/boilerplate

@@ -88,4 +88,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.agg(sum(col("n_events"))).first().getLong(0) === ev.count())
   }
 
+  test("q20_range_frame: trailing-7-day totals never below the day total") {
+    val res = Analytics.q20RangeFrame(spark, sf)
+    assert(res.filter(col("trail7_total") < col("day_total") - 1e-9).count() === 0)
+  }
+
+  test("q21_grouping_sets: grand total row present, set flags consistent") {
+    val res = Analytics.q21GroupingSets(spark, sf).collect()
+    val grand = res.filter(r => r.getAs[Byte]("g_pri") == 1 && r.getAs[Byte]("g_status") == 1)
+    assert(grand.length === 1)
+    val total = graft.core.Tables.orders(spark, sf).count()
+    assert(grand(0).getAs[Long]("n_orders") === total)
+    // each non-grand row aggregates exactly one dimension
+    res.filter(r => !(r.getAs[Byte]("g_pri") == 1 && r.getAs[Byte]("g_status") == 1))
+      .foreach(r => assert(r.getAs[Byte]("g_pri") + r.getAs[Byte]("g_status") === 1))
+  }
+
 }

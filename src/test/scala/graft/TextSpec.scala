@@ -52,4 +52,13 @@ class TextSpec extends SparkSpec {
     assert(res.filter(length(col("clean_fp")) =!= 32).count() === 0)
   }
 
+  test("sample_stratified: exact quota per source, deterministic across runs") {
+    val a = TextAnalysis.sampleStratified(spark, sf).collect().map(_.toSeq)
+    val b = TextAnalysis.sampleStratified(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    val perSource = TextAnalysis.sampleStratified(spark, sf)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    perSource.foreach { case (_, n) => assert(n <= 20) }
+  }
+
 }
