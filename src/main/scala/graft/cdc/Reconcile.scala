@@ -294,4 +294,38 @@ object Reconcile {
       |SELECT *, CASE health_status WHEN 'STUCK' THEN 1 WHEN 'SLOW' THEN 2
       |          WHEN 'REPLICATING' THEN 3 ELSE 4 END AS health_rank
       |FROM h ORDER BY health_rank, table_name""".stripMargin
+  /** recon_table_digest — whole-table checksum compare: each side reduced
+    * to ONE (count, digest) row (the degenerate single-bucket case of
+    * recon_hash_bucket). The cheapest possible "are the tables identical"
+    * probe — two scans with map-side combine, a 1-row exchange, no join of
+    * row data. The ladder is: count → table digest → bucket digests →
+    * row-level drill-down, each step touching less data than the next. */
+  def reconTableDigest(spark: SparkSession, dir: String): DataFrame = {
+    def digest(df: DataFrame, cnt: String, dig: String): DataFrame =
+      df.withColumn("rd", rowDigest(col("o_orderkey"), col("o_totalprice")))
+        .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dig))
+    val s = digest(Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice")), "src_count", "src_digest")
+    val t = digest(driftedTarget(spark, dir), "tgt_count", "tgt_digest")
+    s.crossJoin(t)
+      .withColumn("tables_match",
+        col("src_count") === col("tgt_count") && col("src_digest") === col("tgt_digest"))
+      .select(lit("orders").as("table_name"), col("src_count"), col("tgt_count"),
+        col("src_digest"), col("tgt_digest"), col("tables_match"))
+  }
+
+  val reconTableDigestSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |srcd AS (
+      |  SELECT COUNT(*) AS src_count,
+      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS src_digest
+      |  FROM orders),
+      |tgtd AS (
+      |  SELECT COUNT(*) AS tgt_count,
+      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS tgt_digest
+      |  FROM tgt)
+      |SELECT 'orders' AS table_name, src_count, tgt_count, src_digest, tgt_digest,
+      |  src_count = tgt_count AND src_digest = tgt_digest AS tables_match
+      |FROM srcd CROSS JOIN tgtd""".stripMargin
+
 }

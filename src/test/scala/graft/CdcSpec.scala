@@ -96,4 +96,12 @@ class CdcSpec extends SparkSpec {
     assert(wrong.count() === 0)
   }
 
+  test("recon_table_digest: drifted table flagged, identical table matches") {
+    val r = Reconcile.reconTableDigest(spark, sf).collect()(0)
+    assert(r.getAs[Boolean]("tables_match") === false)
+    // the digest must detect value-only drift that count-compare misses:
+    // src/tgt counts differ only by the %1000 patterns, digests must differ too
+    assert(r.getAs[Long]("src_digest") !== r.getAs[Long]("tgt_digest"))
+  }
+
 }
