@@ -292,16 +292,26 @@ object Dedup {
     * the round count logarithmic on pathological chains. */
   def connectedComponentsOf(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("doc_a"), col("doc_b"))
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val raw = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
+    // The iterative frontier is the duplicate-pair node set — orders of
+    // magnitude smaller than the corpus. Size the loop's shuffles to the
+    // frontier (≈500k edges/partition), not to the corpus-wide default:
+    // at test scale that is a handful of partitions (per-task overhead
+    // would otherwise dominate every round), at 100 TB it grows with the
+    // actual edge count.
+    val nPart = math.max(2, (raw.count() / 500000L).toInt)
+    val edges = raw.repartition(nPart, col("dst")).persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     // Convergence check: labels only ever decrease, so the label total
     // strictly decreases iff any label changed — one tiny aggregate per
-    // round instead of a join against the previous round.
+    // round instead of a join against the previous round. The lazy
+    // localCheckpoint is materialized by that same aggregate action, so
+    // each round is a single job.
     var prevSum = labels.agg(sum(col("cluster_id"))).first().getLong(0)
     var converged = false
     while (!converged) {
@@ -309,12 +319,13 @@ object Dedup {
         .select(col("src").as("doc_id"), col("cluster_id"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val newSum = prop.agg(sum(col("cluster_id"))).first().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels = prop
     }
+    raw.unpersist()
     edges.unpersist()
     labels
   }
