@@ -22,7 +22,10 @@ object Bench {
       dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(once(fn), once(fn))
+      // best of the successful attempts; -1 only if BOTH attempts failed
+      // (min(-1, good) would otherwise mask a transient first failure)
+      val ts = Seq(once(fn), once(fn)).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
