@@ -28,4 +28,21 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+
+  /** Write a catalog table bucketed + sorted on the join key — the
+    * co-located-join layout: two tables bucketed the same way join with
+    * NO exchange on either side (the shuffle was paid once at write
+    * time and is amortized over every subsequent join/aggregation on
+    * that key). This is the layout both reconciliation sides should be
+    * stored in at 100 TB: recon_row_diff's full-outer join and
+    * recon_hash_bucket's drill-down become scan-speed, shuffle-free.
+    * PlanSpec asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
 }

@@ -70,6 +70,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("writeBucketed: co-bucketed tables join with no exchange on either side") {
+    import graft.sources.Sinks
+    val o = graft.core.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    Sinks.writeBucketed(o, "t_bk_src", "o_orderkey", 8)
+    Sinks.writeBucketed(o.withColumn("o_totalprice", col("o_totalprice") * 2), "t_bk_tgt", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = spark.table("t_bk_src")
+        .join(spark.table("t_bk_tgt"), "o_orderkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"unexpected exchange in:\n$p")
+      assert(j.count() === o.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_bk_src")
+      spark.sql("DROP TABLE IF EXISTS t_bk_tgt")
+    }
+  }
+
   test("saltedJoin: equals the plain join, salt column not leaked") {
     import spark.implicits._
     // hot key 1 dominates
