@@ -166,4 +166,53 @@ object CdcStream {
       |            WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_keys
       |FROM events GROUP BY 1 ORDER BY op""".stripMargin
+
+  /** End-to-end streaming pipeline: stateful apply → foreachBatch →
+    * idempotent bucket-partitioned lake snapshot (Sinks.writeSnapshot).
+    * Each micro-batch upserts only the keys it changed: the batch's
+    * updates are merged over the current snapshot per bucket, and dynamic
+    * partition overwrite rewrites only the touched buckets — a retried
+    * micro-batch rewrites the same buckets to the same bytes
+    * (idempotent exactly-once sink semantics on top of at-least-once
+    * foreachBatch, the reference's jdbc upsert sink re-expressed on the
+    * lake). Returns the final snapshot read back from the lake.
+    * StreamingSpec asserts it equals the batch latest-state. */
+  def streamApplyToLake(spark: SparkSession, dir: String, path: String,
+                        buckets: Int = 16): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft-lake-stream")
+    java.nio.file.Files.createSymbolicLink(
+      stage.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    val q = applyLatest(spark, toChangeEvents(stream)).writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val updates = batch.toDF().persist()
+        // buckets touched by this micro-batch: bounded by `buckets`, so the
+        // driver-side collect is O(buckets), never O(keys)
+        val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
+        val touched = updates.select(bucketOf.as("b")).distinct()
+          .collect().map(_.getLong(0))
+        val current =
+          try spark.read.parquet(path) // partition-pruned to touched buckets
+            .filter(col("_bucket").isin(touched: _*)).drop("_bucket")
+          catch { case _: Throwable => spark.emptyDataFrame }
+        val merged =
+          if (current.columns.isEmpty) updates
+          else current.unionByName(updates)
+            .groupBy(col("user_id"))
+            .agg(max_by(struct(col("last_event_id"), col("last_op"), col("last_value")),
+              col("last_event_id")).as("s"))
+            .select(col("user_id"), col("s.last_event_id"), col("s.last_op"),
+              col("s.last_value"))
+        graft.sources.Sinks.writeSnapshot(
+          merged.filter(col("last_op") =!= "D"), "user_id", path, buckets)
+        updates.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(path).drop("_bucket")
+  }
 }

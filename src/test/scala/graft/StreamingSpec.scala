@@ -97,4 +97,18 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     batch.foreach { case (op, n) => assert(totals(op) === 2 * n, s"op $op") }
   }
+  test("streamApplyToLake: lake snapshot equals batch apply after full replay") {
+    val out = java.nio.file.Files.createTempDirectory("graft-lake").toString + "/snap"
+    val lake = CdcStream.streamApplyToLake(spark, sf, out)
+      .select(col("user_id"), col("last_event_id"))
+    val batch = CdcOps.applyUpsertDelete(spark, sf)
+      .select(col("user_id"), col("last_event_id"))
+    assert(lake.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(lake).count() === 0)
+    // idempotent retry: re-running against the existing snapshot is a no-op
+    val again = CdcStream.streamApplyToLake(spark, sf, out)
+      .select(col("user_id"), col("last_event_id"))
+    assert(again.exceptAll(batch).count() === 0 && batch.exceptAll(again).count() === 0)
+  }
+
 }
