@@ -306,23 +306,31 @@ object Dedup {
     val edges = raw.repartition(nPart, col("dst")).persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .persist()
     // Convergence check: labels only ever decrease, so the label total
     // strictly decreases iff any label changed — one tiny aggregate per
-    // round instead of a join against the previous round. The lazy
-    // localCheckpoint is materialized by that same aggregate action, so
-    // each round is a single job.
-    var prevSum = labels.agg(sum(col("cluster_id"))).first().getLong(0)
+    // round instead of a join against the previous round. That aggregate
+    // also materializes the round's persist, so each round is one job;
+    // the previous round's cache is released once the new one is live
+    // (no block leak across rounds — at deploy scale swap persist for a
+    // reliable checkpoint to also truncate lineage).
+    val sum0 = labels.agg(sum(col("cluster_id"))).first()
+    if (sum0.isNullAt(0)) { // no pairs at all: empty label set, nothing to iterate
+      raw.unpersist(); edges.unpersist()
+      return labels
+    }
+    var prevSum = sum0.getLong(0)
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
         .select(col("src").as("doc_id"), col("cluster_id"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(eager = false)
+        .persist()
       val newSum = prop.agg(sum(col("cluster_id"))).first().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
+      labels.unpersist()
       labels = prop
     }
     raw.unpersist()

@@ -194,10 +194,16 @@ object CdcStream {
         val bucketOf = pmod(xxhash64(col("user_id")), lit(buckets.toLong))
         val touched = updates.select(bucketOf.as("b")).distinct()
           .collect().map(_.getLong(0))
+        // Existence is checked explicitly: a transient READ failure must
+        // fail the batch (streaming retries it), never be mistaken for
+        // "no snapshot yet" — that would overwrite touched buckets with
+        // only this batch's keys and silently drop the rest.
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current =
-          try spark.read.parquet(path) // partition-pruned to touched buckets
+          if (!fs.exists(hPath)) spark.emptyDataFrame
+          else spark.read.parquet(path) // partition-pruned to touched buckets
             .filter(col("_bucket").isin(touched: _*)).drop("_bucket")
-          catch { case _: Throwable => spark.emptyDataFrame }
         val merged =
           if (current.columns.isEmpty) updates
           else current.unionByName(updates)

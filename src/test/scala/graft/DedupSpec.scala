@@ -99,4 +99,10 @@ class DedupSpec extends SparkSpec {
     bases.foreach { d => assert(!kept.contains(d + 1000000L)) }
   }
 
+  test("connectedComponentsOf: empty pair set yields empty labels (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsOf(empty).count() === 0)
+  }
+
 }
