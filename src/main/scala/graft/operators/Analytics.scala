@@ -562,6 +562,38 @@ object Analytics {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  /** q22_star_join — star-schema rollup over the remaining dimensions:
+    * lineitem fact against part (type) and supplier→nation, discounted
+    * revenue per (part type, supplier nation). All three dims broadcast —
+    * the fact side streams through three BroadcastHashJoins inside one
+    * whole-stage-codegen pipeline with zero fact-side shuffle before the
+    * final aggregation; at 100 TB the dims are still MB-sized. */
+  def q22StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_type"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("revenue"))
+      .orderBy(col("p_type"), col("n_name"))
+  }
+
+  val q22StarJoinSql: String =
+    """SELECT p.p_type, n.n_name, COUNT(*) AS n_items,
+      |  SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY p_type, n_name""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -102,4 +102,10 @@ class PlanSpec extends SparkSpec {
     assert(salted.count() === plain.count())
     assert(salted.except(plain).count() === 0 && plain.except(salted).count() === 0)
   }
+  test("q22: all three dimension joins broadcast, fact side never shuffles pre-agg") {
+    val p = plan(Analytics.q22StarJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
 }
