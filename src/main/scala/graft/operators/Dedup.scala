@@ -304,16 +304,19 @@ object Dedup {
     // actual edge count.
     val nPart = math.max(2, (raw.count() / 500000L).toInt)
     val edges = raw.repartition(nPart, col("dst")).persist()
+    // Lineage MUST be truncated every round: the propagation plan
+    // references `labels` twice (join side + union side), so without a
+    // checkpoint the plan doubles per round — exponential analysis cost.
+    // localCheckpoint(eager = false) is materialized by the convergence
+    // aggregate below (one job per round), and the previous round's
+    // checkpoint blocks are released explicitly (RddUtils) instead of
+    // waiting for the ContextCleaner.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-      .persist()
+      .localCheckpoint(eager = false)
     // Convergence check: labels only ever decrease, so the label total
     // strictly decreases iff any label changed — one tiny aggregate per
-    // round instead of a join against the previous round. That aggregate
-    // also materializes the round's persist, so each round is one job;
-    // the previous round's cache is released once the new one is live
-    // (no block leak across rounds — at deploy scale swap persist for a
-    // reliable checkpoint to also truncate lineage).
+    // round instead of a join against the previous round.
     val sum0 = labels.agg(sum(col("cluster_id"))).first()
     if (sum0.isNullAt(0)) { // no pairs at all: empty label set, nothing to iterate
       raw.unpersist(); edges.unpersist()
@@ -326,11 +329,11 @@ object Dedup {
         .select(col("src").as("doc_id"), col("cluster_id"))
         .unionByName(labels)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint(eager = false)
       val newSum = prop.agg(sum(col("cluster_id"))).first().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
-      labels.unpersist()
+      org.apache.spark.sql.graftvec.RddUtils.releaseCheckpoint(labels)
       labels = prop
     }
     raw.unpersist()
