@@ -184,15 +184,25 @@ object CdcOps {
     * Scale: one shuffle + per-key sort — inherent, since every version row
     * is emitted (unlike latest-state there is no partial-aggregation
     * shortcut); the window sort is the canonical plan at any scale. */
+  /** Generic SCD Type-2 materialization over any change log: adds
+    * `version`, `valid_from_id`, `valid_to_id` (null = current) and
+    * `is_current` per key, ordered by the monotonic offset. */
+  def scd2Of(log: DataFrame, keyCol: String, offsetCol: String,
+             payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(offsetCol))
+    log.select((keyCol +: offsetCol +: payloadCols).map(col): _*)
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from_id", col(offsetCol))
+      .withColumn("valid_to_id", lead(col(offsetCol), 1).over(w))
+      .withColumn("is_current", col("valid_to_id").isNull)
+  }
+
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .withColumn("op", opCode(col("event_type")))
-      .withColumn("version", row_number().over(w))
-      .withColumn("valid_to_id", lead(col("event_id"), 1).over(w))
-      .withColumn("is_current", col("valid_to_id").isNull)
-      .select(col("user_id"), col("version"), col("event_id").as("valid_from_id"),
+    scd2Of(ev, "user_id", "event_id", Seq("op", "value"))
+      .select(col("user_id"), col("version"), col("valid_from_id"),
               col("valid_to_id"), col("op"), col("value"), col("is_current"))
       .orderBy(col("user_id"), col("version"))
   }

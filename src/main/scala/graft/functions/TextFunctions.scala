@@ -25,19 +25,17 @@ object TextFunctions {
   def markerHits(c: Column, markers: Seq[String]): Column =
     size(filter(words(c), w => w.isin(markers: _*)))
 
-  /** Word 3-gram shingles (distinct) from an ALREADY-MATERIALIZED words
+  /** Word 3-gram shingles (distinct, first-occurrence order) from a words
     * array column; empty array for texts shorter than 3 words.
     *
-    * `ws` must be a plain column reference, not an inline `words(text)`
-    * expression: higher-order-function lambdas are evaluated interpreted
-    * with no common-subexpression elimination, so an inline expression
-    * would re-run split+regexp for every element access (measured 10×
-    * slowdown on the dedup path). */
+    * Backed by the native codegen'd `Shingles3` expression (graftvec):
+    * the equivalent higher-order-function form
+    * (`array_distinct(transform(sequence(...), i -> concat_ws(...)))`)
+    * evaluates interpreted — one lambda dispatch per element with no
+    * common-subexpression elimination — while this is one tight kernel
+    * call per row inside whole-stage codegen. */
   def shingles3FromWords(ws: Column): Column =
-    when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(0), size(ws) - 3), i =>
-        concat_ws("_", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graftvec.StringExpressions.shingles3(ws)
 
   /** Word 3-gram shingles of normalized text. Prefer materializing
     * `words(c)` with withColumn and calling shingles3FromWords. */

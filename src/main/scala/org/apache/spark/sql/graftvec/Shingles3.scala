@@ -1,0 +1,87 @@
+package org.apache.spark.sql.graftvec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-3-gram shingles as a native expression:
+  *
+  *   shingles3(ws) = array_distinct([ wsᵢ ++ "_" ++ wsᵢ₊₁ ++ "_" ++ wsᵢ₊₂ ])
+  *
+  * Exactly equivalent to the declarative form used by the dedup family
+  * (`array_distinct(transform(sequence(0, n-3), i -> concat_ws("_", ...)))`
+  * in TextFunctions.shingles3FromWords, and the DuckDB oracle's
+  * list_transform/DISTINCT) — but the higher-order-function formulation
+  * evaluates interpreted, one lambda dispatch per element with the words
+  * array re-read each time. This expression runs one tight helper call
+  * per row inside whole-stage codegen — the hot first stage of
+  * dedup_ngram_jaccard / dedup_minhash / dedup_clusters / dedup_canonical.
+  *
+  * Null or shorter-than-3 input yields an EMPTY array (matching the
+  * `when(size(ws) >= 3, ...).otherwise(array())` contract), so the
+  * expression is non-nullable.
+  */
+case class Shingles3(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingles3"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleOps.empty else ShingleOps.compute(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ops = "org.apache.spark.sql.graftvec.ShingleOps$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $ops.empty() : $ops.compute(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Row-level shingle kernel (called from generated code). */
+object ShingleOps {
+  private val Sep = UTF8String.fromString("_")
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def empty(): ArrayData = Empty
+
+  /** Distinct 3-gram shingles in first-occurrence order (array_distinct
+    * semantics); null words are skipped inside a shingle exactly as
+    * concat_ws skips null arguments. */
+  def compute(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    if (n < 3) return Empty
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(4, n))
+    var i = 0
+    while (i <= n - 3) {
+      seen.add(UTF8String.concatWs(Sep,
+        ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
+/** Column-API surface for the graft text expressions. */
+object StringExpressions {
+  def shingles3(ws: Column): Column =
+    ExpressionUtils.column(Shingles3(ExpressionUtils.expression(ws)))
+}

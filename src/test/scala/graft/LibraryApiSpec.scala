@@ -70,4 +70,18 @@ class LibraryApiSpec extends SparkSpec {
     assert(sh.contains((1L, 2L)))
     assert(!sh.exists(p => p._1 == 4L || p._2 == 4L))
   }
+  test("scd2Of: versions ordered by offset, contiguous validity, one current") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, "a"), (1L, 30L, "c"), (1L, 20L, "b"), (2L, 5L, "x")
+    ).toDF("k", "off", "p")
+    val h = CdcOps.scd2Of(log, "k", "off", Seq("p")).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("version")) ->
+        ((r.getAs[Long]("valid_from_id"), Option(r.getAs[Any]("valid_to_id")), r.getAs[Boolean]("is_current")))).toMap
+    assert(h((1L, 1)) === ((10L, Some(20L), false)))
+    assert(h((1L, 2)) === ((20L, Some(30L), false)))
+    assert(h((1L, 3)) === ((30L, None, true)))
+    assert(h((2L, 1)) === ((5L, None, true)))
+  }
+
 }

@@ -108,4 +108,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("shingles3 is a native expression inside whole-stage codegen") {
+    // parquet-backed input — a local relation would be constant-folded
+    // by ConvertToLocalRelation and never reach codegen
+    val df = graft.core.Tables.documents(spark, sf).limit(5)
+      .withColumn("ws", graft.functions.TextFunctions.words(col("text")))
+      .select(graft.functions.TextFunctions.shingles3FromWords(col("ws")).as("sh"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("shingles3("))
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(codegen.contains("Found 0") === false && codegen.contains("WholeStageCodegen"))
+    // semantic check on a literal input (evaluated via eval path)
+    import spark.implicits._
+    val lit = Seq("a b c d").toDF("t")
+      .select(graft.functions.TextFunctions.shingles3(col("t")).as("sh"))
+    assert(lit.collect()(0).getSeq[String](0) === Seq("a_b_c", "b_c_d"))
+  }
+
 }

@@ -61,4 +61,25 @@ class TextSpec extends SparkSpec {
     perSource.foreach { case (_, n) => assert(n <= 20) }
   }
 
+  test("shingles3 native expression equals the declarative HOF form") {
+    val docs = graft.core.Tables.documents(spark, sf).select(col("text")).limit(200)
+      .withColumn("ws", TextFunctions.words(col("text")))
+    val declarative = when(size(col("ws")) >= 3,
+      array_distinct(transform(sequence(lit(0), size(col("ws")) - 3), i =>
+        concat_ws("_", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2),
+          element_at(col("ws"), i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val diff = docs
+      .withColumn("native", TextFunctions.shingles3FromWords(col("ws")))
+      .withColumn("hof", declarative)
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() === 0)
+    // short + empty + null inputs all yield empty arrays
+    import spark.implicits._
+    val edge = Seq(Some("one two"), Some(""), None).toDF("text")
+      .withColumn("ws", TextFunctions.words(col("text")))
+      .withColumn("sh", TextFunctions.shingles3FromWords(col("ws")))
+    assert(edge.filter(size(col("sh")) =!= 0).count() === 0)
+  }
+
 }
