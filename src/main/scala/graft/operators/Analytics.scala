@@ -594,6 +594,49 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY p_type, n_name""".stripMargin
 
+  /** q23_nested_agg — nested-type aggregation: per customer the sorted
+    * array of order keys (rendered as a joined string so the oracle
+    * compare stays scalar) plus count and exact total. collect_list is
+    * order-nondeterministic under parallelism — sort_array makes the
+    * result canonical, the standard trick for deterministic array aggs. */
+  def q23NestedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("order_keys"))
+      .filter(col("n_orders") >= 8)
+      .orderBy(col("o_custkey"))
+
+  val q23NestedAggSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total_price,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING COUNT(*) >= 8
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q24_time_dims — time-dimension extraction: event activity by
+    * (day-of-week, hour-of-day), the load-profile heatmap shape.
+    * Spark's dayofweek is 1-based Sunday=1; the oracle's extract(dow) is
+    * 0-based Sunday=0 — normalized to the 0-based form on both sides. */
+  def q24TimeDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("dow"), col("hod"))
+
+  val q24TimeDimsSql: String =
+    """SELECT CAST(extract(dow FROM ts) AS INT) AS dow,
+      |  CAST(extract(hour FROM ts) AS INT) AS hod,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY dow, hod""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
