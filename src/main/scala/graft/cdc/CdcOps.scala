@@ -173,20 +173,13 @@ object CdcOps {
       |SELECT deliveries, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       |FROM per_event GROUP BY deliveries ORDER BY deliveries""".stripMargin
 
-  /** cdc_scd2 — Slowly-Changing-Dimension Type-2 history materialization
-    * from the change log: every change becomes a version row with
-    * [valid_from_id, valid_to_id) offset validity (null valid_to = current
-    * version). The standard history-table sink pattern for a Debezium
-    * stream (keep every state, not just the latest — the reference keeps
-    * delete records for this purpose: tombstones.on.delete +
-    * delete.handling.mode=rewrite, debezium-connector-config.json:17,25).
+  /** Generic SCD Type-2 materialization over any change log: adds
+    * `version`, `valid_from_id`, `valid_to_id` (null = current) and
+    * `is_current` per key, ordered by the monotonic offset.
     *
     * Scale: one shuffle + per-key sort — inherent, since every version row
     * is emitted (unlike latest-state there is no partial-aggregation
     * shortcut); the window sort is the canonical plan at any scale. */
-  /** Generic SCD Type-2 materialization over any change log: adds
-    * `version`, `valid_from_id`, `valid_to_id` (null = current) and
-    * `is_current` per key, ordered by the monotonic offset. */
   def scd2Of(log: DataFrame, keyCol: String, offsetCol: String,
              payloadCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(offsetCol))
@@ -197,6 +190,13 @@ object CdcOps {
       .withColumn("is_current", col("valid_to_id").isNull)
   }
 
+  /** cdc_scd2 — Slowly-Changing-Dimension Type-2 history materialization
+    * from the change log: every change becomes a version row with
+    * [valid_from_id, valid_to_id) offset validity (null valid_to = current
+    * version). The standard history-table sink pattern for a Debezium
+    * stream (keep every state, not just the latest — the reference keeps
+    * delete records for this purpose: tombstones.on.delete +
+    * delete.handling.mode=rewrite, debezium-connector-config.json:17,25). */
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))

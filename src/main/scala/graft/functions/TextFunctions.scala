@@ -37,8 +37,9 @@ object TextFunctions {
   def shingles3FromWords(ws: Column): Column =
     org.apache.spark.sql.graftvec.StringExpressions.shingles3(ws)
 
-  /** Word 3-gram shingles of normalized text. Prefer materializing
-    * `words(c)` with withColumn and calling shingles3FromWords. */
+  /** Word 3-gram shingles of normalized text. (With the native
+    * expression the words array is evaluated once per row either way —
+    * pre-materializing it with withColumn is no longer required.) */
   def shingles3(c: Column): Column = shingles3FromWords(words(c))
 
   /** Polynomial rolling hash over the characters of normalized text:

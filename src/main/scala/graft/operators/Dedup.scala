@@ -77,9 +77,7 @@ object Dedup {
   val ShingleFreqCap = 50
 
   /** Per-doc distinct 3-gram shingles of any (doc_id, text) relation —
-    * (doc_id, s) rows. The words array is materialized as a column first
-    * so the shingle transform doesn't re-split per element (see
-    * shingles3FromWords). */
+    * (doc_id, s) rows, via the native codegen'd Shingles3 expression. */
   def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", words(col("text")))
@@ -308,9 +306,13 @@ object Dedup {
     // references `labels` twice (join side + union side), so without a
     // checkpoint the plan doubles per round — exponential analysis cost.
     // localCheckpoint(eager = false) is materialized by the convergence
-    // aggregate below (one job per round), and the previous round's
-    // checkpoint blocks are released explicitly (RddUtils) instead of
-    // waiting for the ContextCleaner.
+    // aggregate below (one job per round); intermediate rounds' blocks
+    // are released explicitly (RddUtils) instead of waiting for the
+    // ContextCleaner (the FINAL round's blocks are returned to the
+    // caller and reclaimed by the cleaner once the result is consumed).
+    // At cluster scale prefer a RELIABLE checkpoint: localCheckpoint
+    // blocks die with their executor and the truncated lineage cannot
+    // recompute them.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(eager = false)

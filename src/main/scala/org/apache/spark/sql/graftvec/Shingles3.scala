@@ -65,15 +65,19 @@ object ShingleOps {
 
   /** Distinct 3-gram shingles in first-occurrence order (array_distinct
     * semantics); null words are skipped inside a shingle exactly as
-    * concat_ws skips null arguments. */
+    * concat_ws skips null arguments. Element reads are isNullAt-guarded:
+    * columnar-backed arrays (ColumnarArray) return UNDEFINED values for
+    * null slots if read without the guard. */
   def compute(ws: ArrayData): ArrayData = {
     val n = ws.numElements()
     if (n < 3) return Empty
     val seen = new java.util.LinkedHashSet[UTF8String](math.max(4, n))
     var i = 0
     while (i <= n - 3) {
-      seen.add(UTF8String.concatWs(Sep,
-        ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2)))
+      val a = if (ws.isNullAt(i)) null else ws.getUTF8String(i)
+      val b = if (ws.isNullAt(i + 1)) null else ws.getUTF8String(i + 1)
+      val c = if (ws.isNullAt(i + 2)) null else ws.getUTF8String(i + 2)
+      seen.add(UTF8String.concatWs(Sep, a, b, c))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

@@ -72,7 +72,7 @@ class TextSpec extends SparkSpec {
     val diff = docs
       .withColumn("native", TextFunctions.shingles3FromWords(col("ws")))
       .withColumn("hof", declarative)
-      .filter(col("native") =!= col("hof"))
+      .filter(!(col("native") <=> col("hof"))) // null-safe: a null side must FAIL
     assert(diff.count() === 0)
     // short + empty + null inputs all yield empty arrays
     import spark.implicits._
