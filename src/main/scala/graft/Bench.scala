@@ -23,9 +23,13 @@ object Bench {
       dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of the successful attempts; -1 only if BOTH attempts failed
-      // (min(-1, good) would otherwise mask a transient first failure)
-      val ts = Seq(once(fn), once(fn)).filter(_ >= 0)
+      // best of the successful attempts; -1 only if all attempts failed
+      // (min(-1, good) would otherwise mask a transient failure). A slow
+      // best-of-2 (>1 s) gets a third attempt: this VM's noise spikes can
+      // hit both attempts back-to-back, and one retry usually lands
+      // outside the spike.
+      val two = Seq(once(fn), once(fn)).filter(_ >= 0)
+      val ts = if (two.isEmpty || two.min > 1.0) two ++ Seq(once(fn)).filter(_ >= 0) else two
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
