@@ -157,11 +157,11 @@ object Reconcile {
     s"""WITH tgt AS ($driftedTargetSql),
       |srcd AS (
       |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS src_count,
-      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS src_digest
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS src_digest
       |  FROM orders GROUP BY 1),
       |tgtd AS (
       |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS tgt_count,
-      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS tgt_digest
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS tgt_digest
       |  FROM tgt GROUP BY 1)
       |SELECT COALESCE(srcd.bucket, tgtd.bucket) AS bucket,
       |  src_count, tgt_count, src_digest, tgt_digest,
@@ -318,11 +318,11 @@ object Reconcile {
     s"""WITH tgt AS ($driftedTargetSql),
       |srcd AS (
       |  SELECT COUNT(*) AS src_count,
-      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS src_digest
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS src_digest
       |  FROM orders),
       |tgtd AS (
       |  SELECT COUNT(*) AS tgt_count,
-      |    SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS tgt_digest
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS tgt_digest
       |  FROM tgt)
       |SELECT 'orders' AS table_name, src_count, tgt_count, src_digest, tgt_digest,
       |  src_count = tgt_count AND src_digest = tgt_digest AS tables_match

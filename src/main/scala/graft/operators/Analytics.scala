@@ -265,7 +265,7 @@ object Analytics {
 
   val q11JsonExtractSql: String =
     """SELECT event_type,
-      |  COUNT(k) AS n_with_k, SUM(k) AS sum_k, MAX(k) AS max_k
+      |  COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
       |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -304,8 +304,8 @@ object Analytics {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       |), sess AS (
       |  SELECT user_id, ts, event_id,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,

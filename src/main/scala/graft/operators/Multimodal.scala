@@ -8,10 +8,13 @@ import graft.core.Tables
 /** A multimodal record: opaque payload bytes + typed metadata. */
 case class MmRecord(doc_id: Long, payload: Array[Byte], width: Int, height: Int, fmt: String)
 
-/** Extracted features for one record. */
+/** Extracted features for one record. The vectors are emitted as
+  * quantized fingerprint strings (1e-9 grid, comma-joined) rather than
+  * raw arrays: bit-deterministic, and sortable by any downstream tool —
+  * the driver's pandas-based compare cannot sort ndarray cells. */
 case class MmFeatures(doc_id: Long, width: Int, height: Int, n_bytes: Int,
-                      feature: Array[Double], feature_norm: Double,
-                      resized: Array[Double], n_frames: Int)
+                      feature_fp: String, feature_norm: Double,
+                      resized_fp: String, n_frames: Int)
 
 /** Multimodal column plumbing (SURVEY.md §2.D).
   *
@@ -41,6 +44,11 @@ object Multimodal {
     * analog on the extracted representation). */
   private[graft] def resizeStub(feature: Array[Double]): Array[Double] =
     feature.grouped(2).map(g => g.sum / g.length).toArray
+
+  /** Quantized fingerprint of a feature vector: each element snapped to
+    * the 1e-9 grid as a long, comma-joined. Exact across JVMs/engines. */
+  private[graft] def fingerprint(v: Array[Double]): String =
+    v.map(x => math.floor(x * 1e9 + 0.5).toLong).mkString(",")
 
   /** Stub "frame sampling": the payload is treated as fixed-size frames
     * (a video's GOP analog); every `stride`-th frame is selected.
@@ -73,8 +81,8 @@ object Multimodal {
         it.map { r =>
           val f = decodeStub(r.payload)
           MmFeatures(r.doc_id, r.width, r.height, r.payload.length,
-            f, math.sqrt(f.map(x => x * x).sum),
-            resizeStub(f), frameSample(r.payload))
+            fingerprint(f), math.sqrt(f.map(x => x * x).sum),
+            fingerprint(resizeStub(f)), frameSample(r.payload))
         }
       }
       .toDF()

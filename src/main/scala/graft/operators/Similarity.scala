@@ -235,7 +235,7 @@ object Similarity {
     s"""WITH e AS ($vecsSql),
       |d AS (SELECT doc_id, source, len(${graft.functions.TextFunctions.wordsSql("text")}) AS n_words FROM documents)
       |SELECT d.source, e.label, COUNT(*) AS n_docs,
-      |  SUM(d.n_words) AS total_words, SUM(e.nrm) AS sum_nrm
+      |  CAST(SUM(d.n_words) AS BIGINT) AS total_words, CAST(SUM(e.nrm) AS BIGINT) AS sum_nrm
       |FROM d JOIN e ON d.doc_id = e.vec_id
       |GROUP BY 1, 2
       |ORDER BY source, label""".stripMargin

@@ -57,7 +57,7 @@ object TextAnalysis {
       |         ELSE 'und' END AS pred_lang
       |  FROM scored
       |)
-      |SELECT lang, pred_lang, COUNT(*) AS n_docs, SUM(en_hits) AS total_en_hits
+      |SELECT lang, pred_lang, COUNT(*) AS n_docs, CAST(SUM(en_hits) AS BIGINT) AS total_en_hits
       |FROM pred GROUP BY lang, pred_lang
       |ORDER BY lang, pred_lang""".stripMargin
   }
@@ -115,9 +115,9 @@ object TextAnalysis {
 
   val textTokensSql: String =
     s"""SELECT source, COUNT(*) AS n_docs,
-      |  SUM(len(${wordsSql("text")})) AS total_ws_tokens,
-      |  SUM(${regexTokenCountSql("text")}) AS total_re_tokens,
-      |  SUM(length(text)) AS total_chars
+      |  CAST(SUM(len(${wordsSql("text")})) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(${regexTokenCountSql("text")}) AS BIGINT) AS total_re_tokens,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** text_fingerprint — per-document fingerprints: md5 of normalized text

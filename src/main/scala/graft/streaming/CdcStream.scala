@@ -109,9 +109,10 @@ object CdcStream {
     spark.table(name)
   }
 
-  /** stream_cdc_apply — rows-only: final emitted latest-state per key
-    * after replaying the full log (single AvailableNow batch ⇒ one
-    * update per key, deduped defensively by max event_id). */
+  /** stream_cdc_apply — final emitted latest-state per key after
+    * replaying the full log (single AvailableNow batch ⇒ one update per
+    * key, deduped defensively by max event_id). Oracle-checked: the
+    * stateful stream's final state must equal the batch arg-max. */
   def streamCdcApply(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir, s"stream_cdc_apply_sink", OutputMode.Update,
       df => applyLatest(spark, df))
@@ -121,18 +122,65 @@ object CdcStream {
       .select(col("user_id"), col("s.last_event_id"), col("s.last_op"), col("s.last_value"))
       .orderBy(col("user_id"))
 
-  /** stream_window_agg — rows-only: watermarked sliding-window op counts
-    * after full replay (Complete mode: every window emitted). */
+  val streamCdcApplySql: String =
+    """SELECT user_id,
+      |  MAX(event_id) AS last_event_id,
+      |  arg_max(CASE WHEN event_type = 'signup' THEN 'I'
+      |               WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) AS last_op,
+      |  arg_max(value, event_id) AS last_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** stream_window_agg — watermarked sliding-window op counts after full
+    * replay (Complete mode: every window emitted). Oracle-checked: Spark
+    * aligns windows to the epoch, so each event lands in the two 12-hour
+    * slides covering it — reproduced with integer epoch-µs arithmetic. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir, s"stream_window_agg_sink", OutputMode.Complete, windowCounts)
       .orderBy(col("win_start"), col("op"))
 
-  /** stream_sessionize — rows-only: native session_window gap sessions
-    * after full replay (Complete mode — session_window aggregations
-    * don't support Update). */
+  val streamWindowAggSql: String =
+    """WITH ev AS (
+      |  SELECT CASE WHEN event_type = 'signup' THEN 'I'
+      |              WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |  FROM events
+      |), w AS (
+      |  SELECT op, make_timestamp((tus // 43200000000 - o) * 43200000000) AS win_start
+      |  FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS o) offs
+      |)
+      |SELECT win_start, win_start + INTERVAL 24 HOUR AS win_end, op,
+      |  COUNT(*) AS n_changes
+      |FROM w GROUP BY 1, 3 ORDER BY win_start, op""".stripMargin
+
+  /** stream_sessionize — native session_window gap sessions after full
+    * replay (Complete mode — session_window aggregations don't support
+    * Update). Oracle-checked: session_window merges an event into the
+    * open session iff it falls strictly inside [start, last + gap), so
+    * the batch mirror breaks on gap >= 30 min (vs q12's > 30 min) and
+    * ends sessions at last_ts + gap. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame =
     replay(spark, dir, s"stream_sessionize_sink", OutputMode.Complete, sessionCounts)
       .orderBy(col("user_id"), col("session_start"))
+
+  val streamSessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** Exactly-once repair under streaming: at-least-once delivery (the
     * reference streams changes through Kafka, architecture.md:66 — every

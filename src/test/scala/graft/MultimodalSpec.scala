@@ -8,8 +8,8 @@ class MultimodalSpec extends SparkSpec {
   test("mm_features: schema, byte counts, and unit-norm features") {
     val res = Multimodal.mmFeatures(spark, sf)
     assert(res.columns.toSeq ===
-      Seq("doc_id", "width", "height", "n_bytes", "feature", "feature_norm",
-        "resized", "n_frames"))
+      Seq("doc_id", "width", "height", "n_bytes", "feature_fp", "feature_norm",
+        "resized_fp", "n_frames"))
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), length(col("text")).as("len"))
     val joined = res.join(docs, "doc_id")
@@ -17,8 +17,8 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.count() === 0) // ascii text: 1 byte per char
     res.collect().foreach { r =>
       assert(math.abs(r.getAs[Double]("feature_norm") - 1.0) < 1e-9)
-      assert(r.getAs[Seq[Double]]("feature").length === 16)
-      assert(r.getAs[Seq[Double]]("resized").length === 8)
+      assert(r.getAs[String]("feature_fp").split(",").length === 16)
+      assert(r.getAs[String]("resized_fp").split(",").length === 8)
       val expectFrames = ((r.getAs[Int]("n_bytes") + 255) / 256 + 3) / 4
       assert(r.getAs[Int]("n_frames") === expectFrames)
     }
