@@ -95,7 +95,7 @@ object Dedup {
     * shingle — ONE shuffle on s, after which the cached partitioning is
     * exactly what the pair self-join needs (no further exchange) — vs. a
     * groupBy+join formulation which shuffles twice. */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     corpusShingles(spark, dir)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
@@ -130,7 +130,7 @@ object Dedup {
   /** Unordered jaccard pairs — shared by dedup_ngram_jaccard (adds the
     * presentation sort) and dedup_clusters (feeds the component loop,
     * where a sort would be wasted work). */
-  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val rsh = docShingles(spark, dir)
     val sizes = rsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = rsh.select(col("doc_id").as("doc_a"), col("s"))
@@ -284,70 +284,64 @@ object Dedup {
     * Pregel-style iterative min-label propagation: each round every node
     * takes the min label across itself and its neighbors; rounds =
     * graph diameter (near-dup graphs are star/clique-shaped, so 2-4).
-    * Each round is one distributed join+aggregate; `localCheckpoint`
-    * truncates the growing lineage. At cluster scale the same primitive
-    * is run as large-star/small-star (alternating halving), which keeps
-    * the round count logarithmic on pathological chains. */
+    *
+    * The loop itself runs on pair RDDs, not DataFrames — the one place
+    * in this engine that drops below Catalyst, and deliberately so: an
+    * iterative fixpoint re-plans, re-optimizes, and AQE-materializes
+    * every round under Catalyst (measured ≈0.6 s/round on a ~2k-edge
+    * graph — pure planning overhead), while the RDD loop reuses one
+    * co-partitioning end-to-end: edges are hash-partitioned by dst once,
+    * labels share the partitioner, so the per-round join is narrow and
+    * only the tiny reduceByKey(min) shuffles. This is the same design
+    * as GraphX's Pregel/ConnectedComponents, which exists for exactly
+    * this reason. At 100 TB the partition count scales with the edge
+    * count (~500k edges/partition) and per-round persists would become
+    * reliable checkpoints every few rounds.
+    *
+    * Convergence: labels only ever decrease, so the label total strictly
+    * decreases iff any label changed — one tiny sum per round instead of
+    * a join against the previous round. */
   def connectedComponentsOf(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    val raw = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sym = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .distinct()
-      .persist()
-    // The iterative frontier is the duplicate-pair node set — orders of
-    // magnitude smaller than the corpus. Size the loop's shuffles to the
-    // frontier (≈500k edges/partition), not to the corpus-wide default:
-    // at test scale that is a handful of partitions (per-task overhead
-    // would otherwise dominate every round), at 100 TB it grows with the
-    // actual edge count.
-    val nPart = math.max(2, (raw.count() / 500000L).toInt)
-    val edges = raw.repartition(nPart, col("dst")).persist()
-    // Lineage MUST be truncated every round: the propagation plan
-    // references `labels` twice (join side + union side), so without a
-    // checkpoint the plan doubles per round — exponential analysis cost.
-    // localCheckpoint(eager = false) is materialized by the convergence
-    // aggregate below (one job per round); intermediate rounds' blocks
-    // are released explicitly (RddUtils) instead of waiting for the
-    // ContextCleaner (the FINAL round's blocks are returned to the
-    // caller and reclaimed by the cleaner once the result is consumed).
-    // At cluster scale prefer a RELIABLE checkpoint: localCheckpoint
-    // blocks die with their executor and the truncated lineage cannot
-    // recompute them.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(eager = false)
-    // Convergence check: labels only ever decrease, so the label total
-    // strictly decreases iff any label changed — one tiny aggregate per
-    // round instead of a join against the previous round.
-    val sum0 = labels.agg(sum(col("cluster_id"))).first()
-    if (sum0.isNullAt(0)) { // no pairs at all: empty label set, nothing to iterate
-      raw.unpersist(); edges.unpersist()
-      return labels
-    }
-    var prevSum = sum0.getLong(0)
-    var converged = false
+    sym.persist()
+    val nPart = math.max(2, (sym.count() / 500000L).toInt)
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    // keyed by dst: the join reads the dst's label and sends it to src
+    val edges = sym.partitionBy(part).persist()
+    edges.count()
+    sym.unpersist(blocking = false)
+    var labels = edges.keys.distinct(nPart).map(v => (v, v)).partitionBy(part).persist()
+    var prevSum = labels.values.fold(0L)(_ + _)
+    var converged = labels.isEmpty()
     while (!converged) {
-      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"))
-        .unionByName(labels)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(eager = false)
-      val newSum = prop.agg(sum(col("cluster_id"))).first().getLong(0)
+      val prop = edges.join(labels) // narrow: both sides share `part`
+        .map { case (_, (src, lbl)) => (src, lbl) }
+        .union(labels)
+        .reduceByKey(part, math.min(_: Long, _: Long)) // the round's one (tiny) shuffle
+        .persist()
+      val newSum = prop.values.fold(0L)(_ + _)
       converged = newSum == prevSum
       prevSum = newSum
-      org.apache.spark.sql.graftvec.RddUtils.releaseCheckpoint(labels)
+      labels.unpersist(blocking = false)
       labels = prop
     }
-    raw.unpersist()
-    edges.unpersist()
-    labels
+    edges.unpersist(blocking = false)
+    // the final labels stay persisted: downstream consumes them more than
+    // once (sizes + join) and a recompute would replay the whole loop;
+    // the few-KB blocks are reclaimed by the ContextCleaner once the
+    // result DataFrame is garbage-collected.
+    labels.toDF("doc_id", "cluster_id")
   }
 
   /** The full duplicate edge set of the planted corpus: exact-duplicate
     * pairs (same normalized-text md5) ∪ near-dup pairs (rare-shingle
     * jaccard ≥ 0.35 — the confirmed pairs, not LSH candidates, so the
     * edge set is deterministic and oracle-expressible). */
-  private def dupPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupPairs(spark: SparkSession, dir: String): DataFrame = {
     val fps = corpus(spark, dir)
       .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
     val a = fps.select(col("fp"), col("doc_id").as("doc_a"))

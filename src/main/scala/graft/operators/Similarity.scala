@@ -163,36 +163,20 @@ object Similarity {
   val LshBits = 6
   val Dim = 64
 
-  /** Deterministic Rademacher hyperplanes: sign(plane p, dim i) from a
-    * split-mix of (p, i) — reproducible across runs with no RNG state. */
-  private def planeSign(p: Int, i: Int): Double = {
-    var x = p.toLong * 64 + i + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    if (((x ^ (x >>> 31)) & 1L) == 0L) 1.0 else -1.0
-  }
-
-  /** sig for table t: LshBits sign-bits packed into an int. The plane
-    * dot uses the codegen'd qdot against a literal sign vector (the
-    * 1e-9 quantization cannot flip a sign except at |dot| < 5e-10,
-    * immaterial for bucketing). */
-  private def sigCol(v: Column, t: Int): Column =
-    (0 until LshBits).map { k =>
-      val plane = (0 until Dim).map(i => planeSign(t * LshBits + k, i))
-      when(qdot(v, typedlit(plane)) > 0L, lit(1 << k)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   /** knn_lsh — bucketed approximate kNN: L hash tables of b-bit
     * random-hyperplane signatures; candidates = same-bucket vectors in
     * any table; exact quantized cosine re-rank of candidates.
+    * All L signatures come from ONE native expression node
+    * (graftvec.LshSignatures — the composed 96-dot-product plan spent
+    * more time in Catalyst analysis than in execution), posexploded into
+    * (t, sig) bucket rows. The 1e-9 quantization of the plane dot cannot
+    * flip a sign except at |dot| < 5e-10, immaterial for bucketing.
     * Rows-only; SimilaritySpec measures recall against knn_brute. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val sigs = (0 until LshTables).map(t =>
-      struct(lit(t).as("t"), sigCol(col("v"), t).as("sig")))
     val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
-      explode(array(sigs: _*)).as("ts"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("ts.t"), col("ts.sig"))
+      posexplode(org.apache.spark.sql.graftvec.VectorExpressions
+        .lshSigs(col("v"), LshTables, LshBits, Dim)).as(Seq("t", "sig")))
       .persist() // signature computation feeds both the corpus and query side
     val q = bucketed.filter(col("vec_id") % 100 === 0)
       .select(col("t"), col("sig"), col("vec_id").as("query_id"),

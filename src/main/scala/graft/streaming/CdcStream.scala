@@ -102,10 +102,20 @@ object CdcStream {
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
-    val q = transform(toChangeEvents(stream)).writeStream
-      .format("memory").queryName(name).outputMode(outputMode)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // A stateful query instantiates one state store per shuffle partition
+    // per stateful operator; store init (dir + version files) dominates a
+    // short replay's wall time. Run the replay at a lower state
+    // parallelism — the setting is sticky per query via its (fresh)
+    // checkpoint, so this does not affect batch queries in the session.
+    // A real deployment sizes this to live-key volume, not CPU count.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = transform(toChangeEvents(stream)).writeStream
+        .format("memory").queryName(name).outputMode(outputMode)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 

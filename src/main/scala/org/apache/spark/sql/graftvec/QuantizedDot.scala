@@ -82,4 +82,8 @@ object VectorExpressions {
   def qdot(a: Column, b: Column): Column =
     ExpressionUtils.column(QuantizedDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def lshSigs(v: Column, tables: Int, bits: Int, dim: Int): Column =
+    ExpressionUtils.column(LshSignatures(
+      ExpressionUtils.expression(v), tables, bits, dim))
 }
