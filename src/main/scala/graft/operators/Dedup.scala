@@ -25,16 +25,20 @@ object Dedup {
 
   /** The dedup corpus: base docs + exact copies (doc_id%17==0, re-keyed
     * +1_000_000) + near copies (doc_id%10==0, re-keyed +2_000_000, every
-    * 7th word dropped). */
-  def corpus(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val exact = base.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-    val near = base.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        array_join(filter(split(col("text"), " "), (_, i) => (i + 1) % 7 =!= 0), " ").as("text"))
-    base.unionByName(exact).unionByName(near)
-  }
+    * 7th word dropped). One parquet scan: the planted branches are a
+    * conditional-array explode of the base row (a 3-way union would scan
+    * the table three times — at 100 TB, three full passes). */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .select(explode(array_compact(array(
+        struct(col("doc_id"), col("text")),
+        when(col("doc_id") % 17 === 0,
+          struct((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        when(col("doc_id") % 10 === 0,
+          struct((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(filter(split(col("text"), " "), (_, i) => (i + 1) % 7 =!= 0), " ")
+              .as("text")))))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
 
   /** DuckDB rendering of the same corpus (list_filter index is 1-based —
     * matches Spark's 0-based `i + 1`). */
@@ -133,6 +137,12 @@ object Dedup {
   private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val rsh = docShingles(spark, dir)
     val sizes = rsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // The self-join runs directly on the cached rsh: its by-shingle
+    // partitioning + sort (from the doc-frequency window) feed the
+    // sort-merge join with no exchange. sizes is attached to the (much
+    // smaller) aggregated pair set afterwards — attaching it to the
+    // shingle rows first was measured slower: the by-doc_id join destroys
+    // the by-shingle layout and both self-join sides re-shuffle.
     val a = rsh.select(col("doc_id").as("doc_a"), col("s"))
     val b = rsh.select(col("doc_id").as("doc_b"), col("s"))
     val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
