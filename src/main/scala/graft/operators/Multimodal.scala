@@ -11,7 +11,11 @@ case class MmRecord(doc_id: Long, payload: Array[Byte], width: Int, height: Int,
 /** Extracted features for one record. The vectors are emitted as
   * quantized fingerprint strings (1e-9 grid, comma-joined) rather than
   * raw arrays: bit-deterministic, and sortable by any downstream tool —
-  * the driver's pandas-based compare cannot sort ndarray cells. */
+  * the driver's pandas-based compare cannot sort ndarray cells.
+  * feature_norm is the RAW histogram's L2 magnitude on the 1e-9 grid:
+  * the squared-count sum is an exact integer in double, so
+  * sqrt → quantize is bit-identical across engines (the normalized
+  * vector's norm is trivially 1 and would only test FP noise). */
 case class MmFeatures(doc_id: Long, width: Int, height: Int, n_bytes: Int,
                       feature_fp: String, feature_norm: Double,
                       resized_fp: String, n_frames: Int)
@@ -29,13 +33,19 @@ case class MmFeatures(doc_id: Long, width: Int, height: Int, n_bytes: Int,
   */
 object Multimodal {
 
+  /** Raw 16-bin byte histogram (integer counts in doubles). */
+  private[graft] def rawHistogram(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xFF) % 16) += 1.0; i += 1 }
+    hist
+  }
+
   /** Stub "decode": 16-bin byte histogram, L2-normalized. Deterministic
     * placeholder with the exact shape of a real feature extractor
     * (bytes → fixed-dim float vector). */
   private[graft] def decodeStub(payload: Array[Byte]): Array[Double] = {
-    val hist = new Array[Double](16)
-    var i = 0
-    while (i < payload.length) { hist((payload(i) & 0xFF) % 16) += 1.0; i += 1 }
+    val hist = rawHistogram(payload)
     val norm = math.sqrt(hist.map(x => x * x).sum)
     if (norm == 0) hist else hist.map(_ / norm)
   }
@@ -79,13 +89,53 @@ object Multimodal {
     mmTable(spark, dir).as[MmRecord]
       .mapPartitions { it =>
         it.map { r =>
-          val f = decodeStub(r.payload)
+          val hist = rawHistogram(r.payload)
+          val magnitude = math.sqrt(hist.map(x => x * x).sum) // exact-int sum
+          val f = if (magnitude == 0) hist else hist.map(_ / magnitude)
           MmFeatures(r.doc_id, r.width, r.height, r.payload.length,
-            fingerprint(f), math.sqrt(f.map(x => x * x).sum),
+            fingerprint(f), math.floor(magnitude * 1e9 + 0.5) / 1e9,
             fingerprint(resizeStub(f)), frameSample(r.payload))
         }
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for mm_features: the stub decode is arithmetic over
+    * the text's (ASCII) bytes, so the whole pipeline is replayable in
+    * SQL — per-bucket char counts, exact-integer squared-sum magnitude,
+    * IEEE-identical normalize/average ops, 1e-9-grid fingerprints.
+    * Generated programmatically (16 histogram bins). */
+  lazy val mmFeaturesSql: String = {
+    val hists = (0 until 16).map(i =>
+      s"CAST(len(list_filter(string_split(text, ''), c -> unicode(c) % 16 = $i)) AS DOUBLE) AS h$i")
+      .mkString(",\n    ")
+    val normSq = (0 until 16).map(i => s"h$i*h$i").mkString(" + ")
+    val fs = (0 until 16).map(i =>
+      s"CASE WHEN mag = 0 THEN h$i ELSE h$i / mag END AS f$i").mkString(",\n    ")
+    def fpList(exprs: Seq[String]): String =
+      exprs.map(e => s"CAST(CAST(FLOOR(($e) * 1e9 + 0.5) AS BIGINT) AS VARCHAR)")
+        .mkString("array_to_string([", ",\n      ", "], ',')")
+    val featureFp = fpList((0 until 16).map(i => s"f$i"))
+    val resizedFp = fpList((0 until 8).map(j => s"(f${2 * j} + f${2 * j + 1}) / 2"))
+    s"""WITH h AS (
+      |  SELECT doc_id, n_chars, length(text) AS n_bytes,
+      |    $hists
+      |  FROM documents
+      |), m AS (
+      |  SELECT *, sqrt($normSq) AS mag FROM h
+      |), f AS (
+      |  SELECT *, $fs FROM m
+      |)
+      |SELECT doc_id,
+      |  (n_chars % 64) + 8 AS width,
+      |  (doc_id % 48) + 8 AS height,
+      |  n_bytes,
+      |  $featureFp AS feature_fp,
+      |  FLOOR(mag * 1e9 + 0.5) / 1e9 AS feature_norm,
+      |  $resizedFp AS resized_fp,
+      |  ((n_bytes + 255) // 256 + 3) // 4 AS n_frames
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
   }
 }

@@ -48,10 +48,13 @@ object Similarity {
       |    AS BIGINT) AS nrm
       |FROM embeddings""".stripMargin
 
-  private val pairDotSql: String =
-    """CAST(list_sum(list_transform(a.embedding,
-      |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))
+  /** Quantized-dot SQL between two embedding expressions. */
+  private def dotSql(ae: String, be: String): String =
+    s"""CAST(list_sum(list_transform($ae,
+      |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST($be[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))
       |  AS BIGINT)""".stripMargin
+
+  private val pairDotSql: String = dotSql("a.embedding", "b.embedding")
 
   /** dedup_embedding — embedding-cosine near-duplicate pairs above a
     * threshold, blocked by label (pairs across blocks are not compared —
@@ -157,6 +160,42 @@ object Similarity {
       .orderBy(col("query_id"), col("knn_rank"))
   }
 
+  /** DuckDB oracle for knn_ivf: the coarse quantizer is a deterministic
+    * sample (vec_id % 50 == 0), so the oracle replays assignment
+    * (nearest centroid by quantized cosine, rank-1), Nprobe probing, and
+    * the exact re-rank — one N×C cross join, tractable at oracle SF. */
+  lazy val knnIvfSql: String = {
+    val centDot = dotSql("n.embedding", "c.ce")
+    s"""WITH e AS ($vecsSql),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0),
+      |asg AS (
+      |  SELECT vec_id, cent_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
+      |  FROM (
+      |    SELECT n.vec_id, c.cent_id,
+      |      CAST($centDot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cent_cos
+      |    FROM e n CROSS JOIN cents c)
+      |),
+      |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM asg WHERE rnk = 1),
+      |probes AS (SELECT vec_id AS query_id, cent_id FROM asg
+      |           WHERE vec_id % 100 = 0 AND rnk <= $Nprobe),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM probes JOIN cells USING (cent_id)
+      |  WHERE neighbor_id <> query_id
+      |),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |  FROM cand JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id
+      |)
+      |SELECT query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank,
+      |  cos_sim
+      |FROM scored
+      |QUALIFY knn_rank <= $K
+      |ORDER BY query_id, knn_rank""".stripMargin
+  }
+
   // ---- random-hyperplane LSH ---------------------------------------------
 
   val LshTables = 16
@@ -195,6 +234,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
       .orderBy(col("query_id"), col("knn_rank"))
   }
+  /** DuckDB oracle for knn_lsh: the signature planes are deterministic
+    * (split-mix Rademacher signs), so the oracle embeds them as literal
+    * ±1 lists and replays the exact pipeline — per-table 6-bit signature
+    * from quantized plane dots, bucket-size cap via window count,
+    * distinct same-bucket candidates, exact quantized-cosine re-rank.
+    * Generated programmatically (16 tables × 6 planes × 64 dims of
+    * literals ≈ 30 KB of SQL — cheap for a once-per-run oracle). */
+  lazy val knnLshSql: String = {
+    import org.apache.spark.sql.graftvec.{LshSignatures => LS}
+    def planeList(p: Int): String =
+      (0 until Dim).map(i => if (LS.planeSign(p, i) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    def sigExpr(t: Int): String =
+      (0 until LshBits).map { k =>
+        val pl = planeList(t * LshBits + k)
+        s"""CASE WHEN list_sum(list_transform(embedding,
+           |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * ($pl)[i] * 1e9 + 0.5) AS BIGINT))) > 0
+           |  THEN ${1 << k} ELSE 0 END""".stripMargin
+      }.mkString("(", " + ", ")")
+    val sigSelects = (0 until LshTables).map { t =>
+      s"SELECT vec_id, $t AS t, ${sigExpr(t)} AS sig FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($vecsSql),
+      |sigs AS (
+      |$sigSelects
+      |),
+      |b AS (SELECT *, COUNT(*) OVER (PARTITION BY t, sig) AS bs FROM sigs),
+      |bounded AS (SELECT vec_id, t, sig FROM b WHERE bs BETWEEN 2 AND 100),
+      |q AS (SELECT t, sig, vec_id AS query_id FROM bounded WHERE vec_id % 100 = 0),
+      |cands AS (
+      |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      |  FROM bounded c JOIN q ON c.t = q.t AND c.sig = q.sig AND c.vec_id <> q.query_id
+      |),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |  FROM cands JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id
+      |)
+      |SELECT query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank,
+      |  cos_sim
+      |FROM scored
+      |QUALIFY knn_rank <= $K
+      |ORDER BY query_id, knn_rank""".stripMargin
+  }
+
   /** mm_doc_embed — cross-modal join: the text table and the embedding
     * table joined on their shared id (doc_id = vec_id — the "every doc
     * has an embedding row" layout of a multimodal corpus), rolled up per

@@ -16,8 +16,16 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("n_bytes") =!= col("len"))
     assert(joined.count() === 0) // ascii text: 1 byte per char
     res.collect().foreach { r =>
-      assert(math.abs(r.getAs[Double]("feature_norm") - 1.0) < 1e-9)
-      assert(r.getAs[String]("feature_fp").split(",").length === 16)
+      // feature_norm is the raw histogram magnitude: for a non-empty
+      // ascii doc it is at least sqrt(n_bytes) (all bytes in one bin
+      // would give exactly n_bytes)
+      val nb = r.getAs[Int]("n_bytes")
+      val fn = r.getAs[Double]("feature_norm")
+      assert(fn >= math.sqrt(nb.toDouble) - 1e-6 && fn <= nb.toDouble + 1e-6)
+      // the fingerprinted feature vector is unit-norm on the 1e-9 grid
+      val f = r.getAs[String]("feature_fp").split(",").map(_.toLong / 1e9)
+      assert(f.length === 16)
+      assert(math.abs(math.sqrt(f.map(x => x * x).sum) - 1.0) < 1e-6)
       assert(r.getAs[String]("resized_fp").split(",").length === 8)
       val expectFrames = ((r.getAs[Int]("n_bytes") + 255) / 256 + 3) / 4
       assert(r.getAs[Int]("n_frames") === expectFrames)
