@@ -108,7 +108,9 @@ object Dedup {
       .persist()
   }
 
-  private val docShinglesSql: String =
+  /** Shared oracle CTEs: planted corpus → word lists → distinct 3-gram
+    * shingles per doc (`sh`). */
+  private val shinglesCtes: String =
     s"""corpus AS ($corpusSql),
       |toks AS (
       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus
@@ -117,7 +119,10 @@ object Dedup {
       |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
       |    i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS s
       |  FROM toks WHERE len(ws) >= 3
-      |),
+      |)""".stripMargin
+
+  private val docShinglesSql: String =
+    s"""$shinglesCtes,
       |rare AS (
       |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $ShingleFreqCap
       |),
@@ -179,20 +184,31 @@ object Dedup {
   // P(band match) = j², P(≥2 of 32 bands) ≈ 99% at j=0.44 and ≈ 2e-5 at
   // j=0.02, so requiring 2 shared bands keeps recall high with near-zero
   // false candidates.
-  private val P = 1000000007L
+  private[graft] val P = 1000000007L
 
   /** Deterministic affine permutation params (split-mix style). */
-  private def perm(j: Int): (Long, Long) = {
+  private[graft] def perm(j: Int): (Long, Long) = {
     val x = (j * 2654435761L + 104729L) % P
     ((x * 2 + 1) % P, (x * 48611L + 15485863L) % P)
   }
 
-  /** Per-doc minhash signature columns m0..m63 from xxhash64(shingle):
+  /** Base shingle hash: portable polynomial hash (graftvec.PolyHash) —
+    * already in [0, P), and reproducible in the DuckDB oracle as one
+    * list_reduce, unlike xxhash64. */
+  private[graft] def baseHash(c: Column): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions.polyHash(c)
+
+  private[graft] val baseHashSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(string_split(%s, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |  (acc, c) -> (acc * 131 + c) %% 1000000007)""".stripMargin
+
+  /** Per-doc minhash signature columns m0..m63 from polyhash(shingle):
     * min-aggregated per permutation — map-side partial aggregation, one
     * shuffle on doc_id (vs. collect-based signatures which don't scale).
     * Input: (doc_id, s) shingle rows. */
   def signaturesOf(shingleRows: DataFrame): DataFrame = {
-    val sh = shingleRows.withColumn("h", pmod(xxhash64(col("s")), lit(P)))
+    val sh = shingleRows.withColumn("h", baseHash(col("s")))
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = perm(j)
       min(pmod(col("h") * a + b, lit(P))).as(s"m$j")
@@ -211,16 +227,20 @@ object Dedup {
 
   /** dedup_minhash — MinHash+LSH near-dup candidate pairs:
     * shingle → 64 minhashes → 32 band hashes → bucket self-join.
-    * Rows-only (hash internals aren't portable SQL); DedupSpec asserts
-    * planted near-dup recall. */
+    * Oracle-checked: every hash in the chain is portable arithmetic
+    * (polyhash base, affine permutations, polynomial band combine), so
+    * the DuckDB oracle replays it exactly; DedupSpec asserts planted
+    * near-dup recall. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashFromSignatures(signatures(spark, dir))
 
   private def minhashFromSignatures(sigs: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("band_id"),
-        xxhash64((b * rows until (b + 1) * rows).map(j => col(s"m$j")): _*).as("band_hash"))
+      val combined = (b * rows until (b + 1) * rows)
+        .map(j => col(s"m$j"))
+        .reduce((acc, m) => pmod(acc * 1000003L + m, lit(P)))
+      struct(lit(b).as("band_id"), combined.as("band_hash"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -240,18 +260,125 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB oracle for dedup_minhash: polyhash base → 64 affine-perm
+    * minima (generated literals) → polynomial band keys → bucket-size
+    * cap → self-join requiring ≥2 shared bands. Exact replay. */
+  lazy val dedupMinhashSql: String = {
+    val h = baseHashSql.format("s")
+    val mins = (0 until NumHashes).map { j =>
+      val (a, b) = perm(j)
+      s"MIN((h * $a + $b) % $P) AS m$j"
+    }.mkString(",\n    ")
+    val rows = NumHashes / NumBands
+    val bandStructs = (0 until NumBands).map { b =>
+      val combined = (b * rows until (b + 1) * rows)
+        .map(j => s"m$j")
+        .reduce((acc, m) => s"(($acc) * 1000003 + $m) % $P")
+      s"{'band_id': $b, 'band_hash': $combined}"
+    }.mkString(",\n      ")
+    s"""WITH $shinglesCtes,
+      |hs AS (SELECT doc_id, $h AS h FROM sh),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM hs GROUP BY doc_id
+      |),
+      |bands AS (
+      |  SELECT doc_id, unnest([
+      |      $bandStructs
+      |    ], recursive := true)
+      |  FROM sig
+      |),
+      |bounded AS (
+      |  SELECT doc_id, band_id, band_hash FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bs FROM bands)
+      |  WHERE bs BETWEEN 2 AND 100
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      |FROM bounded a JOIN bounded b
+      |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- SimHash ------------------------------------------------------------
+
+  /** Salt decorrelating the simhash bit-vote perms from the minhash
+    * permutation family (both draw from `perm`). */
+  private[graft] val SimSalt = 100
+
+  /** DuckDB oracle for dedup_simhash: polyhash word hash → 64 affine
+    * parity votes → per-doc bit sums → 4×16-bit band keys → bucket-size
+    * cap → band-equality candidates → hamming via per-band popcount of
+    * xor. Exact replay of the Spark sketch (which packs the same bits
+    * into one 64-bit value). */
+  lazy val dedupSimhashSql: String = {
+    val h = baseHashSql.format("w")
+    val bitSums = (0 until 64).map { j =>
+      val (a, b) = perm(j + SimSalt)
+      s"SUM(CASE WHEN (h * $a + $b) % $P % 2 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until 4).map { k =>
+      val key = (0 until 16)
+        .map(i => s"CASE WHEN b${k * 16 + i} > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+      s"($key) AS band$k"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until 4).map(k => s"{'band_id': $k, 'band_key': band$k}")
+      .mkString(",\n      ")
+    val hamming = (0 until 4).map(k => s"bit_count(xor(sa.band$k, sb.band$k))")
+      .mkString(" + ")
+    s"""WITH corpus AS ($corpusSql),
+      |w AS (SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM corpus),
+      |wh AS (SELECT doc_id, $h AS h FROM w),
+      |bsum AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM wh GROUP BY doc_id
+      |),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    $bandKeys
+      |  FROM bsum
+      |),
+      |eb AS (
+      |  SELECT doc_id, unnest([
+      |      $bandStructs
+      |    ], recursive := true)
+      |  FROM sigs
+      |),
+      |bounded AS (
+      |  SELECT doc_id, band_id, band_key FROM (
+      |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bs FROM eb)
+      |  WHERE bs BETWEEN 2 AND 100
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bounded a JOIN bounded b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, $hamming AS hamming
+      |FROM cand
+      |JOIN sigs sa ON sa.doc_id = doc_a
+      |JOIN sigs sb ON sb.doc_id = doc_b
+      |WHERE $hamming <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Generic 64-bit SimHash near-dup pairs over any (doc_id, text)
     * relation; near-dup candidates via 4×16-bit band equality, confirmed
-    * by hamming distance ≤ 8. */
+    * by hamming distance ≤ 8. Bit j's per-word ±1 vote comes from the
+    * parity of an affine transform of the word's portable polyhash
+    * (64 independent (a,b) pairs), so the whole sketch is replayable in
+    * the DuckDB oracle — `shiftright(xxhash64(w), j)` is not. */
   def simhashPairsOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .withColumn("ws", words(col("text")))
       .select(col("doc_id"), explode(col("ws")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", baseHash(col("w")))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+      val (a, b) = perm(j + SimSalt)
+      sum(when(pmod(col("h") * a + b, lit(P)).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
     val agg0 = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 64).map { j =>

@@ -7,5 +7,7 @@ object DumpSql {
     w("/tmp/knn_lsh_oracle.sql", graft.operators.Similarity.knnLshSql)
     w("/tmp/knn_ivf_oracle.sql", graft.operators.Similarity.knnIvfSql)
     w("/tmp/mm_features_oracle.sql", graft.operators.Multimodal.mmFeaturesSql)
+    w("/tmp/dedup_minhash_oracle.sql", graft.operators.Dedup.dedupMinhashSql)
+    w("/tmp/dedup_simhash_oracle.sql", graft.operators.Dedup.dedupSimhashSql)
   }
 }

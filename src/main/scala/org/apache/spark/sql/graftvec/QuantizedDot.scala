@@ -86,4 +86,7 @@ object VectorExpressions {
   def lshSigs(v: Column, tables: Int, bits: Int, dim: Int): Column =
     ExpressionUtils.column(LshSignatures(
       ExpressionUtils.expression(v), tables, bits, dim))
+
+  def polyHash(s: Column): Column =
+    ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s)))
 }
