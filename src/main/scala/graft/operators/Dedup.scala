@@ -23,6 +23,26 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Modulus shared by every portable sketch hash in this family. */
+  private[graft] val P = 1000000007L
+
+  /** Base token hash: portable polynomial hash (graftvec.PolyHash) —
+    * already in [0, P), and reproducible in the DuckDB oracle as one
+    * list_reduce, unlike xxhash64. */
+  private[graft] def baseHash(c: Column): Column =
+    org.apache.spark.sql.graftvec.VectorExpressions.polyHash(c)
+
+  private[graft] val baseHashSql: String =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(string_split(%s, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |  (acc, c) -> (acc * 131 + c) %% 1000000007)""".stripMargin
+
+  /** Deterministic affine permutation params (split-mix style). */
+  private[graft] def perm(j: Int): (Long, Long) = {
+    val x = (j * 2654435761L + 104729L) % P
+    ((x * 2 + 1) % P, (x * 48611L + 15485863L) % P)
+  }
+
   /** The dedup corpus: base docs + exact copies (doc_id%17==0, re-keyed
     * +1_000_000) + near copies (doc_id%10==0, re-keyed +2_000_000, every
     * 7th word dropped). One parquet scan: the planted branches are a
@@ -95,14 +115,21 @@ object Dedup {
     * branch would recompute the full shingle pipeline. At cluster scale
     * this is the standard materialize-the-candidate-set checkpoint.
     *
+    * Shingles travel as their portable polyhash (8-byte longs) from here
+    * on: the frequency window sorts and the pair self-join shuffles this
+    * relation, and long keys sort/hash ~3× cheaper than ~25-byte shingle
+    * strings. The DuckDB oracle applies the identical hash, so the rare
+    * multiset — collisions included — is identical on both sides.
+    *
     * The document frequency is a count over a window partitioned by the
-    * shingle — ONE shuffle on s, after which the cached partitioning is
+    * hash — ONE shuffle on h, after which the cached partitioning is
     * exactly what the pair self-join needs (no further exchange) — vs. a
     * groupBy+join formulation which shuffles twice. */
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     corpusShingles(spark, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .select(col("doc_id"), baseHash(col("s")).as("h"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= ShingleFreqCap && col("df") >= 2)
       .drop("df")
       .persist()
@@ -121,12 +148,13 @@ object Dedup {
       |  FROM toks WHERE len(ws) >= 3
       |)""".stripMargin
 
-  private val docShinglesSql: String =
+  private lazy val docShinglesSql: String =
     s"""$shinglesCtes,
+      |hsh AS (SELECT doc_id, ${baseHashSql.format("s")} AS h FROM sh),
       |rare AS (
-      |  SELECT s FROM sh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND $ShingleFreqCap
+      |  SELECT h FROM hsh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $ShingleFreqCap
       |),
-      |rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s))""".stripMargin
+      |rsh AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h))""".stripMargin
 
   /** Distinct-shingle count per doc (unfiltered — the true set size, so
     * jaccard denominators are exact even when rare-filtering candidates).
@@ -148,9 +176,9 @@ object Dedup {
     // smaller) aggregated pair set afterwards — attaching it to the
     // shingle rows first was measured slower: the by-doc_id join destroys
     // the by-shingle layout and both self-join sides re-shuffle.
-    val a = rsh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = rsh.select(col("doc_id").as("doc_b"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+    val a = rsh.select(col("doc_id").as("doc_a"), col("h"))
+    val b = rsh.select(col("doc_id").as("doc_b"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
@@ -166,7 +194,7 @@ object Dedup {
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)
       |SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -184,25 +212,6 @@ object Dedup {
   // P(band match) = j², P(≥2 of 32 bands) ≈ 99% at j=0.44 and ≈ 2e-5 at
   // j=0.02, so requiring 2 shared bands keeps recall high with near-zero
   // false candidates.
-  private[graft] val P = 1000000007L
-
-  /** Deterministic affine permutation params (split-mix style). */
-  private[graft] def perm(j: Int): (Long, Long) = {
-    val x = (j * 2654435761L + 104729L) % P
-    ((x * 2 + 1) % P, (x * 48611L + 15485863L) % P)
-  }
-
-  /** Base shingle hash: portable polynomial hash (graftvec.PolyHash) —
-    * already in [0, P), and reproducible in the DuckDB oracle as one
-    * list_reduce, unlike xxhash64. */
-  private[graft] def baseHash(c: Column): Column =
-    org.apache.spark.sql.graftvec.VectorExpressions.polyHash(c)
-
-  private[graft] val baseHashSql: String =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |  list_transform(string_split(%s, ''), c -> CAST(unicode(c) AS BIGINT))),
-      |  (acc, c) -> (acc * 131 + c) %% 1000000007)""".stripMargin
-
   /** Per-doc minhash signature columns m0..m63 from polyhash(shingle):
     * min-aggregated per permutation — map-side partial aggregation, one
     * shuffle on doc_id (vs. collect-based signatures which don't scale).
@@ -510,7 +519,7 @@ object Dedup {
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |),
       |nearp AS (
