@@ -37,6 +37,12 @@ object TextFunctions {
   def shingles3FromWords(ws: Column): Column =
     org.apache.spark.sql.graftvec.StringExpressions.shingles3(ws)
 
+  /** Distinct 3-gram shingles as their portable polyhash longs — the
+    * shingle string is never materialized (graftvec.Shingles3Hashed);
+    * the join-key form the dedup family consumes. */
+  def shingles3HashedFromWords(ws: Column): Column =
+    org.apache.spark.sql.graftvec.StringExpressions.shingles3Hashed(ws)
+
   /** Word 3-gram shingles of normalized text. (With the native
     * expression the words array is evaluated once per row either way —
     * pre-materializing it with withColumn is no longer required.) */

@@ -100,12 +100,16 @@ object Dedup {
     * non-discriminative ("stopword shingle") — bounds bucket skew. */
   val ShingleFreqCap = 50
 
-  /** Per-doc distinct 3-gram shingles of any (doc_id, text) relation —
-    * (doc_id, s) rows, via the native codegen'd Shingles3 expression. */
+  /** Per-doc distinct 3-gram shingle HASHES of any (doc_id, text)
+    * relation — (doc_id, h) rows via the native Shingles3Hashed
+    * expression: the shingle string is never materialized (hashing runs
+    * incrementally over the word bytes), and every downstream consumer
+    * (frequency window, pair self-join, minhash permutations) wants the
+    * 8-byte portable key, not the ~25-byte string. */
   def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", words(col("text")))
-      .select(col("doc_id"), explode(shingles3FromWords(col("ws"))).as("s"))
+      .select(col("doc_id"), explode(shingles3HashedFromWords(col("ws"))).as("h"))
 
   private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(corpus(spark, dir))
@@ -128,7 +132,6 @@ object Dedup {
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     corpusShingles(spark, dir)
-      .select(col("doc_id"), baseHash(col("s")).as("h"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= ShingleFreqCap && col("df") >= 2)
       .drop("df")
@@ -136,25 +139,28 @@ object Dedup {
   }
 
   /** Shared oracle CTEs: planted corpus → word lists → distinct 3-gram
-    * shingles per doc (`sh`). */
-  private val shinglesCtes: String =
+    * shingle hashes per doc (`sh`). DISTINCT is on (doc_id, hash), the
+    * same dedup the Shingles3Hashed kernel applies, so both engines see
+    * the identical multiset even under an (astronomically rare)
+    * intra-doc collision. */
+  private lazy val shinglesCtes: String =
     s"""corpus AS ($corpusSql),
       |toks AS (
       |  SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus
       |),
       |sh AS (
-      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-      |    i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS s
-      |  FROM toks WHERE len(ws) >= 3
+      |  SELECT DISTINCT doc_id, ${baseHashSql.format("s")} AS h FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |      i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2])) AS s
+      |    FROM toks WHERE len(ws) >= 3)
       |)""".stripMargin
 
   private lazy val docShinglesSql: String =
     s"""$shinglesCtes,
-      |hsh AS (SELECT doc_id, ${baseHashSql.format("s")} AS h FROM sh),
       |rare AS (
-      |  SELECT h FROM hsh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $ShingleFreqCap
+      |  SELECT h FROM sh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $ShingleFreqCap
       |),
-      |rsh AS (SELECT hsh.doc_id, hsh.h FROM hsh JOIN rare USING (h))""".stripMargin
+      |rsh AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h))""".stripMargin
 
   /** Distinct-shingle count per doc (unfiltered — the true set size, so
     * jaccard denominators are exact even when rare-filtering candidates).
@@ -212,17 +218,16 @@ object Dedup {
   // P(band match) = j², P(≥2 of 32 bands) ≈ 99% at j=0.44 and ≈ 2e-5 at
   // j=0.02, so requiring 2 shared bands keeps recall high with near-zero
   // false candidates.
-  /** Per-doc minhash signature columns m0..m63 from polyhash(shingle):
+  /** Per-doc minhash signature columns m0..m63 from the shingle hash:
     * min-aggregated per permutation — map-side partial aggregation, one
     * shuffle on doc_id (vs. collect-based signatures which don't scale).
-    * Input: (doc_id, s) shingle rows. */
+    * Input: (doc_id, h) hashed-shingle rows (shinglesOf). */
   def signaturesOf(shingleRows: DataFrame): DataFrame = {
-    val sh = shingleRows.withColumn("h", baseHash(col("s")))
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = perm(j)
       min(pmod(col("h") * a + b, lit(P))).as(s"m$j")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    shingleRows.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   private def signatures(spark: SparkSession, dir: String): DataFrame =
@@ -273,7 +278,6 @@ object Dedup {
     * minima (generated literals) → polynomial band keys → bucket-size
     * cap → self-join requiring ≥2 shared bands. Exact replay. */
   lazy val dedupMinhashSql: String = {
-    val h = baseHashSql.format("s")
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = perm(j)
       s"MIN((h * $a + $b) % $P) AS m$j"
@@ -286,11 +290,10 @@ object Dedup {
       s"{'band_id': $b, 'band_hash': $combined}"
     }.mkString(",\n      ")
     s"""WITH $shinglesCtes,
-      |hs AS (SELECT doc_id, $h AS h FROM sh),
       |sig AS (
       |  SELECT doc_id,
       |    $mins
-      |  FROM hs GROUP BY doc_id
+      |  FROM sh GROUP BY doc_id
       |),
       |bands AS (
       |  SELECT doc_id, unnest([

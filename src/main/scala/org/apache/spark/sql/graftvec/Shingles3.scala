@@ -56,6 +56,45 @@ case class Shingles3(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word-3-gram shingles as their portable polyhash (see
+  * PolyHash): hash of the bytes of `wsᵢ ++ "_" ++ wsᵢ₊₁ ++ "_" ++
+  * wsᵢ₊₂`, computed incrementally — the shingle STRING is never
+  * materialized (the concat + UTF8String allocation was the dominant
+  * per-row cost of the string form when the consumer only needs a join
+  * key). Distinctness is by hash; the DuckDB oracle mirrors with
+  * `SELECT DISTINCT doc_id, polyhash(shingle)`, so an intra-doc hash
+  * collision merges the same pair of shingles on both sides.
+  * Null words are skipped exactly as concat_ws skips null arguments. */
+case class Shingles3Hashed(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingles3_hashed"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleOps.empty else ShingleOps.computeHashed(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ops = "org.apache.spark.sql.graftvec.ShingleOps$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $ops.empty() : $ops.computeHashed(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Row-level shingle kernel (called from generated code). */
 object ShingleOps {
   private val Sep = UTF8String.fromString("_")
@@ -82,10 +121,53 @@ object ShingleOps {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  private final val M = 1000000007L
+  private final val B = 131L
+
+  /** Fold `word`'s bytes into a running polyhash. */
+  private def hashWord(acc0: Long, w: UTF8String): Long = {
+    val bytes = w.getBytes
+    var acc = acc0
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * B + (bytes(i) & 0xFF)) % M
+      i += 1
+    }
+    acc
+  }
+
+  /** Distinct polyhashes of the 3-gram shingles (hash of the exact bytes
+    * the string form would concat — '_'-joined non-null words). */
+  def computeHashed(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    if (n < 3) return Empty
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.max(4, n))
+    var i = 0
+    while (i <= n - 3) {
+      var acc = 0L
+      var emitted = false
+      var k = 0
+      while (k < 3) {
+        if (!ws.isNullAt(i + k)) {
+          if (emitted) acc = (acc * B + '_') % M
+          acc = hashWord(acc, ws.getUTF8String(i + k))
+          emitted = true
+        }
+        k += 1
+      }
+      seen.add(acc)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
 }
 
 /** Column-API surface for the graft text expressions. */
 object StringExpressions {
   def shingles3(ws: Column): Column =
     ExpressionUtils.column(Shingles3(ExpressionUtils.expression(ws)))
+
+  def shingles3Hashed(ws: Column): Column =
+    ExpressionUtils.column(Shingles3Hashed(ExpressionUtils.expression(ws)))
 }
