@@ -197,11 +197,43 @@ object Analytics {
   /** q8_approx_distinct — approx_count_distinct (HyperLogLog++): the
     * constant-memory scale path for distinct counting. Rows-only (sketches
     * aren't cross-engine comparable); ScalaTest bounds the error vs exact. */
-  def q8ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+  /** KMV (k-minimum-values) sketch parameters: estimate ≈ (k-1)·P / h_k
+    * where h_k is the k-th smallest hash — σ ≈ 1/√k ≈ 6%. Hash is an
+    * affine permutation of the key mod the shared sketch prime, so the
+    * DuckDB oracle replays the sketch EXACTLY (Spark's HLL-based
+    * approx_count_distinct has engine-specific internals and would be
+    * un-oracle-able). Groups smaller than k report exactly. */
+  val KmvK = 256
+  private val KmvP = 1000000007L
+
+  def q8ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
     Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_custkey"))
+      .distinct()
+      .withColumn("h", pmod(col("o_custkey") * 2654435761L + 104729L, lit(KmvP)))
+      .withColumn("rn", row_number().over(w))
       .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .agg(count(lit(1)).as("nd"),
+           max(when(col("rn") <= KmvK, col("h"))).as("hk"))
+      .select(col("o_orderpriority"),
+        when(col("nd") < KmvK, col("nd"))
+          .otherwise(floor(lit((KmvK - 1).toLong * KmvP) / (col("hk") + 1L)).cast("long"))
+          .as("approx_customers"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  val q8ApproxDistinctSql: String =
+    """WITH d AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+      |h AS (SELECT o_orderpriority,
+      |        (o_custkey * 2654435761 + 104729) % 1000000007 AS h FROM d),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn FROM h)
+      |SELECT o_orderpriority,
+      |  CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+      |       ELSE FLOOR((CAST(255 AS BIGINT) * 1000000007) / (MAX(CASE WHEN rn <= 256 THEN h END) + 1)) END AS BIGINT)
+      |    AS approx_customers
+      |FROM r GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   /** q9_rollup — ROLLUP hierarchy aggregation (priority → status), the
     * GROUPING SETS family. NULL subtotal markers are COALESCE'd to 'ALL'
