@@ -206,23 +206,19 @@ object Analytics {
   val KmvK = 256
   private val KmvP = 1000000007L
 
-  def q8ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("h"))
+  def q8ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_custkey"))
-      .distinct()
-      .withColumn("h", pmod(col("o_custkey") * 2654435761L + 104729L, lit(KmvP)))
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("nd"),
-           max(when(col("rn") <= KmvK, col("h"))).as("hk"))
       .select(col("o_orderpriority"),
-        when(col("nd") < KmvK, col("nd"))
-          .otherwise(floor(lit((KmvK - 1).toLong * KmvP) / (col("hk") + 1L)).cast("long"))
-          .as("approx_customers"))
+        pmod(col("o_custkey") * 2654435761L + 104729L, lit(KmvP)).as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(org.apache.spark.sql.graftvec.SketchExpressions
+        .kmvDistinct(col("h"), KmvK).as("approx_customers"))
       .orderBy(col("o_orderpriority"))
-  }
 
+  /** The oracle replays the sketch with a window rank (fine at oracle
+    * SF; the Spark side partial-aggregates instead — see KmvDistinct).
+    * `//` mirrors JVM long division exactly; a double `/`+FLOOR can
+    * round up across an integer boundary at ulp precision. */
   val q8ApproxDistinctSql: String =
     """WITH d AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
       |h AS (SELECT o_orderpriority,
@@ -230,7 +226,7 @@ object Analytics {
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn FROM h)
       |SELECT o_orderpriority,
       |  CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
-      |       ELSE FLOOR((CAST(255 AS BIGINT) * 1000000007) / (MAX(CASE WHEN rn <= 256 THEN h END) + 1)) END AS BIGINT)
+      |       ELSE (CAST(255 AS BIGINT) * 1000000007) // (MAX(CASE WHEN rn <= 256 THEN h END) + 1) END AS BIGINT)
       |    AS approx_customers
       |FROM r GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
