@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftvec.QuantizedDot
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftvec.{KmvDistinct, LshSignatures, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("... qdot(a, b) ...")`
@@ -13,19 +13,57 @@ import org.apache.spark.sql.graftvec.QuantizedDot
   * `GraftExtensions.register(spark)` on a live session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.qdotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val qdotDescriptor = (
-    FunctionIdentifier("qdot"),
-    new ExpressionInfo(classOf[QuantizedDot].getName, null, "qdot",
-      "qdot(a, b) - exact fixed-point dot product: sum of floor(a_i*b_i*1e9 + 0.5) as BIGINT",
-      ""),
-    (children: Seq[Expression]) => QuantizedDot(children(0), children(1)))
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT argument, got $other")
+  }
+
+  private val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("qdot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, null, "qdot",
+        "qdot(a, b) - exact fixed-point dot product: sum of floor(a_i*b_i*1e9 + 0.5) as BIGINT",
+        ""),
+      (children: Seq[Expression]) => QuantizedDot(children(0), children(1))),
+    (FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, null, "poly_hash",
+        "poly_hash(s) - portable polynomial hash of s's bytes: fold (acc*131 + byte) mod 1e9+7",
+        ""),
+      (children: Seq[Expression]) => PolyHash(children.head)),
+    (FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, null, "shingles3",
+        "shingles3(words) - distinct word-3-gram shingle strings ('_'-joined)",
+        ""),
+      (children: Seq[Expression]) => Shingles3(children.head)),
+    (FunctionIdentifier("shingles3_hashed"),
+      new ExpressionInfo(classOf[Shingles3Hashed].getName, null, "shingles3_hashed",
+        "shingles3_hashed(words) - distinct word-3-gram shingles as portable polyhash BIGINTs",
+        ""),
+      (children: Seq[Expression]) => Shingles3Hashed(children.head)),
+    (FunctionIdentifier("lsh_sigs"),
+      new ExpressionInfo(classOf[LshSignatures].getName, null, "lsh_sigs",
+        "lsh_sigs(v, tables, bits, dim) - all random-hyperplane LSH table signatures of v",
+        ""),
+      (children: Seq[Expression]) => LshSignatures(children(0),
+        intArg(children(1), "lsh_sigs.tables"),
+        intArg(children(2), "lsh_sigs.bits"),
+        intArg(children(3), "lsh_sigs.dim"))),
+    (FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, null, "kmv_distinct",
+        "kmv_distinct(h, k) - KMV approximate distinct count over a BIGINT hash column",
+        ""),
+      (children: Seq[Expression]) => KmvDistinct(children(0),
+        intArg(children(1), "kmv_distinct.k")).toAggregateExpression()),
+  )
 
   /** Register on an already-built session (tests, spark-shell). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      qdotDescriptor._1, qdotDescriptor._2, qdotDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -51,6 +51,28 @@ class PlanSpec extends SparkSpec {
     assert(r(0).getLong(0) === 11000000000L)
   }
 
+  test("GraftExtensions: every graft expression is SQL-callable") {
+    GraftExtensions.register(spark)
+    val ph = spark.sql("SELECT poly_hash('abc_def') AS h").collect()(0).getLong(0)
+    assert(ph === 732313039L) // fold (acc*131 + byte) mod 1e9+7
+    val sh = spark.sql("SELECT shingles3(array('a','b','c','d')) AS s").collect()(0)
+      .getSeq[String](0)
+    assert(sh === Seq("a_b_c", "b_c_d"))
+    val shh = spark.sql("SELECT shingles3_hashed(array('a','b','c','d')) AS s").collect()(0)
+      .getSeq[Long](0)
+    assert(shh === Seq(ph2("a_b_c"), ph2("b_c_d")))
+    val sig = spark.sql("SELECT lsh_sigs(array(1.0D, -2.0D), 2, 3, 2) AS s").collect()(0)
+      .getSeq[Int](0)
+    assert(sig.length === 2 && sig.forall(s => s >= 0 && s < 8))
+    val kmv = spark.sql(
+      "SELECT kmv_distinct(h, 16) AS nd FROM (SELECT CAST(id % 7 AS BIGINT) AS h FROM range(1000))")
+      .collect()(0).getLong(0)
+    assert(kmv === 7L) // under k: exact distinct count
+  }
+
+  private def ph2(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xFF)) % 1000000007L)
+
   test("q19: range join broadcasts the ledger side (no shuffle of the fact side)") {
     val p = plan(Analytics.q19RangeJoin(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"))
