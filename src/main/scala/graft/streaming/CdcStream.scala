@@ -110,9 +110,17 @@ object CdcStream {
     // A real deployment sizes this to live-key volume, not CPU count.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Offset/commit logs and state-store versions fsync per micro-batch;
+    // for an ephemeral replay put the checkpoint on tmpfs when present
+    // (a durable deployment points this at reliable storage instead).
+    val ckBase = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val ck = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckBase), "graft-ck")
     try {
       val q = transform(toChangeEvents(stream)).writeStream
         .format("memory").queryName(name).outputMode(outputMode)
+        .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -82,4 +82,18 @@ class TextSpec extends SparkSpec {
     assert(edge.filter(size(col("sh")) =!= 0).count() === 0)
   }
 
+  test("shingles3_hashed equals poly_hash over the string shingles") {
+    // the hashed kernel folds word bytes incrementally and must land on
+    // the exact hash of the '_'-joined string form, doc by doc
+    val docs = graft.core.Tables.documents(spark, sf).select(col("text")).limit(200)
+      .withColumn("ws", TextFunctions.words(col("text")))
+    val viaString = transform(TextFunctions.shingles3FromWords(col("ws")),
+      s => org.apache.spark.sql.graftvec.VectorExpressions.polyHash(s))
+    val diff = docs
+      .withColumn("hashed", TextFunctions.shingles3HashedFromWords(col("ws")))
+      .withColumn("via_string", viaString)
+      .filter(!(col("hashed") <=> col("via_string")))
+    assert(diff.count() === 0)
+  }
+
 }
