@@ -280,6 +280,53 @@ object Similarity {
       |ORDER BY query_id, knn_rank""".stripMargin
   }
 
+  /** embed_centroids — per-label mean embedding (the IVF/k-means
+    * "train the coarse quantizer" step as a batch op): per-dimension
+    * exact quantized sums (longs — order-independent), floor-divided by
+    * the label count, emitted as a fingerprint string ordered by
+    * dimension. One explode + one shuffle on (label, pos) with map-side
+    * combine, then a per-label rollup — at 100 TB this is the canonical
+    * scalable centroid computation (no vector ever collects to the
+    * driver). */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("q", floor(col("x") * 1e9 + 0.5).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      // floor of the double quotient == floor toward -inf on BOTH engines
+      // (sums are exact in double at this magnitude); JVM long division
+      // would truncate toward zero and disagree on negative dims
+      .withColumn("mean_q", floor(col("sq").cast("double") / col("n")).cast("long"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("mean_q")))),
+            s => s.getField("mean_q").cast("string")), ",").as("centroid_fp"))
+      .orderBy(col("label"))
+  }
+
+  val embedCentroidsSql: String =
+    """WITH e AS (
+      |  SELECT label, unnest(list_transform(embedding, (x, i) ->
+      |    {'pos': i - 1,
+      |     'q': CAST(FLOOR(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)}), recursive := true)
+      |  FROM embeddings
+      |),
+      |g AS (
+      |  SELECT label, pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq
+      |  FROM e GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT label, pos, n,
+      |    CAST(FLOOR(CAST(sq AS DOUBLE) / n) AS BIGINT) AS mean_q
+      |  FROM g
+      |)
+      |SELECT label, MAX(n) AS n_vecs,
+      |  string_agg(CAST(mean_q AS VARCHAR), ',' ORDER BY pos) AS centroid_fp
+      |FROM m GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** mm_doc_embed — cross-modal join: the text table and the embedding
     * table joined on their shared id (doc_id = vec_id — the "every doc
     * has an embedding row" layout of a multimodal corpus), rolled up per

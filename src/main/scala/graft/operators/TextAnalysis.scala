@@ -246,4 +246,89 @@ object TextAnalysis {
       |SELECT lang, rnk, bigram, n FROM ranked
       |WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
+
+  /** pipeline_manifest — the end-to-end training-data pipeline as one
+    * composed query: scrub (lowercase + URL/e-mail strip + whitespace
+    * collapse) → quality gate (n_words ≥ 40, stopword ratio ≤ 0.12) →
+    * exact dedup on the CLEANED text (min doc_id per fingerprint
+    * survives) → deterministic per-source sample quota (10, ordered by
+    * md5 of the id). Emits the per-source funnel: how many docs entered,
+    * passed quality, survived dedup, and were sampled — plus the sampled
+    * ids. Every stage is a Column expression or one window; the funnel
+    * aggregate is the only row-reducing shuffle. */
+  def pipelineManifest(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val clean = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "https?://\\S+", " "),
+        "\\S+@\\S+", " "),
+      "\\s+", " "))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    // quota ranks WITHIN the kept set (partition on the kept flag too),
+    // so every source yields min(quota, n_kept) samples
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("kept"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(ws).as("n_words"),
+        markerHits(col("text"), enMarkers).as("stop_hits"),
+        md5(clean.cast("binary")).as("fp"))
+      .withColumn("quality_ok",
+        col("n_words") >= 40 &&
+          col("stop_hits").cast("double") / col("n_words") <= 0.12)
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(wFp))
+      .withColumn("kept", col("quality_ok") && col("is_canonical"))
+      .withColumn("rk", row_number().over(wSrc))
+      .withColumn("sampled", col("kept") && col("rk") <= SampleQuota)
+    staged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        array_join(
+          transform(array_sort(collect_list(when(col("sampled"), col("doc_id")))),
+            _.cast("string")), ",").as("sample_ids"))
+      .orderBy(col("source"))
+  }
+
+  val SampleQuota = 10
+
+  val pipelineManifestSql: String = {
+    val w = wordsSql("text")
+    val cleanSql =
+      """trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(lower(text), 'https?://\S+', ' ', 'g'),
+        |      '\S+@\S+', ' ', 'g'),
+        |    '\s+', ' ', 'g'))""".stripMargin
+    s"""WITH staged AS (
+      |  SELECT doc_id, source,
+      |    len($w) AS n_words,
+      |    len(list_filter($w, x -> x IN ${markersSql(enMarkers)})) AS stop_hits,
+      |    md5($cleanSql) AS fp
+      |  FROM documents
+      |), flagged AS (
+      |  SELECT *,
+      |    n_words >= 40 AND CAST(stop_hits AS DOUBLE) / n_words <= 0.12 AS quality_ok,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_canonical
+      |  FROM staged
+      |), ranked AS (
+      |  SELECT *, quality_ok AND is_canonical AS kept,
+      |    ROW_NUMBER() OVER (PARTITION BY source, quality_ok AND is_canonical
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM flagged
+      |), marked AS (
+      |  SELECT *, kept AND rk <= 10 AS sampled
+      |  FROM ranked
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  string_agg(CASE WHEN sampled THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY doc_id)
+      |    AS sample_ids
+      |FROM marked GROUP BY source
+      |ORDER BY source""".stripMargin
+  }
 }

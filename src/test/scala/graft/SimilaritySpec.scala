@@ -47,4 +47,15 @@ class SimilaritySpec extends SparkSpec {
     assert(res.filter(col("sum_nrm") <= 0).count() === 0)
   }
 
+  test("embed_centroids: every label has a full-dimension centroid; counts add up") {
+    val res = Similarity.embedCentroids(spark, sf).collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(res.map(_.getAs[Long]("n_vecs")).sum === nVecs)
+    res.foreach { r =>
+      val dims = r.getAs[String]("centroid_fp").split(",")
+      assert(dims.length === 64)
+      dims.foreach(d => assert(math.abs(d.toLong) <= 1100000000L)) // |mean| <= ~1.1 on the 1e-9 grid
+    }
+  }
+
 }

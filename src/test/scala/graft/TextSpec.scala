@@ -96,4 +96,17 @@ class TextSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("pipeline_manifest: funnel is monotone and sample respects the quota") {
+    val res = graft.operators.TextAnalysis.pipelineManifest(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (docs, q, kept, sampled) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality_ok"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("n_sampled"))
+      assert(docs >= q && q >= kept && kept >= sampled)
+      assert(sampled === math.min(kept, graft.operators.TextAnalysis.SampleQuota.toLong))
+      val ids = r.getAs[String]("sample_ids")
+      assert((if (ids.isEmpty) 0 else ids.split(",").length).toLong === sampled)
+    }
+  }
+
 }
