@@ -314,6 +314,179 @@ object Reconcile {
         col("src_digest"), col("tgt_digest"), col("tables_match"))
   }
 
+  // ---- Bloom-filter divergence probe --------------------------------------
+
+  /** Bloom sizing: 65536 words × 63 usable bits ≈ 4.1 M bits (bit 63 is
+    * skipped so masks never touch the sign bit — both engines shift
+    * signed longs), K=4 affine position hashes. At sf0.1 (~150 k rows)
+    * the miss probability per divergent row is ≈ 3e-4; the filter itself
+    * is ~0.5 MB — broadcastable at any scale. */
+  private[graft] val BloomWords = 65536
+  private[graft] val BloomBits = BloomWords.toLong * 63L
+  private[graft] val BloomPerms: Seq[(Long, Long)] =
+    Seq((131L, 7L), (1009L, 97L), (10007L, 257L), (100003L, 1031L))
+
+  /** Row-content base hash shared by both sides: key and exact cents
+    * folded mod P — same portable-arithmetic discipline as rowDigest. */
+  private def bloomBase(key: Column, amount: Column): Column =
+    (key * 2654435761L % 1000000007L +
+      floor(amount * 100d + 0.5d).cast("long") * 98765431L % 1000000007L) % 1000000007L
+
+  private val bloomBaseSql =
+    """(o_orderkey * 2654435761 % 1000000007 +
+      | CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) * 98765431 % 1000000007) % 1000000007""".stripMargin.replace("\n", "")
+
+  /** recon_bloom — Bloom-filter divergence probe, the cheapest row-level
+    * screen in the reconciliation ladder: build a ~0.5 MB Bloom filter of
+    * the target's row CONTENT (key + exact cents, so both dropped keys
+    * and perturbed values flip bits), then test every source row against
+    * it. A row with any unset bit is DEFINITELY absent from the target —
+    * Bloom false positives only mean a divergent row can slip through
+    * (P ≈ 3e-4 at sf0.1), never a false alarm.
+    *
+    * Scale shape (100 TB): the build side aggregates to ≤ 65536 words
+    * with map-side `bit_or` combine (a near-scan-speed reduction to a
+    * fixed 0.5 MB regardless of input size); the probe side is K=4
+    * BROADCAST joins — the big table is never shuffled at all, unlike
+    * the full-outer row diff. This is the declarative form of Spark's
+    * own runtime bloom-filter join pruning
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled). Every hash is
+    * portable affine arithmetic, so the DuckDB oracle replays the filter
+    * bit-for-bit. */
+  def reconBloom(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = driftedTarget(spark, dir)
+      .withColumn("base", bloomBase(col("o_orderkey"), col("o_totalprice")))
+    val positions = BloomPerms.map { case (a, b) =>
+      pmod(pmod(col("base") * a + b, lit(1000000007L)), lit(BloomBits))
+    }
+    val bloom = tgt
+      .select(explode(array(positions: _*)).as("pos"))
+      .select((col("pos") / 63L).cast("long").as("word"),
+        expr("shiftleft(1L, CAST(pos % 63 AS INT))").as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+    var probe = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("base", bloomBase(col("o_orderkey"), col("o_totalprice")))
+    BloomPerms.zipWithIndex.foreach { case ((a, b), i) =>
+      probe = probe
+        .withColumn(s"pos$i", pmod(pmod(col("base") * a + b, lit(1000000007L)), lit(BloomBits)))
+        .withColumn(s"word$i", (col(s"pos$i") / 63L).cast("long"))
+        .withColumn(s"mask$i", expr(s"shiftleft(1L, CAST(pos$i % 63 AS INT))"))
+        .join(broadcast(bloom.select(col("word").as(s"word$i"), col("bits").as(s"bits$i"))),
+          Seq(s"word$i"), "left")
+    }
+    val divergent = BloomPerms.indices.map { i =>
+      col(s"bits$i").isNull || col(s"bits$i").bitwiseAND(col(s"mask$i")) =!= col(s"mask$i")
+    }.reduce(_ || _)
+    probe.filter(divergent)
+      .select(col("o_orderkey"), col("o_totalprice").as("src_amount"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  lazy val reconBloomSql: String = {
+    val posExprs = BloomPerms
+      .map { case (a, b) => s"(base * $a + $b) % 1000000007 % $BloomBits" }
+    val probeCols = posExprs.zipWithIndex.map { case (p, i) =>
+      s"($p) // 63 AS word$i, (1::BIGINT << CAST(($p) % 63 AS INT)) AS mask$i"
+    }.mkString(",\n    ")
+    val joins = BloomPerms.indices
+      .map(i => s"LEFT JOIN bloom b$i ON b$i.word = p.word$i")
+      .mkString("\n")
+    val divergent = BloomPerms.indices
+      .map(i => s"b$i.bits IS NULL OR (b$i.bits & p.mask$i) <> p.mask$i")
+      .mkString(" OR ")
+    s"""WITH tgt AS ($driftedTargetSql),
+      |tb AS (SELECT $bloomBaseSql AS base FROM tgt),
+      |pos AS (SELECT unnest([${posExprs.mkString(", ")}]) AS pos FROM tb),
+      |bloom AS (SELECT pos // 63 AS word, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      |          FROM pos GROUP BY 1),
+      |src AS (SELECT o_orderkey, o_totalprice, $bloomBaseSql AS base FROM orders),
+      |probe AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    $probeCols
+      |  FROM src
+      |)
+      |SELECT p.o_orderkey, p.o_totalprice AS src_amount
+      |FROM probe p
+      |$joins
+      |WHERE $divergent
+      |ORDER BY p.o_orderkey""".stripMargin
+  }
+
+  // ---- Column profiling ---------------------------------------------------
+
+  /** stats_profile — per-column data-quality profile of `orders`: null
+    * count, exact distinct count, and min/max normalized to a portable
+    * BIGINT domain (keys raw, money as exact cents, timestamps as epoch
+    * micros; the varchar columns profile nulls/distinct only). ONE pass
+    * over the table — all metrics are aggregates of a single scan
+    * (Spark plans the multi-distinct via Expand), then the 6-column
+    * result row is unpivoted with `stack` into the (column_name, …)
+    * profile relation. This is the schema-drift / data-quality probe a
+    * reconciliation pipeline runs before trusting a diff: type changes,
+    * null floods, and range drift all surface here at scan cost. */
+  def statsProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    def dist(c: String) = count_distinct(col(c)).as(s"${c}_distinct")
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("o_orderkey"), dist("o_orderkey"),
+      min(col("o_orderkey")).as("o_orderkey_min"), max(col("o_orderkey")).as("o_orderkey_max"),
+      nulls("o_custkey"), dist("o_custkey"),
+      min(col("o_custkey")).as("o_custkey_min"), max(col("o_custkey")).as("o_custkey_max"),
+      nulls("o_totalprice"), dist("o_totalprice"),
+      min(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("o_totalprice_min"),
+      max(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("o_totalprice_max"),
+      nulls("o_orderdate"), dist("o_orderdate"),
+      // parquet o_orderdate is TIMESTAMP_NTZ; the cast is identity under
+      // the session's pinned UTC and unix_micros only accepts LTZ
+      min(unix_micros(col("o_orderdate").cast("timestamp"))).as("o_orderdate_min"),
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("o_orderdate_max"),
+      nulls("o_orderstatus"), dist("o_orderstatus"),
+      nulls("o_orderpriority"), dist("o_orderpriority"))
+    agg.selectExpr("n_rows",
+      """stack(6,
+        |  'o_orderkey',      o_orderkey_nulls,      o_orderkey_distinct,      o_orderkey_min,   o_orderkey_max,
+        |  'o_custkey',       o_custkey_nulls,       o_custkey_distinct,       o_custkey_min,    o_custkey_max,
+        |  'o_totalprice',    o_totalprice_nulls,    o_totalprice_distinct,    o_totalprice_min, o_totalprice_max,
+        |  'o_orderdate',     o_orderdate_nulls,     o_orderdate_distinct,     o_orderdate_min,  o_orderdate_max,
+        |  'o_orderstatus',   o_orderstatus_nulls,   o_orderstatus_distinct,   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  'o_orderpriority', o_orderpriority_nulls, o_orderpriority_distinct, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |) AS (column_name, n_nulls, n_distinct, min_v, max_v)""".stripMargin)
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy(col("column_name"))
+  }
+
+  val statsProfileSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_n, COUNT(DISTINCT o_orderkey) AS k_d,
+      |      MIN(o_orderkey) AS k_mn, MAX(o_orderkey) AS k_mx,
+      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_n, COUNT(DISTINCT o_custkey) AS c_d,
+      |      MIN(o_custkey) AS c_mn, MAX(o_custkey) AS c_mx,
+      |    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_n, COUNT(DISTINCT o_totalprice) AS p_d,
+      |      MIN(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS p_mn, MAX(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS p_mx,
+      |    SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS d_n, COUNT(DISTINCT o_orderdate) AS d_d,
+      |      MIN(epoch_us(o_orderdate)) AS d_mn, MAX(epoch_us(o_orderdate)) AS d_mx,
+      |    SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_n, COUNT(DISTINCT o_orderstatus) AS s_d,
+      |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS pr_n, COUNT(DISTINCT o_orderpriority) AS pr_d
+      |  FROM orders
+      |)
+      |SELECT column_name, n_rows, CAST(n_nulls AS BIGINT) AS n_nulls,
+      |  n_distinct, min_v, max_v
+      |FROM (
+      |  SELECT 'o_orderkey' AS column_name, n_rows, k_n AS n_nulls, k_d AS n_distinct, k_mn AS min_v, k_mx AS max_v FROM a
+      |  UNION ALL SELECT 'o_custkey', n_rows, c_n, c_d, c_mn, c_mx FROM a
+      |  UNION ALL SELECT 'o_totalprice', n_rows, p_n, p_d, p_mn, p_mx FROM a
+      |  UNION ALL SELECT 'o_orderdate', n_rows, d_n, d_d, d_mn, d_mx FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n_rows, s_n, s_d, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n_rows, pr_n, pr_d, NULL, NULL FROM a
+      |)
+      |ORDER BY column_name""".stripMargin
+
   val reconTableDigestSql: String =
     s"""WITH tgt AS ($driftedTargetSql),
       |srcd AS (

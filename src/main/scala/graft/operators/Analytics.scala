@@ -665,6 +665,87 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY dow, hod""".stripMargin
 
+  /** events_funnel — staged conversion funnel over the event stream:
+    * signup → click-after-signup → purchase-after-that-click, per user.
+    * The "did stage k happen after stage k-1" flags are chained running
+    * MAX windows over one (user_id, ts) ordering — all three window
+    * passes share the same partitioning and sort, so Catalyst stacks
+    * them in a single Window region behind ONE shuffle+sort (the same
+    * plan shape as q12's sessionization). Output is one row per user
+    * with the deepest stage reached — the conversion-analysis shape of
+    * an event pipeline. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("seen_signup",
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).over(w))
+      .withColumn("seen_click",
+        max(when(col("event_type") === "click" && col("seen_signup") === 1L, 1L)
+          .otherwise(0L)).over(w))
+      .withColumn("seen_purchase",
+        max(when(col("event_type") === "purchase" && col("seen_click") === 1L, 1L)
+          .otherwise(0L)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("seen_signup")) + max(col("seen_click")) + max(col("seen_purchase")))
+          .as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e1 AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER w AS seen_signup
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), e2 AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN event_type = 'click' AND seen_signup = 1 THEN 1 ELSE 0 END) OVER w AS seen_click
+      |  FROM e1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), e3 AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN event_type = 'purchase' AND seen_click = 1 THEN 1 ELSE 0 END) OVER w AS seen_purchase
+      |  FROM e2
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(MAX(seen_signup) + MAX(seen_click) + MAX(seen_purchase) AS BIGINT) AS funnel_stage
+      |FROM e3 GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q25_salted_join — the skew-mitigation join in the oracle-checked
+    * surface: orders ⋈ customer on custkey through `Skew.saltedJoin`
+    * (big side salted 8 ways by a deterministic row hash, small side
+    * replicated ×8), aggregated to revenue per nation. Salting is
+    * semantically invisible — the oracle is the PLAIN join — which is
+    * exactly the point: the salt only reshapes the shuffle so no single
+    * reducer owns a hot key. At 100 TB this is the declarative fallback
+    * when a known-skewed key distribution defeats AQE's post-hoc
+    * skew-join splitting (SURVEY.md §5). */
+  def q25SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val small = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    graft.core.Skew.saltedJoin(big, small, Seq("custkey"), salts = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q25SaltedJoinSql: String =
+    """SELECT c.c_nationkey, COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

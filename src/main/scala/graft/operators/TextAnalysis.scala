@@ -203,6 +203,34 @@ object TextAnalysis {
       |WHERE rk <= 20
       |ORDER BY source, rk""".stripMargin
 
+  /** sample_hash_split — deterministic train/val/test split: bucket =
+    * affine hash of the doc id mod 100, train < 80 ≤ val < 90 ≤ test.
+    * The split is a pure per-row expression — reproducible across runs,
+    * engines, and table layouts, and any future doc lands in a stable
+    * split (the property that matters when the corpus grows to 100 TB:
+    * re-splitting must never migrate training docs into the test set).
+    * Output is the per-(split, source) contingency with an exact id
+    * checksum so the oracle verifies the MEMBERSHIP, not just counts. */
+  def sampleHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("bucket", pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 100L)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("split"), col("source"))
+
+  val sampleHashSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, (doc_id * 2654435761 % 1000000007) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM b GROUP BY 1, 2
+      |ORDER BY split, source""".stripMargin
+
   /** text_ngram_topk — corpus n-gram statistics: top-k bigrams per
     * language (count all occurrences, deterministic tie-break on the
     * bigram itself). The corpus-frequency step of stopword/boilerplate

@@ -93,6 +93,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.filter(col("trail7_total") < col("day_total") - 1e-9).count() === 0)
   }
 
+  test("events_funnel: one row per user, stages monotone and grounded in events") {
+    val res = Analytics.eventsFunnel(spark, sf)
+    val ev = graft.core.Tables.events(spark, sf)
+    assert(res.count() === ev.select("user_id").distinct().count())
+    assert(res.filter(col("funnel_stage") < 0 || col("funnel_stage") > 3).count() === 0)
+    // a user at stage >= 1 must have at least one signup event
+    val signups = ev.filter(col("event_type") === "signup").select("user_id").distinct()
+    assert(res.filter(col("funnel_stage") >= 1).join(signups, Seq("user_id"), "left_anti")
+      .count() === 0)
+    // funnel property: |stage>=1| >= |stage>=2| >= |stage>=3|
+    val n = (1 to 3).map(k => res.filter(col("funnel_stage") >= k).count())
+    assert(n(0) >= n(1) && n(1) >= n(2))
+  }
+
+  test("q25_salted_join: equals the unsalted join-aggregate exactly") {
+    val res = Analytics.q25SaltedJoin(spark, sf)
+    val o = graft.core.Tables.orders(spark, sf)
+    val c = graft.core.Tables.customer(spark, sf)
+    val plain = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")) / 100d).as("revenue"))
+    assert(res.unionAll(plain).distinct().count() === plain.count())
+  }
+
   test("q21_grouping_sets: grand total row present, set flags consistent") {
     val res = Analytics.q21GroupingSets(spark, sf).collect()
     val grand = res.filter(r => r.getAs[Byte]("g_pri") == 1 && r.getAs[Byte]("g_status") == 1)

@@ -36,6 +36,32 @@ class CdcSpec extends SparkSpec {
     assert(res(1L) === total - planted)
   }
 
+  test("recon_bloom: probe finds exactly the divergent source rows (no false alarms)") {
+    val res = Reconcile.reconBloom(spark, sf)
+    val o = Tables.orders(spark, sf)
+    // divergent source rows = dropped keys + perturbed-value keys
+    val expected = o.filter(col("o_orderkey") % 1000 === 7 ||
+        (col("o_orderkey") % 500 === 3 && col("o_orderkey") % 1000 =!= 7))
+      .select("o_orderkey")
+    // every flagged key is truly divergent (bloom can miss, never lie)
+    assert(res.join(expected, Seq("o_orderkey"), "left_anti").count() === 0)
+    // at this scale (n << bits) the miss probability is ~0: full recall
+    assert(res.count() === expected.count())
+  }
+
+  test("stats_profile: one row per column, orderkey profile exact") {
+    val res = Reconcile.statsProfile(spark, sf).collect()
+    assert(res.length === 6)
+    val o = Tables.orders(spark, sf)
+    val k = res.find(_.getString(0) == "o_orderkey").get
+    assert(k.getAs[Long]("n_rows") === o.count())
+    assert(k.getAs[Long]("n_nulls") === 0L)
+    assert(k.getAs[Long]("n_distinct") === o.select("o_orderkey").distinct().count())
+    assert(k.getAs[Long]("max_v") === o.agg(max("o_orderkey")).first().getLong(0))
+    val s = res.find(_.getString(0) == "o_orderstatus").get
+    assert(s.isNullAt(s.fieldIndex("min_v")) && s.isNullAt(s.fieldIndex("max_v")))
+  }
+
   test("recon_row_diff: diff classes match the planted drift exactly") {
     val diffs = Reconcile.reconRowDiff(spark, sf)
     val byType = diffs.groupBy("diff_type").count().collect()

@@ -109,4 +109,17 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("sample_hash_split: splits partition the corpus near 80/10/10") {
+    val res = TextAnalysis.sampleHashSplit(spark, sf)
+    val total = graft.core.Tables.documents(spark, sf).count()
+    val bySplit = res.groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum === total)
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(trainFrac > 0.65 && trainFrac < 0.95)
+    // determinism: same doc always lands in the same split
+    val again = TextAnalysis.sampleHashSplit(spark, sf)
+    assert(res.unionAll(again).distinct().count() === res.count())
+  }
+
 }
