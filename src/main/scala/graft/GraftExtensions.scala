@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graftvec.{KmvDistinct, LshSignatures, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed}
+import org.apache.spark.sql.graftvec.{CollectCapped, KmvDistinct, LshSignatures, MinHashBands, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed, SimHash64, SortedPairs}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("... qdot(a, b) ...")`
@@ -53,6 +53,31 @@ object GraftExtensions {
         intArg(children(1), "lsh_sigs.tables"),
         intArg(children(2), "lsh_sigs.bits"),
         intArg(children(3), "lsh_sigs.dim"))),
+    (FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, null, "minhash_bands",
+        "minhash_bands(hs, numHashes, numBands, salt) - LSH band hashes of a shingle-hash array (affine-perm minhash minima folded per band)",
+        ""),
+      (children: Seq[Expression]) => MinHashBands(children(0),
+        intArg(children(1), "minhash_bands.numHashes"),
+        intArg(children(2), "minhash_bands.numBands"),
+        intArg(children(3), "minhash_bands.salt"))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64",
+        "simhash64(words, salt) - 64-bit SimHash of a words array via portable polyhash parity votes",
+        ""),
+      (children: Seq[Expression]) => SimHash64(children(0),
+        intArg(children(1), "simhash64.salt"))),
+    (FunctionIdentifier("sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, null, "sorted_pairs",
+        "sorted_pairs(ds) - all unordered (a < b) pairs over the distinct elements of a BIGINT array",
+        ""),
+      (children: Seq[Expression]) => SortedPairs(children.head)),
+    (FunctionIdentifier("collect_capped"),
+      new ExpressionInfo(classOf[CollectCapped].getName, null, "collect_capped",
+        "collect_capped(v, cap) - collect_list of BIGINTs capped at cap elements (bounded memory per group)",
+        ""),
+      (children: Seq[Expression]) => CollectCapped(children(0),
+        intArg(children(1), "collect_capped.cap")).toAggregateExpression()),
     (FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, null, "kmv_distinct",
         "kmv_distinct(h, k) - KMV approximate distinct count over a BIGINT hash column",

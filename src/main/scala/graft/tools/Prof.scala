@@ -34,7 +34,7 @@ object Prof {
     def want(n: String) = stages.isEmpty || stages(n)
     if (want("corpus")) time("corpus")(Dedup.corpus(spark, sfDir))
     if (want("corpusShingles")) time("corpusShingles")(Dedup.corpusShingles(spark, sfDir))
-    if (want("docShingles")) time("docShingles")(Dedup.docShingles(spark, sfDir))
+    if (want("rareShingleGroups")) time("rareShingleGroups")(Dedup.rareShingleGroups(spark, sfDir))
     if (want("jaccardPairs")) time("jaccardPairs")(Dedup.jaccardPairs(spark, sfDir))
     if (want("dupPairs")) time("dupPairs")(Dedup.dupPairs(spark, sfDir))
     if (want("clusters_full")) time("clusters_full")(Dedup.dedupClusters(spark, sfDir))
