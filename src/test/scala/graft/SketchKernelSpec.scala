@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftvec.MinHashExpressions._
+import org.apache.spark.sql.graftvec.SketchPerms
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Equivalence tests for the native sketch kernels against the
+  * declarative (exploded / wide-aggregate) formulations they replaced —
+  * parquet-backed input so codegen actually runs (literals would be
+  * constant-folded before the kernel is exercised). */
+class SketchKernelSpec extends SparkSpec {
+
+  private val P = SketchPerms.P
+
+  private def docsWithWords = {
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ws", TextFunctions.words(col("text")))
+  }
+
+  test("minhash_bands equals the exploded 64-min-aggregate + band fold") {
+    val numHashes = Dedup.NumHashes
+    val numBands = Dedup.NumBands
+    val rows = numHashes / numBands
+    val hashed = docsWithWords
+      .withColumn("hs", TextFunctions.shingles3HashedFromWords(col("ws")))
+      .filter(size(col("hs")) > 0)
+
+    val native = hashed
+      .select(col("doc_id"),
+        posexplode(minhashBands(col("hs"), numHashes, numBands)).as(Seq("band_id", "band_hash")))
+
+    val mins = (0 until numHashes).map { j =>
+      val (a, b) = SketchPerms.perm(j)
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$j")
+    }
+    val sigs = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      val combined = (b * rows until (b + 1) * rows)
+        .map(j => col(s"m$j"))
+        .reduce((acc, m) => pmod(acc * 1000003L + m, lit(P)))
+      struct(lit(b).as("band_id"), combined.as("band_hash"))
+    }
+    val declarative = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").cast("int").as("band_id"), col("bb.band_hash"))
+
+    assert(native.exceptAll(declarative).isEmpty && declarative.exceptAll(native).isEmpty)
+  }
+
+  test("simhash64 equals the exploded 64-bit-vote aggregate") {
+    val native = docsWithWords
+      .select(col("doc_id"), simhash64(col("ws"), Dedup.SimSalt).as("simhash"))
+
+    val toks = docsWithWords
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .withColumn("h", org.apache.spark.sql.graftvec.VectorExpressions.polyHash(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      val (a, b) = SketchPerms.perm(j + Dedup.SimSalt)
+      sum(when(pmod(col("h") * a + b, lit(P)).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val packed = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val declarative = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+
+    assert(native.exceptAll(declarative).isEmpty && declarative.exceptAll(native).isEmpty)
+  }
+
+  test("sorted_pairs emits every unordered pair of the distinct elements, sorted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(5L, 3L, 9L, 3L)), // dup element collapses
+      (2L, Seq(7L)), // singleton -> no pairs
+      (3L, Seq.empty[Long])
+    ).toDF("id", "ds")
+    val got = df.select(col("id"), explode(sortedPairs(col("ds"))).as("p"))
+      .select(col("id"), col("p.doc_a"), col("p.doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 5L), (1L, 3L, 9L), (1L, 5L, 9L)))
+  }
+
+  test("collect_capped: complete below the cap, truncated at the cap, exact count alongside") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i % 3, i.toLong)).toDF("g", "v")
+    val got = df.groupBy(col("g"))
+      .agg(collectCapped(col("v"), 4).as("ds"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+    got.foreach { case (_, ds, n) =>
+      assert(n === 10L) // true group size survives the cap
+      assert(ds.length === 4) // capped
+      assert(ds.distinct.length === 4)
+    }
+    val small = df.filter(col("v") <= 6).groupBy(col("g"))
+      .agg(collectCapped(col("v"), 4).as("ds"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).sorted, r.getLong(2)))
+    small.foreach { case (g, ds, n) =>
+      assert(n === 2L && ds.length === 2) // below cap: complete
+      assert(ds === (1 to 6).filter(_ % 3 == g).map(_.toLong).sorted)
+    }
+  }
+}
