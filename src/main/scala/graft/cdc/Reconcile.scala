@@ -178,11 +178,14 @@ object Reconcile {
   // lag_bytes).
 
   private def ledgerWithSlot(spark: SparkSession, dir: String): DataFrame = {
+    // The slot watermark is 3/4 of the global max key — and the global
+    // max is exactly max(completion_lsn) over the (≤10-row) ledger, so
+    // derive it with a window over the aggregate instead of a third
+    // full scan of orders.
     val ledger = CdcOps.batchLedger(spark, dir)
       .select(col("batch_id"), col("row_count"), col("completion_lsn"))
-    val slot = Tables.orders(spark, dir)
-      .agg(floor(max(col("o_orderkey")) * 3 / 4).cast("long").as("slot_lsn"))
-    ledger.crossJoin(broadcast(slot))
+    ledger.withColumn("slot_lsn",
+      floor(max(col("completion_lsn")).over(Window.partitionBy(lit(1))) * 3 / 4).cast("long"))
   }
 
   private val ledgerWithSlotSql =
@@ -359,12 +362,16 @@ object Reconcile {
     val positions = BloomPerms.map { case (a, b) =>
       pmod(pmod(col("base") * a + b, lit(1000000007L)), lit(BloomBits))
     }
+    // persisted: the K probe joins each broadcast a projection of this
+    // relation — without the cache each broadcast would rebuild the
+    // filter from a fresh scan of the target (K full passes)
     val bloom = tgt
       .select(explode(array(positions: _*)).as("pos"))
       .select((col("pos") / 63L).cast("long").as("word"),
         expr("shiftleft(1L, CAST(pos % 63 AS INT))").as("mask"))
       .groupBy(col("word"))
       .agg(expr("bit_or(mask)").as("bits"))
+      .persist()
     var probe = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
       .withColumn("base", bloomBase(col("o_orderkey"), col("o_totalprice")))
