@@ -139,6 +139,52 @@ object CdcOps {
       |GROUP BY 1
       |ORDER BY batch_id""".stripMargin
 
+  /** cdc_log_compaction — Kafka-style log compaction, windowed: within
+    * each 12-hour epoch-aligned window keep only the latest record per
+    * key, and report the per-window compaction audit (records in,
+    * survivors out, exact survivor-offset checksum). This is the
+    * changelog-retention planner's view: how much history a compacted
+    * topic actually retains per window.
+    *
+    * Scale shape: first aggregation shuffles on (window, key) with
+    * map-side combine — the same single-shuffle discipline as
+    * latest-state; the per-window rollup then reduces ≤ windows rows. */
+  def logCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val WinUs = 43200000000L // 12 h in epoch micros
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr(s"unix_micros(ts) div $WinUs").as("win")) // integer floor-div: a double divide could round across a window edge
+      .groupBy(col("win"), col("user_id"))
+      .agg(max(col("event_id")).as("last_event_id"), count(lit(1)).as("n"))
+      .groupBy(col("win"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_compacted"),
+        sum(col("last_event_id")).as("survivor_checksum"))
+      .withColumn("win_start", timestamp_micros(col("win") * WinUs))
+      .withColumn("compaction_ratio",
+        col("n_compacted").cast("double") / col("n_events"))
+      .select(col("win_start"), col("n_events"), col("n_compacted"),
+        col("survivor_checksum"), col("compaction_ratio"))
+      .orderBy(col("win_start"))
+  }
+
+  val logCompactionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 43200000000 AS win
+      |  FROM events
+      |), latest AS (
+      |  SELECT win, user_id, MAX(event_id) AS last_event_id, COUNT(*) AS n
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT make_timestamp(win * 43200000000) AS win_start,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  COUNT(*) AS n_compacted,
+      |  CAST(SUM(last_event_id) AS BIGINT) AS survivor_checksum,
+      |  CAST(COUNT(*) AS DOUBLE) / SUM(n) AS compaction_ratio
+      |FROM latest GROUP BY win
+      |ORDER BY win_start""".stripMargin
+
   /** cdc_dedup_events — exactly-once repair for at-least-once delivery:
     * the same change record may be delivered more than once (same offset);
     * keep exactly one copy per offset. Duplicate deliveries are simulated

@@ -170,6 +170,82 @@ object Reconcile {
       |FROM srcd FULL OUTER JOIN tgtd ON srcd.bucket = tgtd.bucket
       |ORDER BY bucket""".stripMargin
 
+  /** recon_merkle — hierarchical digest ladder (a two-level Merkle tree
+    * over the key space): 8 super-buckets, each covering 8 of the 64
+    * leaf buckets. The output is the probe transcript a divergence
+    * search would read: every super-bucket's digest pair, plus leaf
+    * digests ONLY under mismatched super-buckets. At 100 TB this is how
+    * divergence is LOCATED in O(log) probes instead of O(buckets):
+    * each level costs one tiny aggregate of the level below, and the
+    * leaf digests roll up from the SAME single scan per side (a
+    * digest-of-sums is a sum of digests — no second pass). */
+  def reconMerkle(spark: SparkSession, dir: String): DataFrame = {
+    val B = 64L // leaf buckets
+    val F = 8L // fanout: leaves per super-bucket
+    def leaves(df: DataFrame, cnt: String, dig: String): DataFrame =
+      df.withColumn("bucket", pmod(col("o_orderkey"), lit(B)))
+        .withColumn("rd", rowDigest(col("o_orderkey"), col("o_totalprice")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dig))
+    val leaf = leaves(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+        "src_count", "src_digest")
+      .join(leaves(driftedTarget(spark, dir), "tgt_count", "tgt_digest"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("src_count"), lit(0L)).as("src_count"),
+        coalesce(col("tgt_count"), lit(0L)).as("tgt_count"),
+        coalesce(col("src_digest"), lit(0L)).as("src_digest"),
+        coalesce(col("tgt_digest"), lit(0L)).as("tgt_digest"))
+      .persist() // feeds the rollup and the drill-down
+    val isMatch = col("src_count") === col("tgt_count") &&
+      col("src_digest") === col("tgt_digest")
+    val sup = leaf.groupBy(expr(s"bucket div $F").as("bucket"))
+      .agg(sum(col("src_count")).as("src_count"), sum(col("tgt_count")).as("tgt_count"),
+        sum(col("src_digest")).as("src_digest"), sum(col("tgt_digest")).as("tgt_digest"))
+    val badSup = sup.filter(!isMatch).select(col("bucket").as("sup"))
+    val drill = leaf.withColumn("sup", expr(s"bucket div $F"))
+      .join(broadcast(badSup), Seq("sup"))
+      .drop("sup")
+    sup.withColumn("level", lit(0))
+      .unionByName(drill.withColumn("level", lit(1)))
+      .withColumn("node_match", isMatch)
+      .select(col("level"), col("bucket"), col("src_count"), col("tgt_count"),
+        col("src_digest"), col("tgt_digest"), col("node_match"))
+      .orderBy(col("level"), col("bucket"))
+  }
+
+  lazy val reconMerkleSql: String = {
+    val rd = """(o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007"""
+    s"""WITH tgt AS ($driftedTargetSql),
+      |srcd AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS c, CAST(SUM($rd) AS BIGINT) AS d
+      |  FROM orders GROUP BY 1),
+      |tgtd AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS c, CAST(SUM($rd) AS BIGINT) AS d
+      |  FROM tgt GROUP BY 1),
+      |leaf AS (
+      |  SELECT COALESCE(srcd.bucket, tgtd.bucket) AS bucket,
+      |    COALESCE(srcd.c, 0) AS src_count, COALESCE(tgtd.c, 0) AS tgt_count,
+      |    COALESCE(srcd.d, 0) AS src_digest, COALESCE(tgtd.d, 0) AS tgt_digest
+      |  FROM srcd FULL OUTER JOIN tgtd ON srcd.bucket = tgtd.bucket),
+      |sup AS (
+      |  SELECT bucket // 8 AS bucket,
+      |    CAST(SUM(src_count) AS BIGINT) AS src_count, CAST(SUM(tgt_count) AS BIGINT) AS tgt_count,
+      |    CAST(SUM(src_digest) AS BIGINT) AS src_digest, CAST(SUM(tgt_digest) AS BIGINT) AS tgt_digest
+      |  FROM leaf GROUP BY 1),
+      |bad AS (SELECT bucket FROM sup
+      |  WHERE NOT (src_count = tgt_count AND src_digest = tgt_digest))
+      |SELECT 0 AS level, bucket, src_count, tgt_count, src_digest, tgt_digest,
+      |  src_count = tgt_count AND src_digest = tgt_digest AS node_match
+      |FROM sup
+      |UNION ALL
+      |SELECT 1, leaf.bucket, src_count, tgt_count, src_digest, tgt_digest,
+      |  src_count = tgt_count AND src_digest = tgt_digest
+      |FROM leaf JOIN bad ON leaf.bucket // 8 = bad.bucket
+      |ORDER BY level, bucket""".stripMargin
+  }
+
   // ---- batch replication status family ----------------------------------
   // Ledger batches = key-space deciles (CdcOps.batchLedger); the slot's
   // confirmed_flush_lsn analog is a deterministic watermark at 75% of the

@@ -424,6 +424,55 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(corpus(spark, dir))
 
+  // ---- Benchmark decontamination ------------------------------------------
+
+  /** dedup_decontaminate — eval-set decontamination, the training-data
+    * hygiene step run before every pretraining job: flag training docs
+    * that share ≥ 3 distinct 3-gram shingles with any EVAL document, so
+    * benchmark text never leaks into the training mix. Eval set here =
+    * base docs with doc_id % 10 == 0 (whose planted near/exact copies in
+    * the corpus are exactly the leaks the op must catch); training pool =
+    * the rest of the planted corpus.
+    *
+    * Scale shape (100 TB): the eval side is tiny by construction
+    * (benchmarks are MBs, corpora are TBs) — its distinct shingle set
+    * broadcasts, so the training side is a scan + broadcast semi-probe +
+    * per-doc count, never a shuffle of the full corpus shingle set.
+    * n_sh (the doc's own rare-free shingle count) rides along from the
+    * same scan, so the overlap ratio costs nothing extra. */
+  def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") < 1000000L && col("doc_id") % 10 === 0
+    // per-doc shingle count from the array BEFORE the explode (map-only) —
+    // a count window over the exploded rows would shuffle the full
+    // training shingle set just to annotate it
+    val docsH = corpus(spark, dir)
+      .withColumn("hs", shingles3HashedFromWords(words(col("text"))))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
+    val evalSh = docsH.filter(isEval).select(col("h")).distinct()
+    docsH.filter(!isEval)
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"), max(col("n_sh")).as("n_sh"))
+      .filter(col("n_overlap") >= 3)
+      .withColumn("overlap_ratio", col("n_overlap").cast("double") / col("n_sh"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupDecontaminateSql: String =
+    s"""WITH $shinglesCtes,
+      |eval_sh AS (
+      |  SELECT DISTINCT h FROM sh WHERE doc_id < 1000000 AND doc_id % 10 = 0
+      |),
+      |train AS (
+      |  SELECT doc_id, h, COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+      |  FROM sh WHERE NOT (doc_id < 1000000 AND doc_id % 10 = 0)
+      |)
+      |SELECT doc_id, COUNT(*) AS n_overlap, MAX(n_sh) AS n_sh,
+      |  CAST(COUNT(*) AS DOUBLE) / MAX(n_sh) AS overlap_ratio
+      |FROM train JOIN eval_sh USING (h)
+      |GROUP BY doc_id HAVING COUNT(*) >= 3
+      |ORDER BY doc_id""".stripMargin
+
   // ---- Duplicate clustering (connected components) ------------------------
 
   /** Connected components over an undirected pair set (doc_a, doc_b) →

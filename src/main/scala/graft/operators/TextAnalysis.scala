@@ -275,6 +275,103 @@ object TextAnalysis {
       |WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
 
+  /** text_repetition — Gopher-style repetition metrics per document, the
+    * "dull generated/looping text" filter of a pretraining pipeline:
+    * distinct-word ratio and the most-frequent-bigram fraction, with a
+    * CASE repetition class (REPETITIVE on low vocabulary diversity,
+    * LOOPY when one bigram dominates). Per-doc bigram counting is one
+    * explode + two map-side-combining aggregations; ratios are single
+    * IEEE divisions of integers, so both engines compute identical
+    * doubles. Docs under 2 words have no bigram and are excluded
+    * (matching the oracle's len(ws) >= 2). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    docs
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"), col("bigram"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"))
+      .agg(max(col("bn")).as("top_bigram_n"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_words"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") / (col("n_words") - 1))
+      .withColumn("rep_class",
+        when(col("distinct_ratio") < 0.5, "REPETITIVE")
+          .when(col("top_bigram_frac") > 0.1, "LOOPY")
+          .otherwise("OK"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+      |), base AS (
+      |  SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM toks WHERE len(ws) >= 2
+      |), bc AS (
+      |  SELECT doc_id, n_words, n_distinct, bigram, COUNT(*) AS bn
+      |  FROM base GROUP BY 1, 2, 3, 4
+      |), top AS (
+      |  SELECT doc_id, n_words, n_distinct, MAX(bn) AS top_bigram_n
+      |  FROM bc GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, n_words, n_distinct, top_bigram_n,
+      |  CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+      |  CAST(top_bigram_n AS DOUBLE) / (n_words - 1) AS top_bigram_frac,
+      |  CASE WHEN CAST(n_distinct AS DOUBLE) / n_words < 0.5 THEN 'REPETITIVE'
+      |       WHEN CAST(top_bigram_n AS DOUBLE) / (n_words - 1) > 0.1 THEN 'LOOPY'
+      |       ELSE 'OK' END AS rep_class
+      |FROM top
+      |ORDER BY doc_id""".stripMargin
+
+  /** sample_weighted — deterministic domain-mixture sampling: each source
+    * gets a target keep-rate (the training-mix weight — src{N} keeps
+    * (N mod 4 + 1)/4 of its docs here), and a doc survives iff its affine
+    * id hash lands under the source's threshold. The per-row decision is
+    * pure arithmetic: reproducible across runs/engines/layouts, stable
+    * under corpus growth (a new doc never flips an old doc's membership),
+    * and embarrassingly parallel — the mix step of a 100 TB pipeline is
+    * a filter at scan speed, no shuffle until the audit aggregate.
+    * Output is the per-source audit: kept counts vs quota and an exact
+    * id checksum of the kept set (membership, not just counts). */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val srcN = regexp_extract(col("source"), "src(\\d+)", 1).cast("long")
+    val threshold = (srcN % 4L + 1L) * 250L // of 1000
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("thr", threshold)
+      .withColumn("kept", pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 1000L < col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("thr")).as("keep_per_mille"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val sampleWeightedSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    (CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) % 4 + 1) * 250 AS thr,
+      |    (doc_id * 2654435761 % 1000000007) % 1000 AS bucket
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  MAX(thr) AS keep_per_mille,
+      |  CAST(SUM(CASE WHEN bucket < thr THEN doc_id END) AS BIGINT) AS kept_id_checksum
+      |FROM b GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** pipeline_manifest — the end-to-end training-data pipeline as one
     * composed query: scrub (lowercase + URL/e-mail strip + whitespace
     * collapse) → quality gate (n_words ≥ 40, stopword ratio ≤ 0.12) →
