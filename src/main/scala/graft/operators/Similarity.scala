@@ -280,6 +280,141 @@ object Similarity {
       |ORDER BY query_id, knn_rank""".stripMargin
   }
 
+  // ---- Product quantization (PQ) ANN --------------------------------------
+
+  val PqSub = 8 // subspaces
+  val PqDim = 8 // dims per subspace (PqSub * PqDim = Dim)
+  val PqCentMod = 25 // codebook entries: vec_id % 25 == 0 (sample density scales with corpus)
+  val PqShortlist = 50 // ADC candidates per query before exact re-rank
+
+  /** knn_pq — product-quantization ANN with exact re-rank: split each
+    * vector into 8 subvectors of 8 dims; the codebook per subspace is a
+    * deterministic corpus sample (as with IVF, the iterative k-means
+    * refinement would run offline at deployment); every vector is
+    * encoded as its 8 nearest-codeword ids (argmin quantized squared L2
+    * per subspace); queries rank the corpus by ADC — the sum of per-
+    * subspace distances to the CODEWORDS, not the vectors — then the
+    * ADC top-20 shortlist is exact-re-ranked by true quantized cosine.
+    *
+    * Everything is exact long arithmetic: per-subspace squared L2 is
+    * snrm_a + snrm_b − 2·qdot(a,b) of the 1e-9-quantized products, so
+    * the DuckDB oracle replays codes, ADC scores, and the final ranking
+    * bit-for-bit.
+    *
+    * Scale shape (100 TB): codes are 8 small ints per vector versus a
+    * 256-byte raw vector — the ADC scan reads ~32× less than brute
+    * force, and encoding is a broadcast map-side pass (C=16 codewords)
+    * plus one (vec, subspace)-keyed aggregation. The declarative ADC
+    * here materializes Q×N×M rows; a production kernel would fold the
+    * per-query distance LUT into one native expression (the
+    * LshSignatures pattern), which changes cost, not results. */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    // per-(vector, subspace) slice + its quantized squared norm
+    def subsOf(df: DataFrame, idAs: String): DataFrame = {
+      val parts = (0 until PqSub).map { m =>
+        struct(lit(m).as("m"), slice(col("v"), m * PqDim + 1, PqDim).as("sv"))
+      }
+      df.select(col("vec_id").as(idAs), explode(array(parts: _*)).as("p"))
+        .select(col(idAs), col("p.m").as("m"), col("p.sv").as("sv"))
+        .withColumn("snrm", qdot(col("sv"), col("sv")))
+    }
+    val subs = subsOf(e, "vec_id").persist() // feeds encoding, codebook, and query sides
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0)
+      .select(col("vec_id").as("cent_id"), col("m"),
+        col("sv").as("cv"), col("snrm").as("cnrm"))
+    // encode: nearest codeword per (vector, subspace); min(struct) keeps
+    // the argmin with a deterministic cent_id tiebreak, map-side combined
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cent_id").as("code"))
+    // ADC: distance from each query subvector to each vector's CODEWORD
+    val qsubs = subs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("sv").as("qv_s"), col("snrm").as("qnrm_s"))
+    val adc = codes
+      .join(broadcast(qsubs), Seq("m"))
+      .join(broadcast(cb.select(col("m"), col("cent_id").as("code"),
+        col("cv"), col("cnrm"))), Seq("m", "code"))
+      .withColumn("d2", col("qnrm_s") + col("cnrm") - lit(2L) * qdot(col("qv_s"), col("cv")))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"), count(lit(1)).as("nm"))
+      .filter(col("nm") === PqSub && col("vec_id") =!= col("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+    val shortlist = adc.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PqShortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // exact re-rank of the shortlist
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(wK))
+      .filter(col("knn_rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
+
+  /** DuckDB oracle for knn_pq: replay subvector slices, codeword
+    * assignment, ADC sums, and the exact re-rank — all in the same
+    * quantized-long domain. */
+  lazy val knnPqSql: String = {
+    val subDot = dotSql("s.sv", "c.cv")
+    val qDot = dotSql("q.sv", "c.cv")
+    s"""WITH e AS ($vecsSql),
+      |subs AS (
+      |  SELECT vec_id, m, list_slice(embedding, m * $PqDim + 1, (m + 1) * $PqDim) AS sv
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS m)
+      |),
+      |subn AS (
+      |  SELECT vec_id, m, sv,
+      |    ${dotSql("sv", "sv")} AS snrm
+      |  FROM subs
+      |),
+      |cb AS (SELECT vec_id AS cent_id, m, sv AS cv, snrm AS cnrm FROM subn
+      |       WHERE vec_id % $PqCentMod = 0),
+      |codes AS (
+      |  SELECT vec_id, m, cent_id AS code FROM (
+      |    SELECT s.vec_id, s.m, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY s.snrm + c.cnrm - 2 * ($subDot), c.cent_id) AS rnk
+      |    FROM subn s JOIN cb c ON s.m = c.m)
+      |  WHERE rnk = 1
+      |),
+      |adc AS (
+      |  SELECT q.vec_id AS query_id, t.vec_id,
+      |    CAST(SUM(q.snrm + c.cnrm - 2 * ($qDot)) AS BIGINT) AS adc_d2
+      |  FROM codes t
+      |  JOIN subn q ON q.m = t.m AND q.vec_id % 100 = 0
+      |  JOIN cb c ON c.m = t.m AND c.cent_id = t.code
+      |  WHERE t.vec_id <> q.vec_id
+      |  GROUP BY 1, 2
+      |),
+      |shortlist AS (
+      |  SELECT query_id, vec_id AS neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc_d2, vec_id) AS adc_rank
+      |    FROM adc)
+      |  WHERE adc_rank <= $PqShortlist
+      |),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |  FROM shortlist JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id
+      |)
+      |SELECT query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank,
+      |  cos_sim
+      |FROM scored
+      |QUALIFY knn_rank <= $K
+      |ORDER BY query_id, knn_rank""".stripMargin
+  }
+
   /** embed_centroids — per-label mean embedding (the IVF/k-means
     * "train the coarse quantizer" step as a batch op): per-dimension
     * exact quantized sums (longs — order-independent), floor-divided by

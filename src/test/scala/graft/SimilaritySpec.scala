@@ -40,6 +40,23 @@ class SimilaritySpec extends SparkSpec {
     val hits = brute.count { case (q, n1) => lsh.get(q).exists(_.contains(n1)) }
     assert(hits * 10 >= brute.size * 3, s"recall@1 $hits/${brute.size}")
   }
+  test("knn_pq: recall@5 well above chance for every query") {
+    // PQ approximates BOTH sides of the distance through 8 codewords, so
+    // on this near-random corpus exact-top-1 recall is not its contract —
+    // top-5 overlap with the exact top-5 is (chance: 5·5/N ≈ 0.05/query).
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val pq = Similarity.knnPq(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(pq.keySet === brute.keySet)
+    val overlaps = brute.map { case (q, bs) => pq(q).intersect(bs).size }
+    assert(overlaps.forall(_ >= 1), s"some query had zero overlap: $overlaps")
+    assert(overlaps.sum >= brute.size, s"mean overlap below 1: $overlaps")
+    pq.values.foreach(ns => assert(ns.size == Similarity.K))
+  }
+
   test("mm_doc_embed: join is complete (every doc has its embedding row)") {
     val res = Similarity.mmDocEmbed(spark, sf)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
