@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graftvec.{CollectCapped, KmvDistinct, LshSignatures, MinHashBands, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed, SimHash64, SortedPairs}
+import org.apache.spark.sql.graftvec.{CollectCapped, KmvDistinct, LshSignatures, MinHashBands, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed, SimHash64, SortedPairs, TopBigramCount}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("... qdot(a, b) ...")`
@@ -72,6 +72,11 @@ object GraftExtensions {
         "sorted_pairs(ds) - all unordered (a < b) pairs over the distinct elements of a BIGINT array",
         ""),
       (children: Seq[Expression]) => SortedPairs(children.head)),
+    (FunctionIdentifier("top_bigram_count"),
+      new ExpressionInfo(classOf[TopBigramCount].getName, null, "top_bigram_count",
+        "top_bigram_count(words) - occurrence count of the most frequent adjacent-word bigram",
+        ""),
+      (children: Seq[Expression]) => TopBigramCount(children.head)),
     (FunctionIdentifier("collect_capped"),
       new ExpressionInfo(classOf[CollectCapped].getName, null, "collect_capped",
         "collect_capped(v, cap) - collect_list of BIGINTs capped at cap elements (bounded memory per group)",

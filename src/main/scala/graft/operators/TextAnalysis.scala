@@ -285,21 +285,17 @@ object TextAnalysis {
     * doubles. Docs under 2 words have no bigram and are excluded
     * (matching the oracle's len(ws) >= 2). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // every metric is row-local: the top-bigram count runs as one native
+    // kernel (graftvec.TopBigramCount) instead of explode-bigrams → two
+    // corpus-wide shuffles — the whole operator is map-only + final sort
+    Tables.documents(spark, dir)
       .withColumn("ws", words(col("text")))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         size(col("ws")).as("n_words"),
         size(array_distinct(col("ws"))).as("n_distinct"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
-    docs
-      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"), col("bigram"))
-      .agg(count(lit(1)).as("bn"))
-      .groupBy(col("doc_id"), col("n_words"), col("n_distinct"))
-      .agg(max(col("bn")).as("top_bigram_n"))
+        org.apache.spark.sql.graftvec.MinHashExpressions
+          .topBigramCount(col("ws")).as("top_bigram_n"))
       .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_words"))
       .withColumn("top_bigram_frac",
         col("top_bigram_n").cast("double") / (col("n_words") - 1))

@@ -275,6 +275,58 @@ object PairOps {
   }
 }
 
+/** Count of the most frequent word bigram in a words array — the core
+  * of the Gopher-style repetition filter. A per-document value, so
+  * computing it via explode-bigrams → groupBy(doc, bigram) → max is two
+  * full shuffles of the corpus token stream for something one row-local
+  * hash count answers; this kernel keeps the whole metric map-side.
+  * Bigrams join adjacent elements with a single space, nulls skipped
+  * pairwise exactly as the `zip_with(concat_ws)` form. Returns 0 for
+  * arrays shorter than 2. */
+case class TopBigramCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_bigram_count"
+
+  override def nullSafeEval(v: Any): Any =
+    BigramOps.topCount(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ws => {
+      val ops = "org.apache.spark.sql.graftvec.BigramOps$.MODULE$"
+      s"${ev.value} = $ops.topCount($ws);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramOps {
+  private val Space = UTF8String.fromString(" ")
+
+  def topCount(ws: ArrayData): Long = {
+    val n = ws.numElements()
+    if (n < 2) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = if (ws.isNullAt(i)) null else ws.getUTF8String(i)
+      val b = if (ws.isNullAt(i + 1)) null else ws.getUTF8String(i + 1)
+      val bg = UTF8String.concatWs(Space, a, b)
+      val prev = counts.get(bg)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(bg, Integer.valueOf(c))
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+}
+
 /** collect_list capped at `cap` elements — the scale-safe collect for
   * bucket-join candidate generation: a group larger than the bucket cap
   * is dropped by the caller anyway (boilerplate bucket), so elements
@@ -379,6 +431,9 @@ object MinHashExpressions {
 
   def sortedPairs(ds: Column): Column =
     ExpressionUtils.column(SortedPairs(ExpressionUtils.expression(ds)))
+
+  def topBigramCount(ws: Column): Column =
+    ExpressionUtils.column(TopBigramCount(ExpressionUtils.expression(ws)))
 
   def collectCapped(c: Column, cap: Int): Column =
     ExpressionUtils.column(CollectCapped(ExpressionUtils.expression(c), cap)
