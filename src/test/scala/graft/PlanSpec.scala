@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
 import graft.core.Skew
 
 /** Plan-shape regression tests: the scale properties claimed in
@@ -72,6 +72,46 @@ class PlanSpec extends SparkSpec {
 
   private def ph2(s: String): Long =
     s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 131 + (b & 0xFF)) % 1000000007L)
+
+  test("dedup_decontaminate: eval probe broadcasts, no sort-merge join") {
+    val p = plan(Dedup.dedupDecontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("dedup sketches run as single native kernel nodes") {
+    assert(plan(Dedup.dedupMinhash(spark, sf)).contains("minhash_bands("))
+    assert(plan(Dedup.dedupSimhash(spark, sf)).contains("simhash64("))
+  }
+
+  test("text_repetition is map-only up to the presentation sort") {
+    val p = plan(TextAnalysis.textRepetition(spark, sf))
+    assert(p.contains("top_bigram_count("))
+    // the only exchange is the final sort's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("new sketch functions are SQL-callable") {
+    GraftExtensions.register(spark)
+    val tb = spark.sql("SELECT top_bigram_count(array('a','b','a','b','a')) AS t")
+      .collect()(0).getLong(0)
+    assert(tb === 2L) // 'a b' occurs twice
+    val nb = spark.sql(
+      "SELECT size(minhash_bands(array(CAST(1 AS BIGINT), CAST(9 AS BIGINT)), 64, 32, 0)) AS n")
+      .collect()(0).getInt(0)
+    assert(nb === 32)
+    val sh1 = spark.sql("SELECT simhash64(array('a','b'), 100) AS s").collect()(0).getLong(0)
+    val sh2 = spark.sql("SELECT simhash64(array('a','b'), 100) AS s").collect()(0).getLong(0)
+    assert(sh1 === sh2)
+    val pr = spark.sql(
+      "SELECT element_at(sorted_pairs(array(CAST(3 AS BIGINT), CAST(1 AS BIGINT))), 1) AS p")
+      .collect()(0).getStruct(0)
+    assert(pr.getLong(0) === 1L && pr.getLong(1) === 3L)
+    val cc = spark.sql(
+      "SELECT size(collect_capped(CAST(id AS BIGINT), 5)) AS n FROM range(100)")
+      .collect()(0).getInt(0)
+    assert(cc === 5)
+  }
 
   test("q19: range join broadcasts the ledger side (no shuffle of the fact side)") {
     val p = plan(Analytics.q19RangeJoin(spark, sf))
