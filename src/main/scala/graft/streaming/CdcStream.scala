@@ -109,7 +109,7 @@ object CdcStream {
     // checkpoint, so this does not affect batch queries in the session.
     // A real deployment sizes this to live-key volume, not CPU count.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
     // Offset/commit logs and state-store versions fsync per micro-batch;
     // for an ephemeral replay put the checkpoint on tmpfs when present
     // (a durable deployment points this at reliable storage instead).
