@@ -46,6 +46,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash64 is order-invariant; minhash_bands are order-invariant and subset-bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.MinHashExpressions._
+    val wordsGen = Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
+    for (seed <- 1 to 5) {
+      val ws = sample(wordsGen, seed)
+      val perm = sample(wordsGen, seed) // same multiset, then shuffled below
+      val shuffled = scala.util.Random.javaRandomToRandom(new java.util.Random(seed)).shuffle(perm)
+      val df = Seq((ws, shuffled)).toDF("a", "b")
+        .select(simhash64(col("a"), 100).as("sa"), simhash64(col("b"), 100).as("sb"))
+        .collect()(0)
+      // SimHash is a bag-of-words sketch: word order cannot change it
+      assert(df.getLong(0) === df.getLong(1), s"seed $seed")
+    }
+    val hsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 1000000006L))
+    for (seed <- 1 to 5) {
+      val hs = sample(hsGen, seed)
+      val shuffled = scala.util.Random.javaRandomToRandom(new java.util.Random(seed)).shuffle(hs)
+      val r = Seq((hs, shuffled, hs ++ shuffled)).toDF("a", "b", "u")
+        .select(minhashBands(col("a"), 64, 32, 0).as("ba"),
+          minhashBands(col("b"), 64, 32, 0).as("bb"),
+          minhashBands(col("u"), 64, 32, 0).as("bu"))
+        .collect()(0)
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"seed $seed order")
+      // a ∪ a-permuted has the same distinct set -> identical bands
+      assert(r.getSeq[Long](0) === r.getSeq[Long](2), s"seed $seed union")
+    }
+  }
+
+  test("sorted_pairs emits exactly C(n,2) pairs of the distinct set (random arrays)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.MinHashExpressions.sortedPairs
+    val dsGen = Gen.listOfN(12, Gen.chooseNum(1L, 8L))
+    for (seed <- 1 to 8) {
+      val ds = sample(dsGen, seed)
+      val rows = Seq(Tuple1(ds)).toDF("ds")
+        .select(explode(sortedPairs(col("ds"))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val d = ds.distinct.sorted
+      val expected = for { i <- d.indices; j <- i + 1 until d.size } yield (d(i), d(j))
+      assert(rows.toSeq.sorted === expected.sorted, s"seed $seed")
+    }
+  }
+
   test("saltedJoin is equivalent to plain join for any salt count (random data)") {
     import spark.implicits._
     val bigGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0, 100)))

@@ -58,6 +58,33 @@ class SourcesSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("JsonlSource: shard read, corrupt-line quarantine, shard ledger") {
+    import graft.sources.JsonlSource
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.write(dir.resolve("shard00.jsonl"),
+      ("""{"doc_id":1,"text":"hello world","source":"src0","lang":"en"}""" + "\n" +
+       """{"doc_id":2,"text":"more text","source":"src1","lang":"de"}""" + "\n").getBytes)
+    java.nio.file.Files.write(dir.resolve("shard01.jsonl"),
+      ("""{"doc_id":3,"text":"fine","source":"src0","lang":"en"}""" + "\n" +
+       """{"doc_id":"not-a-number","text":"bad id","source":"src1","lang":"en"}""" + "\n" +
+       """{torn line""" + "\n").getBytes)
+    val corpus = JsonlSource.readCorpus(spark, dir.toString)
+    val clean = JsonlSource.cleanDocs(corpus)
+    assert(clean.count() === 3)
+    assert(clean.filter(col("doc_id") === 3).select("text").collect()(0).getString(0) === "fine")
+    val ledger = JsonlSource.shardLedger(corpus).collect()
+      .map(r => r.getAs[String]("shard") ->
+        (r.getAs[Long]("row_count"), r.getAs[Long]("corrupt_rows"), r.getAs[String]("status"))).toMap
+    assert(ledger("shard00") === ((2L, 0L, "COMPLETED")))
+    assert(ledger("shard01")._2 >= 1L && ledger("shard01")._3 === "FAILED")
+    // the corrupt raw lines are preserved for repair (a data column must
+    // ride along: Spark disallows querying ONLY the corrupt column from
+    // raw JSON)
+    val corrupt = corpus.filter(col("_corrupt").isNotNull).select("doc_id", "_corrupt")
+      .collect().map(_.getString(1))
+    assert(corrupt.exists(_.contains("torn line")))
+  }
+
   test("FeedSource: reads batch feed files, ledger counts + corrupt quarantine") {
     val dir = java.nio.file.Files.createTempDirectory("graft-feeds")
     java.nio.file.Files.writeString(dir.resolve("orders_batch_1.csv"),
