@@ -32,10 +32,15 @@ object Bench {
       val ts = if (two.isEmpty || two.min > 1.0) two ++ Seq(once(fn)).filter(_ >= 0) else two
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the line COMPACT (3-decimal values): with 75+ queries, full
+    // double precision pushed the line past the harness's output-tail
+    // window and it was captured cut mid-line (unparseable) in rounds 1-3.
+    def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v) // locale-proof decimal point
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,7 +79,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => TopBigramCount(children.head)),
     (FunctionIdentifier("collect_capped"),
       new ExpressionInfo(classOf[CollectCapped].getName, null, "collect_capped",
-        "collect_capped(v, cap) - collect_list of BIGINTs capped at cap elements (bounded memory per group)",
+        "collect_capped(v, cap) - collect_list of BIGINTs capped at cap elements (bounded memory per group). " +
+          "Once a group exceeds cap, WHICH elements survive is partition-order dependent (nondeterministic run to run); " +
+          "pair with count(*) and treat groups where count > cap as truncated (graft's dedup pipelines discard them).",
         ""),
       (children: Seq[Expression]) => CollectCapped(children(0),
         intArg(children(1), "collect_capped.cap")).toAggregateExpression()),

@@ -153,7 +153,11 @@ object CdcOps {
     val WinUs = 43200000000L // 12 h in epoch micros
     Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        expr(s"unix_micros(ts) div $WinUs").as("win")) // integer floor-div: a double divide could round across a window edge
+        // True floor division (pmod is non-negative): `x div n` truncates
+        // toward zero, which would disagree with the oracle's `//` floor
+        // for pre-epoch timestamps. A double divide could round across a
+        // window edge, so stay in exact integer arithmetic.
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), $WinUs)) div $WinUs").as("win"))
       .groupBy(col("win"), col("user_id"))
       .agg(max(col("event_id")).as("last_event_id"), count(lit(1)).as("n"))
       .groupBy(col("win"))

@@ -400,7 +400,10 @@ object Dedup {
     import org.apache.spark.sql.graftvec.MinHashExpressions.simhash64
     val sigs = docs
       .withColumn("ws", words(col("text")))
-      .filter(col("ws").isNotNull) // null text has no signature (explode semantics)
+      // Explode semantics: null AND empty word arrays produce no signature.
+      // (SimHash64 over an empty array would be 0 for every such doc —
+      // they would all band-match each other.) size(null) is null → filtered.
+      .filter(size(col("ws")) > 0)
       .select(col("doc_id"), simhash64(col("ws"), SimSalt).as("simhash"))
       .persist()
     val bandCols = (0 until 4).map { k =>

@@ -294,7 +294,8 @@ object Similarity {
     * encoded as its 8 nearest-codeword ids (argmin quantized squared L2
     * per subspace); queries rank the corpus by ADC — the sum of per-
     * subspace distances to the CODEWORDS, not the vectors — then the
-    * ADC top-20 shortlist is exact-re-ranked by true quantized cosine.
+    * ADC top-`PqShortlist` (50) shortlist is exact-re-ranked by true
+    * quantized cosine.
     *
     * Everything is exact long arithmetic: per-subspace squared L2 is
     * snrm_a + snrm_b − 2·qdot(a,b) of the 1e-9-quantized products, so
@@ -303,8 +304,10 @@ object Similarity {
     *
     * Scale shape (100 TB): codes are 8 small ints per vector versus a
     * 256-byte raw vector — the ADC scan reads ~32× less than brute
-    * force, and encoding is a broadcast map-side pass (C=16 codewords)
-    * plus one (vec, subspace)-keyed aggregation. The declarative ADC
+    * force, and encoding is a broadcast map-side pass (the codebook is
+    * the N/`PqCentMod` sampled vectors per subspace — corpus-density
+    * sampled here; a deployed variant would train a fixed-C codebook
+    * offline) plus one (vec, subspace)-keyed aggregation. The declarative ADC
     * here materializes Q×N×M rows; a production kernel would fold the
     * per-query distance LUT into one native expression (the
     * LshSignatures pattern), which changes cost, not results. */

@@ -59,7 +59,7 @@ object JsonlSource {
         count(col("text")).as("text_rows"),
         count(col("source")).as("source_rows"),
         count(col("lang")).as("lang_rows"),
-        sum(length(col("text"))).as("text_bytes"))
+        sum(octet_length(col("text"))).as("text_bytes")) // UTF-8 bytes, not chars
       .withColumn("status",
         when(col("corrupt_rows") > 0, "FAILED").otherwise("COMPLETED"))
 }
