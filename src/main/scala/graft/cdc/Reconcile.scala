@@ -570,6 +570,168 @@ object Reconcile {
       |)
       |ORDER BY column_name""".stripMargin
 
+  // ---- Sampled reconciliation ---------------------------------------------
+
+  /** Keys kept by the deterministic reconciliation sample: an affine hash
+    * of the key mod `SampleMod` — each side filters independently at scan
+    * speed (no coordination, no shuffle), yet both sides keep the SAME
+    * keys, so missing-row detection works inside the sample. */
+  val SampleMod = 5L // 20% key sample
+
+  /** recon_sample — statistical reconciliation: run the row-by-row
+    * compare on a deterministic ~1/SampleMod key sample of BOTH sides and
+    * extrapolate the divergence rate. The cheap middle rung of the
+    * count → digest → sample → bucket → full-diff ladder: at 100 TB a
+    * full row diff shuffles the whole table, while the sampled diff
+    * shuffles 1/SampleMod of it for an unbiased divergence estimate
+    * (key-hash sampling is uncorrelated with the drift pattern).
+    * One summary row — always non-empty, cheap to alert on. */
+  def reconSample(spark: SparkSession, dir: String): DataFrame = {
+    def sampled(df: DataFrame) =
+      df.filter(col("o_orderkey") * 2654435761L % 1000000007L % SampleMod === 0L)
+    val s = sampled(Tables.orders(spark, dir))
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("src_amount"))
+    val t = sampled(driftedTarget(spark, dir))
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("tgt_amount"))
+    def diffIs(d: String) = sum(when(col("diff_type") === d, 1L).otherwise(0L))
+    s.join(t, Seq("key"), "full_outer")
+      .withColumn("diff_type",
+        when(col("tgt_amount").isNull, "missing_in_target")
+          .when(col("src_amount").isNull, "missing_in_source")
+          .when(col("src_amount") =!= col("tgt_amount"), "value_mismatch"))
+      .agg(
+        count(col("src_amount")).as("src_sampled"),
+        count(col("tgt_amount")).as("tgt_sampled"),
+        diffIs("missing_in_target").as("n_missing_in_target"),
+        diffIs("missing_in_source").as("n_missing_in_source"),
+        diffIs("value_mismatch").as("n_value_mismatch"))
+      .select(lit("orders").as("table_name"), lit(SampleMod).as("sample_mod"),
+        col("src_sampled"), col("tgt_sampled"),
+        col("n_missing_in_target"), col("n_missing_in_source"), col("n_value_mismatch"),
+        ((col("n_missing_in_target") + col("n_missing_in_source") + col("n_value_mismatch"))
+          * SampleMod).as("est_divergent_rows"))
+  }
+
+  val reconSampleSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |s AS (SELECT o_orderkey AS key, o_totalprice AS src_amount FROM orders
+      |      WHERE o_orderkey * 2654435761 % 1000000007 % $SampleMod = 0),
+      |t AS (SELECT o_orderkey AS key, o_totalprice AS tgt_amount FROM tgt
+      |      WHERE o_orderkey * 2654435761 % 1000000007 % $SampleMod = 0),
+      |j AS (
+      |  SELECT s.src_amount, t.tgt_amount,
+      |    CASE WHEN t.key IS NULL THEN 'missing_in_target'
+      |         WHEN s.key IS NULL THEN 'missing_in_source'
+      |         WHEN s.src_amount <> t.tgt_amount THEN 'value_mismatch' END AS diff_type
+      |  FROM s FULL OUTER JOIN t ON s.key = t.key
+      |)
+      |SELECT 'orders' AS table_name, $SampleMod AS sample_mod,
+      |  COUNT(src_amount) AS src_sampled, COUNT(tgt_amount) AS tgt_sampled,
+      |  CAST(SUM(CASE WHEN diff_type = 'missing_in_target' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_in_target,
+      |  CAST(SUM(CASE WHEN diff_type = 'missing_in_source' THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_in_source,
+      |  CAST(SUM(CASE WHEN diff_type = 'value_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_value_mismatch,
+      |  CAST(SUM(CASE WHEN diff_type IS NOT NULL THEN 1 ELSE 0 END) * $SampleMod AS BIGINT) AS est_divergent_rows
+      |FROM j""".stripMargin
+
+  // ---- Schema drift -------------------------------------------------------
+
+  /** recon_schema_drift — two-sided column-profile compare: profile every
+    * column of source and target in ONE scan per side (null count, exact
+    * distinct, min/max in a portable BIGINT domain — the stats_profile
+    * machinery), then full-outer join the profiles by column name and
+    * classify: MISSING_IN_TARGET / MISSING_IN_SOURCE (column-set drift —
+    * the target here materializes only the replicated 3-column
+    * projection) or VALUES_DRIFT / MATCH (per-column stats compare).
+    * This is the pre-diff probe a reconciliation pipeline runs on every
+    * sync: schema changes and value drift surface at scan cost, before
+    * any row-level work is scheduled. */
+  def reconSchemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    def dist(c: String) = count_distinct(col(c))
+    // src: 5 profiled columns; tgt: the 3 replicated ones
+    val src = Tables.orders(spark, dir).agg(
+      count(lit(1)).as("rows"),
+      nulls("o_orderkey").as("k_n"), dist("o_orderkey").as("k_d"),
+      min(col("o_orderkey")).as("k_mn"), max(col("o_orderkey")).as("k_mx"),
+      nulls("o_custkey").as("c_n"), dist("o_custkey").as("c_d"),
+      min(col("o_custkey")).as("c_mn"), max(col("o_custkey")).as("c_mx"),
+      nulls("o_totalprice").as("p_n"), dist("o_totalprice").as("p_d"),
+      min(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("p_mn"),
+      max(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("p_mx"),
+      nulls("o_orderdate").as("d_n"), dist("o_orderdate").as("d_d"),
+      min(unix_micros(col("o_orderdate").cast("timestamp"))).as("d_mn"),
+      max(unix_micros(col("o_orderdate").cast("timestamp"))).as("d_mx"),
+      nulls("o_orderstatus").as("s_n"), dist("o_orderstatus").as("s_d"))
+      .selectExpr(
+        """stack(5,
+          |  'o_orderkey',    rows, k_n, k_d, k_mn, k_mx,
+          |  'o_custkey',     rows, c_n, c_d, c_mn, c_mx,
+          |  'o_totalprice',  rows, p_n, p_d, p_mn, p_mx,
+          |  'o_orderdate',   rows, d_n, d_d, d_mn, d_mx,
+          |  'o_orderstatus', rows, s_n, s_d, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          |) AS (column_name, src_rows, src_nulls, src_distinct, src_min, src_max)""".stripMargin)
+    val tgt = driftedTarget(spark, dir).agg(
+      count(lit(1)).as("rows"),
+      nulls("o_orderkey").as("k_n"), dist("o_orderkey").as("k_d"),
+      min(col("o_orderkey")).as("k_mn"), max(col("o_orderkey")).as("k_mx"),
+      nulls("o_custkey").as("c_n"), dist("o_custkey").as("c_d"),
+      min(col("o_custkey")).as("c_mn"), max(col("o_custkey")).as("c_mx"),
+      nulls("o_totalprice").as("p_n"), dist("o_totalprice").as("p_d"),
+      min(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("p_mn"),
+      max(floor(col("o_totalprice") * 100d + 0.5d).cast("long")).as("p_mx"))
+      .selectExpr(
+        """stack(3,
+          |  'o_orderkey',   rows, k_n, k_d, k_mn, k_mx,
+          |  'o_custkey',    rows, c_n, c_d, c_mn, c_mx,
+          |  'o_totalprice', rows, p_n, p_d, p_mn, p_mx
+          |) AS (column_name, tgt_rows, tgt_nulls, tgt_distinct, tgt_min, tgt_max)""".stripMargin)
+    src.join(tgt, Seq("column_name"), "full_outer")
+      .withColumn("status",
+        when(col("tgt_rows").isNull, "MISSING_IN_TARGET")
+          .when(col("src_rows").isNull, "MISSING_IN_SOURCE")
+          .when(col("src_rows") <=> col("tgt_rows") &&
+            col("src_nulls") <=> col("tgt_nulls") &&
+            col("src_distinct") <=> col("tgt_distinct") &&
+            col("src_min") <=> col("tgt_min") &&
+            col("src_max") <=> col("tgt_max"), "MATCH")
+          .otherwise("VALUES_DRIFT"))
+      .orderBy(col("column_name"))
+  }
+
+  lazy val reconSchemaDriftSql: String = {
+    def side(rel: String, cols: Seq[String], pfx: String): String = {
+      val profiled = cols.map {
+        case c @ ("o_orderkey" | "o_custkey") =>
+          s"SELECT '$c' AS column_name, COUNT(*) AS ${pfx}_rows, SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS ${pfx}_nulls, COUNT(DISTINCT $c) AS ${pfx}_distinct, MIN($c) AS ${pfx}_min, MAX($c) AS ${pfx}_max FROM $rel"
+        case c @ "o_totalprice" =>
+          s"SELECT '$c', COUNT(*), SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT $c), MIN(CAST(FLOOR($c*100 + 0.5) AS BIGINT)), MAX(CAST(FLOOR($c*100 + 0.5) AS BIGINT)) FROM $rel"
+        case c @ "o_orderdate" =>
+          s"SELECT '$c', COUNT(*), SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT $c), MIN(epoch_us($c)), MAX(epoch_us($c)) FROM $rel"
+        case c =>
+          s"SELECT '$c', COUNT(*), SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), COUNT(DISTINCT $c), NULL, NULL FROM $rel"
+      }
+      profiled.mkString("\nUNION ALL ")
+    }
+    s"""WITH tgtrel AS ($driftedTargetSql),
+      |src AS (${side("orders", Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderstatus"), "src")}),
+      |tgt AS (${side("tgtrel", Seq("o_orderkey", "o_custkey", "o_totalprice"), "tgt")})
+      |SELECT COALESCE(src.column_name, tgt.column_name) AS column_name,
+      |  src_rows, CAST(src_nulls AS BIGINT) AS src_nulls, src_distinct,
+      |  CAST(src_min AS BIGINT) AS src_min, CAST(src_max AS BIGINT) AS src_max,
+      |  tgt_rows, CAST(tgt_nulls AS BIGINT) AS tgt_nulls, tgt_distinct,
+      |  CAST(tgt_min AS BIGINT) AS tgt_min, CAST(tgt_max AS BIGINT) AS tgt_max,
+      |  CASE WHEN tgt_rows IS NULL THEN 'MISSING_IN_TARGET'
+      |       WHEN src_rows IS NULL THEN 'MISSING_IN_SOURCE'
+      |       WHEN src_rows IS NOT DISTINCT FROM tgt_rows
+      |        AND src_nulls IS NOT DISTINCT FROM tgt_nulls
+      |        AND src_distinct IS NOT DISTINCT FROM tgt_distinct
+      |        AND src_min IS NOT DISTINCT FROM tgt_min
+      |        AND src_max IS NOT DISTINCT FROM tgt_max THEN 'MATCH'
+      |       ELSE 'VALUES_DRIFT' END AS status
+      |FROM src FULL OUTER JOIN tgt ON src.column_name = tgt.column_name
+      |ORDER BY column_name""".stripMargin
+  }
+
   val reconTableDigestSql: String =
     s"""WITH tgt AS ($driftedTargetSql),
       |srcd AS (

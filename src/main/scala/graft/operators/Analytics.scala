@@ -746,6 +746,59 @@ object Analytics {
       |GROUP BY c.c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  /** events_retention — cohort retention matrix: users cohorted by first
+    * active day, then distinct active users per (cohort day, days since
+    * cohort), with retention as a fraction of cohort size. The classic
+    * activation/retention heatmap over the event stream.
+    *
+    * Scale shape: activity collapses to distinct (user, day) FIRST (one
+    * aggregation with map-side combine — days per user is tiny, so this
+    * is the big-data shuffle and it shrinks the stream ~events/day-fold);
+    * the cohort day is a whole-partition window min over the collapsed
+    * rows (second, much smaller shuffle on user_id); the (cohort, age)
+    * rollup then counts rows directly — (user, day) is already distinct,
+    * so no count_distinct Expand is needed. Cohort sizes come from the
+    * age-0 rows of the SAME aggregate (self-joined broadcast — ≤ one row
+    * per cohort day), not a second scan. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    val ret = userDays
+      .withColumn("cohort_day", min(col("d")).over(w))
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("age_days"))
+      .agg(count(lit(1)).as("active_users"))
+    val sizes = ret.filter(col("age_days") === 0)
+      .select(col("cohort_day"), col("active_users").as("cohort_size"))
+    ret.join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("retention_pct",
+        col("active_users").cast("double") / col("cohort_size"))
+      // DATE is the one temporal type the oracle hash-compare has no
+      // proven round-trip for — emit the cohort day as a (UTC-pinned)
+      // timestamp, like every other temporal column in the surface
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+        col("age_days"), col("active_users"),
+        col("cohort_size"), col("retention_pct"))
+      .orderBy(col("cohort_day"), col("age_days"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+      |), wc AS (
+      |  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_day FROM ud
+      |), ret AS (
+      |  SELECT cohort_day, date_diff('day', cohort_day, d) AS age_days,
+      |    COUNT(*) AS active_users
+      |  FROM wc GROUP BY 1, 2
+      |)
+      |SELECT CAST(r.cohort_day AS TIMESTAMP) AS cohort_day, r.age_days, r.active_users,
+      |  s.active_users AS cohort_size,
+      |  CAST(r.active_users AS DOUBLE) / s.active_users AS retention_pct
+      |FROM ret r JOIN ret s ON s.cohort_day = r.cohort_day AND s.age_days = 0
+      |ORDER BY 1, 2""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -634,4 +634,48 @@ object Dedup {
       |  COALESCE(lab.cluster_id, c.doc_id) = c.doc_id AS is_kept
       |FROM corpus c LEFT JOIN lab ON c.doc_id = lab.doc_id
       |ORDER BY c.doc_id""".stripMargin
+
+  /** text_dup_coverage — per-document duplicated-text coverage: the
+    * fraction of a doc's distinct 3-gram shingles that occur in at least
+    * one OTHER doc, classified NEAR_DUP (≥0.8) / PARTIAL (≥0.2) /
+    * UNIQUE. This is the shingle-granular cousin of suffix-array
+    * substring dedup ("how much of this doc is copied text?") — pair
+    * enumeration only says WHICH docs overlap; coverage says HOW MUCH of
+    * each doc is boilerplate/duplicate, the actual Gopher/C4-style drop
+    * signal.
+    *
+    * Scale shape: one groupBy(h) over the hashed shingle stream computes
+    * every shingle's document frequency (map-side combine; the same
+    * shuffle the dedup family already pays), one join back tags each
+    * (doc, shingle) row with its df — no cap, EXACT for arbitrarily hot
+    * shingles, because only a count travels, never a doc list — and the
+    * per-doc rollup is a slim (doc_id)-keyed aggregation. */
+  def textDupCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sh = corpusShingles(spark, dir)
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        col("n_dup_shingles").cast("double") / col("n_shingles"))
+      .withColumn("dup_class",
+        when(col("dup_frac") >= 0.8d, "NEAR_DUP")
+          .when(col("dup_frac") >= 0.2d, "PARTIAL")
+          .otherwise("UNIQUE"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textDupCoverageSql: String =
+    s"""WITH $shinglesCtes,
+      |dfreq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac,
+      |  CASE WHEN CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.8 THEN 'NEAR_DUP'
+      |       WHEN CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.2 THEN 'PARTIAL'
+      |       ELSE 'UNIQUE' END AS dup_class
+      |FROM sh JOIN dfreq USING (h)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

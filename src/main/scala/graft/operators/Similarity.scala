@@ -426,7 +426,11 @@ object Similarity {
     * combine, then a per-label rollup — at 100 TB this is the canonical
     * scalable centroid computation (no vector ever collects to the
     * driver). */
-  def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(label, pos) exact quantized mean — the shared "train the coarse
+    * quantizer" aggregation behind embed_centroids and the Lloyd
+    * iteration: per-dimension 1e-9-quantized sums (longs, order-
+    * independent), floor-divided by the label count. */
+  private def centroidMeans(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
       .withColumn("q", floor(col("x") * 1e9 + 0.5).cast("long"))
@@ -436,6 +440,28 @@ object Similarity {
       // (sums are exact in double at this magnitude); JVM long division
       // would truncate toward zero and disagree on negative dims
       .withColumn("mean_q", floor(col("sq").cast("double") / col("n")).cast("long"))
+
+  /** DuckDB CTE bodies mirroring centroidMeans: expects `WITH` prefix;
+    * defines relations g (sums) and m (label, pos, n, mean_q). */
+  private val centroidMeansCtes: String =
+    """ce AS (
+      |  SELECT label, unnest(list_transform(embedding, (x, i) ->
+      |    {'pos': i - 1,
+      |     'q': CAST(FLOOR(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)}), recursive := true)
+      |  FROM embeddings
+      |),
+      |g AS (
+      |  SELECT label, pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq
+      |  FROM ce GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT label, pos, n,
+      |    CAST(FLOOR(CAST(sq AS DOUBLE) / n) AS BIGINT) AS mean_q
+      |  FROM g
+      |)""".stripMargin
+
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    centroidMeans(spark, dir)
       .groupBy(col("label"))
       .agg(max(col("n")).as("n_vecs"),
         array_join(
@@ -445,25 +471,83 @@ object Similarity {
   }
 
   val embedCentroidsSql: String =
-    """WITH e AS (
-      |  SELECT label, unnest(list_transform(embedding, (x, i) ->
-      |    {'pos': i - 1,
-      |     'q': CAST(FLOOR(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)}), recursive := true)
-      |  FROM embeddings
-      |),
-      |g AS (
-      |  SELECT label, pos, COUNT(*) AS n, CAST(SUM(q) AS BIGINT) AS sq
-      |  FROM e GROUP BY 1, 2
-      |),
-      |m AS (
-      |  SELECT label, pos, n,
-      |    CAST(FLOOR(CAST(sq AS DOUBLE) / n) AS BIGINT) AS mean_q
-      |  FROM g
-      |)
+    s"""WITH $centroidMeansCtes
       |SELECT label, MAX(n) AS n_vecs,
       |  string_agg(CAST(mean_q AS VARCHAR), ',' ORDER BY pos) AS centroid_fp
       |FROM m GROUP BY label
       |ORDER BY label""".stripMargin
+
+  /** embed_kmeans_iter — one exact Lloyd iteration over the label-mean
+    * centroids: re-assign every vector to its nearest centroid by
+    * quantized squared L2 (‖v‖² + ‖c‖² − 2⟨v,c⟩, all three terms exact
+    * longs on the 1e-9 product grid) and roll up the new clustering —
+    * assigned size, how many vectors moved off their seed label, and the
+    * exact inertia (sum of assigned distances; THE k-means convergence
+    * metric). With the iteration count as a loop this is distributed
+    * k-means; one audited step keeps the oracle replay tractable.
+    *
+    * Scale shape: the centroid table is K×D longs — broadcast; the
+    * assignment pass is a map-side broadcast nested loop (K rows per
+    * vector) reduced by a min(struct) aggregate on vec_id with partial
+    * aggregation, so the shuffle carries one slim row per (vector,
+    * centroid) pre-combine and one per vector after; the final rollup is
+    * K rows. No vector ever collects to the driver. */
+  def embedKmeansIter(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroidMeans(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_q")))),
+        s => s.getField("mean_q").cast("double") * lit(1e-9)).as("cv"))
+      .select(col("label").as("cent_label"), col("cv"))
+      .withColumn("cn", qdot(col("cv"), col("cv")))
+    vecs(spark, dir)
+      .crossJoin(broadcast(cent))
+      .withColumn("dist_q",
+        col("nrm") + col("cn") - lit(2L) * qdot(col("v"), col("cv")))
+      .groupBy(col("vec_id"), col("label"))
+      // argmin via min(struct): lexicographic (dist, label) — exact longs,
+      // deterministic tiebreak, keeps partial aggregation (no window sort)
+      .agg(min(struct(col("dist_q"), col("cent_label"))).as("m"))
+      .select(col("label"), col("m.cent_label").as("assigned_label"),
+        col("m.dist_q").as("dist_q"))
+      .groupBy(col("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("label") =!= col("assigned_label"), 1L).otherwise(0L)).as("n_moved"),
+        sum(col("dist_q")).as("inertia_q"))
+      .orderBy(col("assigned_label"))
+  }
+
+  lazy val embedKmeansIterSql: String = {
+    val vcDot = dotSql("e.embedding", "c.cv")
+    s"""WITH $centroidMeansCtes,
+      |cent AS (
+      |  SELECT label AS cent_label,
+      |    list(CAST(mean_q AS DOUBLE) * 1e-9 ORDER BY pos) AS cv
+      |  FROM m GROUP BY label
+      |),
+      |cent2 AS (
+      |  SELECT cent_label, cv,
+      |    CAST(list_sum(list_transform(cv,
+      |      (x, i) -> CAST(FLOOR(x * cv[i] * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS cn
+      |  FROM cent
+      |),
+      |e AS ($vecsSql),
+      |scored AS (
+      |  SELECT e.vec_id, e.label, c.cent_label,
+      |    e.nrm + c.cn - 2 * $vcDot AS dist_q
+      |  FROM e CROSS JOIN cent2 c
+      |),
+      |asg AS (
+      |  SELECT vec_id, label, cent_label, dist_q,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_q, cent_label) AS rn
+      |  FROM scored
+      |)
+      |SELECT cent_label AS assigned_label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(CASE WHEN label <> cent_label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      |  CAST(SUM(dist_q) AS BIGINT) AS inertia_q
+      |FROM asg WHERE rn = 1
+      |GROUP BY cent_label
+      |ORDER BY assigned_label""".stripMargin
+  }
 
   /** mm_doc_embed — cross-modal join: the text table and the embedding
     * table joined on their shared id (doc_id = vec_id — the "every doc

