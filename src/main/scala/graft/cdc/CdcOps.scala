@@ -189,6 +189,78 @@ object CdcOps {
       |FROM latest GROUP BY win
       |ORDER BY win_start""".stripMargin
 
+  /** cdc_partial_update_merge — Debezium partial-payload apply: update
+    * events carry only the fields that changed (the others are absent),
+    * so merged state per key takes EACH FIELD from the latest event
+    * where that field was present. Simulated sparsity: `value` is
+    * present on offsets with event_id % 3 ≠ 0, the type field on
+    * event_id % 2 ≠ 0 — replayed identically in the oracle.
+    *
+    * Still ONE aggregation, one shuffle on the key: per-field merge is
+    * max_by with a FILTER clause (partial aggregation preserved), not a
+    * per-field window or self-join — at 100 TB, F sparse fields cost F
+    * aggregate expressions in the same pass, not F extra shuffles. */
+  def partialUpdateMerge(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("event_id")).as("last_event_id"),
+        expr("max_by(value, event_id) FILTER (WHERE event_id % 3 <> 0)").as("merged_value"),
+        expr("max_by(event_type, event_id) FILTER (WHERE event_id % 2 <> 0)").as("merged_type"),
+        expr("count(*) FILTER (WHERE event_id % 3 <> 0)").as("n_value_patches"),
+        expr("count(*) FILTER (WHERE event_id % 2 <> 0)").as("n_type_patches"))
+      .orderBy(col("user_id"))
+
+  val partialUpdateMergeSql: String =
+    """SELECT user_id,
+      |  MAX(event_id) AS last_event_id,
+      |  arg_max(value, event_id) FILTER (WHERE event_id % 3 <> 0) AS merged_value,
+      |  arg_max(event_type, event_id) FILTER (WHERE event_id % 2 <> 0) AS merged_type,
+      |  COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS n_value_patches,
+      |  COUNT(*) FILTER (WHERE event_id % 2 <> 0) AS n_type_patches
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** cdc_tombstone_gc — compacted-topic tombstone retention: a delete
+    * marker must survive long enough for every consumer to observe it,
+    * then is garbage-collected; keys whose latest op is a delete older
+    * than the GC watermark vanish from the compacted log entirely.
+    * Watermark here: the last 20% of the offset range is "too young to
+    * GC". Per key: latest offset/op and ACTIVE / TOMBSTONE_RETAINED /
+    * TOMBSTONE_PURGED.
+    *
+    * Scale shape: the same single-shuffle latest-state aggregate as
+    * cdc_apply; the watermark is a 1-row broadcast from the ledger-style
+    * max, not a second pass over the log. */
+  def tombstoneGc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("op", opCode(col("event_type")))
+    // integer floor-div (all-positive offsets): Column./ would go double
+    val wm = ev.agg(expr("max(event_id) * 8 div 10").as("gc_watermark"))
+    latestStateOf(ev, "user_id", "event_id", Seq("op"))
+      .crossJoin(broadcast(wm))
+      .withColumn("gc_class",
+        when(col("last_op") =!= "D", "ACTIVE")
+          .when(col("last_event_id") >= col("gc_watermark"), "TOMBSTONE_RETAINED")
+          .otherwise("TOMBSTONE_PURGED"))
+      .select(col("user_id"), col("last_event_id"), col("last_op"), col("gc_class"))
+      .orderBy(col("user_id"))
+  }
+
+  val tombstoneGcSql: String =
+    s"""WITH latest AS (
+      |  SELECT user_id, event_id AS last_event_id, $opSql AS last_op,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events
+      |), wm AS (SELECT MAX(event_id) * 8 // 10 AS gc_watermark FROM events)
+      |SELECT user_id, last_event_id, last_op,
+      |  CASE WHEN last_op <> 'D' THEN 'ACTIVE'
+      |       WHEN last_event_id >= gc_watermark THEN 'TOMBSTONE_RETAINED'
+      |       ELSE 'TOMBSTONE_PURGED' END AS gc_class
+      |FROM latest CROSS JOIN wm
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** cdc_dedup_events — exactly-once repair for at-least-once delivery:
     * the same change record may be delivered more than once (same offset);
     * keep exactly one copy per offset. Duplicate deliveries are simulated

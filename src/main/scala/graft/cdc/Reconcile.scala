@@ -633,6 +633,41 @@ object Reconcile {
       |  CAST(SUM(CASE WHEN diff_type IS NOT NULL THEN 1 ELSE 0 END) * $SampleMod AS BIGINT) AS est_divergent_rows
       |FROM j""".stripMargin
 
+  /** recon_repair — close the verify→repair loop: turn the row diff into
+    * an executable repair plan for the target — INSERT rows the target
+    * lost, DELETE rows it invented, UPDATE rows whose values diverged
+    * (set_amount carries the source truth; NULL for deletes). This is
+    * the reference workflow's missing last step: `verify_replication.py`
+    * reports; a production pipeline emits the fix batch. Same single
+    * full-outer join as recon_row_diff — the plan is a projection of the
+    * diff, not a second compare. */
+  def reconRepair(spark: SparkSession, dir: String): DataFrame =
+    rowDiffOf(Tables.orders(spark, dir), driftedTarget(spark, dir),
+      "o_orderkey", "o_totalprice")
+      .withColumn("repair_op",
+        when(col("diff_type") === "missing_in_target", "INSERT")
+          .when(col("diff_type") === "missing_in_source", "DELETE")
+          .otherwise("UPDATE"))
+      .select(col("key"), col("repair_op"),
+        when(col("repair_op") =!= "DELETE", col("src_amount")).as("set_amount"))
+      .orderBy(col("key"))
+
+  val reconRepairSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |src AS (SELECT o_orderkey AS key, o_totalprice AS src_amount FROM orders),
+      |t2  AS (SELECT o_orderkey AS key, o_totalprice AS tgt_amount FROM tgt),
+      |diff AS (
+      |  SELECT COALESCE(src.key, t2.key) AS key, src.src_amount,
+      |    CASE WHEN t2.key IS NULL THEN 'INSERT'
+      |         WHEN src.key IS NULL THEN 'DELETE'
+      |         WHEN src.src_amount <> t2.tgt_amount THEN 'UPDATE' END AS repair_op
+      |  FROM src FULL OUTER JOIN t2 ON src.key = t2.key
+      |)
+      |SELECT key, repair_op,
+      |  CASE WHEN repair_op <> 'DELETE' THEN src_amount END AS set_amount
+      |FROM diff WHERE repair_op IS NOT NULL
+      |ORDER BY key""".stripMargin
+
   // ---- Schema drift -------------------------------------------------------
 
   /** recon_schema_drift — two-sided column-profile compare: profile every

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.cdc.Reconcile
+import graft.cdc.{CdcOps, Reconcile}
 import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
 
 /** Semantic checks for the round-4 operators (the oracle verifies exact
@@ -93,6 +93,61 @@ class Round4OpsSpec extends SparkSpec {
       assert(active <= size, s"active $active > cohort $size")
       if (age == 0) assert(pct == 1.0)
     }
+  }
+
+  test("recon_repair: applying the repair plan to the drifted target reproduces the source") {
+    val plan = Reconcile.reconRepair(spark, sf)
+    val tgt = Reconcile.driftedTarget(spark, sf)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("amount"))
+    val repaired = tgt.join(plan, Seq("key"), "left")
+      .filter(col("repair_op").isNull || col("repair_op") =!= "DELETE")
+      .select(col("key"),
+        when(col("repair_op") === "UPDATE", col("set_amount")).otherwise(col("amount")).as("amount"))
+      .unionAll(plan.filter(col("repair_op") === "INSERT")
+        .select(col("key"), col("set_amount").as("amount")))
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("amount"))
+    assert(repaired.count() == src.count())
+    assert(repaired.exceptAll(src).count() == 0, "repaired target diverges from source")
+    assert(src.exceptAll(repaired).count() == 0, "source rows missing after repair")
+  }
+
+  test("cdc_tombstone_gc: ACTIVE keys are exactly the applied snapshot; tombstone classes split at the watermark") {
+    val gc = CdcOps.tombstoneGc(spark, sf).collect()
+    val activeKeys = gc.filter(_.getAs[String]("gc_class") == "ACTIVE")
+      .map(_.getAs[Long]("user_id")).toSet
+    val appliedKeys = CdcOps.applyUpsertDelete(spark, sf)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(activeKeys == appliedKeys, "ACTIVE set != Debezium-apply snapshot keys")
+    val maxOffset = gc.map(_.getAs[Long]("last_event_id")).max
+    val wm = maxOffset * 8 / 10
+    gc.filterNot(_.getAs[String]("gc_class") == "ACTIVE").foreach { r =>
+      assert(r.getAs[String]("last_op") == "D")
+      val retained = r.getAs[String]("gc_class") == "TOMBSTONE_RETAINED"
+      // watermark derives from the global max offset, which an ACTIVE key holds;
+      // every tombstone's position vs the watermark must match its class
+      assert((r.getAs[Long]("last_event_id") >= wm) == retained,
+        s"key ${r.getAs[Long]("user_id")} misclassified vs watermark $wm")
+    }
+  }
+
+  test("cdc_partial_update_merge: each field merges from its own latest present offset") {
+    import org.apache.spark.sql.expressions.Window
+    val merged = CdcOps.partialUpdateMerge(spark, sf)
+    // independent window-based computation of the same semantics
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    def lastWhere(cond: org.apache.spark.sql.Column, c: String) =
+      ev.filter(cond).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col(c))
+    val expectVal = lastWhere(col("event_id") % 3 =!= 0, "value")
+      .withColumnRenamed("value", "expect_value")
+    val expectType = lastWhere(col("event_id") % 2 =!= 0, "event_type")
+      .withColumnRenamed("event_type", "expect_type")
+    val joined = merged.join(expectVal, Seq("user_id"), "left")
+      .join(expectType, Seq("user_id"), "left")
+    assert(joined.filter(!(col("merged_value") <=> col("expect_value"))).count() == 0)
+    assert(joined.filter(!(col("merged_type") <=> col("expect_type"))).count() == 0)
   }
 
   test("embed_kmeans_iter: assignment conserves vectors and inertia is positive") {
