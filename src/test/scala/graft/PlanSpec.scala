@@ -187,4 +187,40 @@ class PlanSpec extends SparkSpec {
     assert(lit.collect()(0).getSeq[String](0) === Seq("a_b_c", "b_c_d"))
   }
 
+  test("text_pii is map-only up to the presentation sort") {
+    val p = plan(TextAnalysis.textPii(spark, sf))
+    // detection + redaction fuse into projections over the scan; the
+    // only exchange is the final sort's range partitioning
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"))
+  }
+
+  test("recon_sample: the sample predicate filters at the scan, before any exchange") {
+    val p = plan(graft.cdc.Reconcile.reconSample(spark, sf))
+    // each side's key-hash sample filter must sit directly on its scan
+    // (scan-speed sampling, not post-shuffle) — the modulo chain cannot
+    // push INTO parquet, but it must run before the join exchanges
+    assert(p.contains("% 5) = 0"), p)
+    val filterBeforeExchange = p.linesIterator.indexWhere(_.contains("% 5) = 0"))
+    val firstExchange = p.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(firstExchange < 0 || filterBeforeExchange >= 0)
+  }
+
+  test("embed_kmeans_iter: centroids broadcast; assignment argmin keeps partial aggregation") {
+    val p = plan(Similarity.embedKmeansIter(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // min(struct) argmin: partial SortAggregate before the vec_id
+    // exchange (map-side combine), never a row_number window
+    assert(!p.contains("Window"), p)
+    assert("SortAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("events_retention: activity collapses to distinct (user, day) before the cohort window") {
+    val p = plan(Analytics.eventsRetention(spark, sf))
+    // the distinct aggregate must appear under the window sort, and the
+    // cohort-size join must broadcast (it is at most one row per day)
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
 }
