@@ -233,19 +233,27 @@ object CdcOps {
     * Scale shape: the same single-shuffle latest-state aggregate as
     * cdc_apply; the watermark is a 1-row broadcast from the ledger-style
     * max, not a second pass over the log. */
-  def tombstoneGc(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).withColumn("op", opCode(col("event_type")))
+  /** Generic tombstone GC classification over any I/U/D change log: the
+    * GC watermark keeps the newest `keepNum/keepDen` fraction of the
+    * offset range un-collected. */
+  def tombstoneGcOf(log: DataFrame, keyCol: String, offsetCol: String,
+                    opCol: String, keepNum: Int = 8, keepDen: Int = 10): DataFrame = {
     // integer floor-div (all-positive offsets): Column./ would go double
-    val wm = ev.agg(expr("max(event_id) * 8 div 10").as("gc_watermark"))
-    latestStateOf(ev, "user_id", "event_id", Seq("op"))
+    val wm = log.agg(expr(s"max($offsetCol) * $keepNum div $keepDen").as("gc_watermark"))
+    latestStateOf(log, keyCol, offsetCol, Seq(opCol))
       .crossJoin(broadcast(wm))
       .withColumn("gc_class",
-        when(col("last_op") =!= "D", "ACTIVE")
-          .when(col("last_event_id") >= col("gc_watermark"), "TOMBSTONE_RETAINED")
+        when(col(s"last_$opCol") =!= "D", "ACTIVE")
+          .when(col(s"last_$offsetCol") >= col("gc_watermark"), "TOMBSTONE_RETAINED")
           .otherwise("TOMBSTONE_PURGED"))
+  }
+
+  def tombstoneGc(spark: SparkSession, dir: String): DataFrame =
+    tombstoneGcOf(
+      Tables.events(spark, dir).withColumn("op", opCode(col("event_type"))),
+      "user_id", "event_id", "op")
       .select(col("user_id"), col("last_event_id"), col("last_op"), col("gc_class"))
       .orderBy(col("user_id"))
-  }
 
   val tombstoneGcSql: String =
     s"""WITH latest AS (

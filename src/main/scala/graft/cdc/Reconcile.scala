@@ -586,13 +586,16 @@ object Reconcile {
     * shuffles 1/SampleMod of it for an unbiased divergence estimate
     * (key-hash sampling is uncorrelated with the drift pattern).
     * One summary row — always non-empty, cheap to alert on. */
-  def reconSample(spark: SparkSession, dir: String): DataFrame = {
+  /** Generic sampled row-by-row compare of any two relations keyed by
+    * `keyCol`, comparing `valueCol`: both sides filtered independently to
+    * the same deterministic ~1/mod key-hash sample, diffed, and reduced
+    * to one summary row with the extrapolated divergence estimate. */
+  def sampledDiffOf(src: DataFrame, tgt: DataFrame, keyCol: String,
+                    valueCol: String, mod: Long): DataFrame = {
     def sampled(df: DataFrame) =
-      df.filter(col("o_orderkey") * 2654435761L % 1000000007L % SampleMod === 0L)
-    val s = sampled(Tables.orders(spark, dir))
-      .select(col("o_orderkey").as("key"), col("o_totalprice").as("src_amount"))
-    val t = sampled(driftedTarget(spark, dir))
-      .select(col("o_orderkey").as("key"), col("o_totalprice").as("tgt_amount"))
+      df.filter(col(keyCol) * 2654435761L % 1000000007L % mod === 0L)
+    val s = sampled(src).select(col(keyCol).as("key"), col(valueCol).as("src_amount"))
+    val t = sampled(tgt).select(col(keyCol).as("key"), col(valueCol).as("tgt_amount"))
     def diffIs(d: String) = sum(when(col("diff_type") === d, 1L).otherwise(0L))
     s.join(t, Seq("key"), "full_outer")
       .withColumn("diff_type",
@@ -605,12 +608,17 @@ object Reconcile {
         diffIs("missing_in_target").as("n_missing_in_target"),
         diffIs("missing_in_source").as("n_missing_in_source"),
         diffIs("value_mismatch").as("n_value_mismatch"))
-      .select(lit("orders").as("table_name"), lit(SampleMod).as("sample_mod"),
+      .select(lit(mod).as("sample_mod"),
         col("src_sampled"), col("tgt_sampled"),
         col("n_missing_in_target"), col("n_missing_in_source"), col("n_value_mismatch"),
         ((col("n_missing_in_target") + col("n_missing_in_source") + col("n_value_mismatch"))
-          * SampleMod).as("est_divergent_rows"))
+          * mod).as("est_divergent_rows"))
   }
+
+  def reconSample(spark: SparkSession, dir: String): DataFrame =
+    sampledDiffOf(Tables.orders(spark, dir), driftedTarget(spark, dir),
+      "o_orderkey", "o_totalprice", SampleMod)
+      .select(lit("orders").as("table_name"), col("*"))
 
   val reconSampleSql: String =
     s"""WITH tgt AS ($driftedTargetSql),

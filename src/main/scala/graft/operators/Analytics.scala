@@ -760,9 +760,11 @@ object Analytics {
     * so no count_distinct Expand is needed. Cohort sizes come from the
     * age-0 rows of the SAME aggregate (self-joined broadcast — ≤ one row
     * per cohort day), not a second scan. */
-  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val userDays = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("d"))
+  /** Generic cohort retention over any (user, activity-day) stream —
+    * see eventsRetention for semantics and scale shape. */
+  def retentionOf(activity: DataFrame, userCol: String, dayCol: String): DataFrame = {
+    val userDays = activity
+      .select(col(userCol).as("user_id"), col(dayCol).as("d"))
       .distinct()
     val w = Window.partitionBy(col("user_id"))
     val ret = userDays
@@ -774,14 +776,18 @@ object Analytics {
     ret.join(broadcast(sizes), Seq("cohort_day"))
       .withColumn("retention_pct",
         col("active_users").cast("double") / col("cohort_size"))
-      // DATE is the one temporal type the oracle hash-compare has no
-      // proven round-trip for — emit the cohort day as a (UTC-pinned)
-      // timestamp, like every other temporal column in the surface
+  }
+
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(
+      Tables.events(spark, dir).select(col("user_id"), to_date(col("ts")).as("d")),
+      "user_id", "d")
+      // emit the cohort day as a (UTC-pinned) timestamp, like every
+      // other temporal column in the oracle-checked surface
       .select(col("cohort_day").cast("timestamp").as("cohort_day"),
         col("age_days"), col("active_users"),
         col("cohort_size"), col("retention_pct"))
       .orderBy(col("cohort_day"), col("age_days"))
-  }
 
   val eventsRetentionSql: String =
     """WITH ud AS (

@@ -650,8 +650,10 @@ object Dedup {
     * (doc, shingle) row with its df — no cap, EXACT for arbitrarily hot
     * shingles, because only a count travels, never a doc list — and the
     * per-doc rollup is a slim (doc_id)-keyed aggregation. */
-  def textDupCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val sh = corpusShingles(spark, dir)
+  /** Generic duplicated-text coverage of any (doc_id, text) relation —
+    * see textDupCoverage for semantics and scale shape. */
+  def dupCoverageOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
@@ -663,8 +665,10 @@ object Dedup {
         when(col("dup_frac") >= 0.8d, "NEAR_DUP")
           .when(col("dup_frac") >= 0.2d, "PARTIAL")
           .otherwise("UNIQUE"))
-      .orderBy(col("doc_id"))
   }
+
+  def textDupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageOf(corpus(spark, dir)).orderBy(col("doc_id"))
 
   val textDupCoverageSql: String =
     s"""WITH $shinglesCtes,

@@ -493,22 +493,32 @@ object TextAnalysis {
     * no shuffle except the presentation sort. At 100 TB this is the
     * canonical pre-training scrub pass: runs at scan speed, and the
     * redacted fingerprint lets a second run verify idempotence. */
-  def textPii(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
+  /** Generic PII scrub of any (id, text) relation: per-row match counts
+    * for each pattern kind, the redacted text, and a found flag.
+    * Map-only — composes into any ingest pipeline at scan speed. */
+  def piiScrubOf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val redacted =
       regexp_replace(
         regexp_replace(
-          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>")
-    piiCorpus(dir)
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).as("n_ips"),
-        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
-        md5(redacted.cast("binary")).as("redacted_fp"))
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))).as("n_phones"),
+      redacted.as("redacted"))
       .withColumn("pii_found",
         col("n_emails") + col("n_ips") + col("n_phones") > 0)
+  }
+
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    piiScrubOf(piiCorpus(dir), "doc_id", "text")
+      .withColumn("redacted_fp", md5(col("redacted").cast("binary")))
+      .drop("redacted")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        col("redacted_fp"), col("pii_found"))
       .orderBy(col("doc_id"))
   }
 

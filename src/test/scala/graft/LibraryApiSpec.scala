@@ -84,4 +84,79 @@ class LibraryApiSpec extends SparkSpec {
     assert(h((2L, 1)) === ((5L, None, true)))
   }
 
+  test("sampledDiffOf: counts equal the full diff restricted to the sample") {
+    import spark.implicits._
+    val src = (1L to 2000L).map(i => (i, i * 1.5)).toDF("id", "amt")
+    val tgt = (1L to 2000L).filterNot(_ % 100 == 7)
+      .map(i => (i, if (i % 50 == 3) 99.9 else i * 1.5)).toDF("id", "amt")
+    val mod = 3L
+    val r = Reconcile.sampledDiffOf(src, tgt, "id", "amt", mod).collect().head
+    val inSample = col("key") * 2654435761L % 1000000007L % mod === 0L
+    val expected = Reconcile.rowDiffOf(src, tgt, "id", "amt").filter(inSample)
+      .groupBy(col("diff_type")).count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.getAs[Long]("n_missing_in_target") === expected.getOrElse("missing_in_target", 0L))
+    assert(r.getAs[Long]("n_value_mismatch") === expected.getOrElse("value_mismatch", 0L))
+    assert(r.getAs[Long]("est_divergent_rows") ===
+      (r.getAs[Long]("n_missing_in_target") + r.getAs[Long]("n_missing_in_source") +
+        r.getAs[Long]("n_value_mismatch")) * mod)
+  }
+
+  test("dupCoverageOf: a full copy scores 1.0, a disjoint doc scores 0.0") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val cov = Dedup.dupCoverageOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("dup_frac"), r.getAs[String]("dup_class")))).toMap
+    assert(cov(1L) === ((1.0, "NEAR_DUP")))
+    assert(cov(2L) === ((1.0, "NEAR_DUP")))
+    assert(cov(3L) === ((0.0, "UNIQUE")))
+  }
+
+  test("piiScrubOf: counts, redaction, and clean docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe@corp.io or 555-0199 from 192.168.1.1"),
+      (2L, "no sensitive content here")
+    ).toDF("id", "t")
+    val r = graft.operators.TextAnalysis.piiScrubOf(docs, "id", "t")
+      .collect().map(x => x.getAs[Long]("id") -> x).toMap
+    assert(r(1L).getAs[Int]("n_emails") === 1)
+    assert(r(1L).getAs[Int]("n_ips") === 1)
+    assert(r(1L).getAs[Int]("n_phones") === 1)
+    assert(r(1L).getAs[String]("redacted") === "reach me at <EMAIL> or <PHONE> from <IP>")
+    assert(r(2L).getAs[String]("redacted") === "no sensitive content here")
+    assert(!r(2L).getAs[Boolean]("pii_found"))
+  }
+
+  test("retentionOf: hand-built cohorts produce exact retention fractions") {
+    import spark.implicits._
+    val d0 = java.sql.Date.valueOf("2026-01-01")
+    val d1 = java.sql.Date.valueOf("2026-01-02")
+    val act = Seq((1L, d0), (2L, d0), (1L, d1), (3L, d1)).toDF("u", "day")
+    val rows = graft.operators.Analytics.retentionOf(act, "u", "day").collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString, r.getAs[Int]("age_days")) ->
+        ((r.getAs[Long]("active_users"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention_pct")))).toMap
+    assert(rows(("2026-01-01", 0)) === ((2L, 2L, 1.0)))
+    assert(rows(("2026-01-01", 1)) === ((1L, 2L, 0.5))) // user 1 returned
+    assert(rows(("2026-01-02", 0)) === ((1L, 1L, 1.0))) // user 3's own cohort
+  }
+
+  test("tombstoneGcOf: watermark splits tombstones, actives never classified") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 100L, "U"), // active
+      (2L, 10L, "D"),  // old tombstone -> purged (wm = 80)
+      (3L, 90L, "D")   // young tombstone -> retained
+    ).toDF("k", "off", "op")
+    val r = CdcOps.tombstoneGcOf(log, "k", "off", "op")
+      .collect().map(x => x.getAs[Long]("k") -> x.getAs[String]("gc_class")).toMap
+    assert(r(1L) === "ACTIVE")
+    assert(r(2L) === "TOMBSTONE_PURGED")
+    assert(r(3L) === "TOMBSTONE_RETAINED")
+  }
+
 }
