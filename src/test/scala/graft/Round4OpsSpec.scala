@@ -112,6 +112,21 @@ class Round4OpsSpec extends SparkSpec {
     assert(src.exceptAll(repaired).count() == 0, "source rows missing after repair")
   }
 
+  test("recon_incremental: flagged buckets are exactly those holding recent-slice drift") {
+    val inc = Reconcile.reconIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Boolean]("bucket_match")).toMap
+    val mx = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val recentDriftBuckets = Reconcile.reconRowDiff(spark, sf)
+      .filter(floor(col("key") * 10 / (mx + 1)) >= 8)
+      .select(pmod(col("key"), lit(16L)).as("bucket"))
+      .collect().map(_.getLong(0)).toSet
+    inc.foreach { case (bucket, matched) =>
+      assert(matched == !recentDriftBuckets.contains(bucket),
+        s"bucket $bucket match=$matched but recent drift ${recentDriftBuckets.contains(bucket)}")
+    }
+  }
+
   test("cdc_tombstone_gc: ACTIVE keys are exactly the applied snapshot; tombstone classes split at the watermark") {
     val gc = CdcOps.tombstoneGc(spark, sf).collect()
     val activeKeys = gc.filter(_.getAs[String]("gc_class") == "ACTIVE")
