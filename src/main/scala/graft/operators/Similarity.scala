@@ -418,18 +418,171 @@ object Similarity {
       |ORDER BY query_id, knn_rank""".stripMargin
   }
 
-  /** embed_centroids — per-label mean embedding (the IVF/k-means
-    * "train the coarse quantizer" step as a batch op): per-dimension
-    * exact quantized sums (longs — order-independent), floor-divided by
-    * the label count, emitted as a fingerprint string ordered by
-    * dimension. One explode + one shuffle on (label, pos) with map-side
-    * combine, then a per-label rollup — at 100 TB this is the canonical
-    * scalable centroid computation (no vector ever collects to the
-    * driver). */
+  /** knn_ivfpq — the production ANN composite (FAISS IVF+PQ layout):
+    * the IVF coarse quantizer prunes the corpus to the Nprobe nearest
+    * cells per query, then ADC scores ONLY those cells' members against
+    * the PQ codes, then the ADC shortlist is exact-re-ranked. knn_ivf
+    * scans exact vectors of probed cells (Nprobe/C of corpus I/O);
+    * knn_pq ADC-scans ALL codes (~32× smaller rows); the composite does
+    * both prunes at once — Nprobe/C of the corpus at code width, which
+    * is how billion-vector indexes actually serve queries.
+    *
+    * Everything stays in the exact quantized-long domain of knn_pq, so
+    * the oracle replays assignment, probing, candidate ADC, and the
+    * re-rank bit-for-bit. Rows-only recall is measured in
+    * SimilaritySpec against knn_brute. */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    // --- IVF prune (as in knn_ivf): rank-1 cell per vector, Nprobe per query
+    val cents = e.filter(col("vec_id") % IvfSampleMod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def nearestCells(df: DataFrame, idCol: String, vCol: String, nCol: String, n: Int) = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cent_cos", qcos(qdot(col(vCol), col("cv")), col(nCol), col("cn")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= n)
+        .select(col(idCol), col("cent_id"))
+    }
+    val cells = nearestCells(
+      e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+      "neighbor_id", "v", "nrm", 1)
+    val probes = nearestCells(
+      e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
+      "query_id", "qv", "qn", Nprobe)
+    // each vector lives in exactly one cell (rank-1) — no candidate dups
+    val cand = probes.join(cells, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // --- PQ codes (as in knn_pq): subvector slices, sampled codebook, encode
+    def subsOf(df: DataFrame, idAs: String): DataFrame = {
+      val parts = (0 until PqSub).map { m =>
+        struct(lit(m).as("m"), slice(col("v"), m * PqDim + 1, PqDim).as("sv"))
+      }
+      df.select(col("vec_id").as(idAs), explode(array(parts: _*)).as("p"))
+        .select(col(idAs), col("p.m").as("m"), col("p.sv").as("sv"))
+        .withColumn("snrm", qdot(col("sv"), col("sv")))
+    }
+    val subs = subsOf(e, "vec_id").persist()
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0)
+      .select(col("vec_id").as("cent_id"), col("m"),
+        col("sv").as("cv"), col("snrm").as("cnrm"))
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("best.cent_id").as("code"))
+    val qsubs = subs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("sv").as("qv_s"), col("snrm").as("qnrm_s"))
+    // --- ADC on the IVF candidates only (the composite's whole point)
+    val adc = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(qsubs), Seq("query_id", "m"))
+      .join(broadcast(cb.select(col("m"), col("cent_id").as("code"),
+        col("cv"), col("cnrm"))), Seq("m", "code"))
+      .withColumn("d2", col("qnrm_s") + col("cnrm") - lit(2L) * qdot(col("qv_s"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_d2"), count(lit(1)).as("nm"))
+      .filter(col("nm") === PqSub)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    val shortlist = adc.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PqShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // --- exact re-rank of the shortlist
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val n = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val wK = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    shortlist.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(wK))
+      .filter(col("knn_rank") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("knn_rank"), col("cos_sim"))
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
+
+  /** DuckDB oracle for knn_ivfpq: the knn_ivf assignment/probing CTEs
+    * composed with the knn_pq code/ADC CTEs, ADC restricted to the IVF
+    * candidate pairs. */
+  lazy val knnIvfPqSql: String = {
+    val centDot = dotSql("n.embedding", "c.ce")
+    val subDot = dotSql("s.sv", "c.cv")
+    val qDot = dotSql("q.sv", "c.cv")
+    s"""WITH e AS ($vecsSql),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0),
+      |asg AS (
+      |  SELECT vec_id, cent_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
+      |  FROM (
+      |    SELECT n.vec_id, c.cent_id,
+      |      CAST($centDot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cent_cos
+      |    FROM e n CROSS JOIN cents c)
+      |),
+      |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM asg WHERE rnk = 1),
+      |probes AS (SELECT vec_id AS query_id, cent_id FROM asg
+      |           WHERE vec_id % 100 = 0 AND rnk <= $Nprobe),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM probes JOIN cells USING (cent_id)
+      |  WHERE neighbor_id <> query_id
+      |),
+      |subs AS (
+      |  SELECT vec_id, m, list_slice(embedding, m * $PqDim + 1, (m + 1) * $PqDim) AS sv
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS m)
+      |),
+      |subn AS (
+      |  SELECT vec_id, m, sv,
+      |    ${dotSql("sv", "sv")} AS snrm
+      |  FROM subs
+      |),
+      |cb AS (SELECT vec_id AS cent_id, m, sv AS cv, snrm AS cnrm FROM subn
+      |       WHERE vec_id % $PqCentMod = 0),
+      |codes AS (
+      |  SELECT vec_id, m, cent_id AS code FROM (
+      |    SELECT s.vec_id, s.m, c.cent_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY s.snrm + c.cnrm - 2 * ($subDot), c.cent_id) AS rnk
+      |    FROM subn s JOIN cb c ON s.m = c.m)
+      |  WHERE rnk = 1
+      |),
+      |adc AS (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |    CAST(SUM(q.snrm + c.cnrm - 2 * ($qDot)) AS BIGINT) AS adc_d2
+      |  FROM cand cd
+      |  JOIN codes t ON t.vec_id = cd.neighbor_id
+      |  JOIN subn q ON q.m = t.m AND q.vec_id = cd.query_id
+      |  JOIN cb c ON c.m = t.m AND c.cent_id = t.code
+      |  GROUP BY 1, 2
+      |),
+      |shortlist AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc_d2, neighbor_id) AS adc_rank
+      |    FROM adc)
+      |  WHERE adc_rank <= $PqShortlist
+      |),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |  FROM shortlist JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id
+      |)
+      |SELECT query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank,
+      |  cos_sim
+      |FROM scored
+      |QUALIFY knn_rank <= $K
+      |ORDER BY query_id, knn_rank""".stripMargin
+  }
+
   /** Per-(label, pos) exact quantized mean — the shared "train the coarse
     * quantizer" aggregation behind embed_centroids and the Lloyd
     * iteration: per-dimension 1e-9-quantized sums (longs, order-
-    * independent), floor-divided by the label count. */
+    * independent), floor-divided by the label count. One explode + one
+    * shuffle on (label, pos) with map-side combine — at 100 TB this is
+    * the canonical scalable centroid computation (no vector ever
+    * collects to the driver). */
   private def centroidMeans(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
@@ -460,6 +613,10 @@ object Similarity {
       |  FROM g
       |)""".stripMargin
 
+  /** embed_centroids — per-label mean embedding fingerprints (the
+    * "train the coarse quantizer" step as a batch op): the shared
+    * centroidMeans aggregation rolled up to one fingerprint string per
+    * label, ordered by dimension. */
   def embedCentroids(spark: SparkSession, dir: String): DataFrame = {
     centroidMeans(spark, dir)
       .groupBy(col("label"))

@@ -57,6 +57,21 @@ class SimilaritySpec extends SparkSpec {
     pq.values.foreach(ns => assert(ns.size == Similarity.K))
   }
 
+  test("knn_ivfpq: composite prune still overlaps the exact top-5 above chance") {
+    // double approximation (IVF cells + PQ codes) — same contract as
+    // knn_pq: nonzero exact-top-5 overlap per query, mean >= 1
+    val brute = Similarity.knnBrute(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val ivfpq = Similarity.knnIvfPq(spark, sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    assert(ivfpq.keySet === brute.keySet)
+    val overlaps = brute.map { case (q, bs) => ivfpq(q).intersect(bs).size }
+    assert(overlaps.sum * 2 >= brute.size, s"mean overlap below 0.5: $overlaps")
+    ivfpq.values.foreach(ns => assert(ns.size == Similarity.K))
+  }
+
   test("mm_doc_embed: join is complete (every doc has its embedding row)") {
     val res = Similarity.mmDocEmbed(spark, sf)
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
