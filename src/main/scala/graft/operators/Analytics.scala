@@ -760,6 +760,52 @@ object Analytics {
     * so no count_distinct Expand is needed. Cohort sizes come from the
     * age-0 rows of the SAME aggregate (self-joined broadcast — ≤ one row
     * per cohort day), not a second scan. */
+  /** q26_gap_fill — date-spine densification + LOCF: each user's daily
+    * value series gets its missing days generated (spine = `sequence`
+    * over the user's [first, last] active day, exploded) and filled with
+    * the last observation carried forward (`last` with ignoreNulls over
+    * an ordered running frame). The standard warehouse densification
+    * before any day-over-day calculation.
+    *
+    * Scale shape: the daily rollup is one keyed aggregation; the spine
+    * explodes from a 2-column per-user aggregate (never a cross join
+    * against a calendar table); the LOCF window rides the same user_id
+    * partitioning the spine join just produced. Spine width is bounded
+    * by the observed date range — a runaway range would blow up the
+    * explode, so production would clamp `sequence`'s span. */
+  def q26GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(moneySum(col("value")).as("day_value"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("value", last(col("day_value"), ignoreNulls = true).over(w))
+      .withColumn("is_filled", col("day_value").isNull)
+      .select(col("user_id"), col("day"), col("value"), col("is_filled"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q26GapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS day_value
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1)
+      |)
+      |SELECT s.user_id, s.day,
+      |  last_value(d.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  d.day_value IS NULL AS is_filled
+      |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
   /** Generic cohort retention over any (user, activity-day) stream —
     * see eventsRetention for semantics and scale shape. */
   def retentionOf(activity: DataFrame, userCol: String, dayCol: String): DataFrame = {

@@ -165,6 +165,30 @@ class Round4OpsSpec extends SparkSpec {
     assert(joined.filter(!(col("merged_type") <=> col("expect_type"))).count() == 0)
   }
 
+  test("q26_gap_fill: spine is contiguous per user and filled rows carry the prior value") {
+    val rows = Analytics.q26GapFill(spark, sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, rs) =>
+      val days = rs.map(_.getAs[java.sql.Date]("day").toLocalDate).sortBy(_.toEpochDay).toSeq
+      days.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.toEpochDay - a.toEpochDay == 1, s"user $u: gap $a -> $b survived gap-fill")
+        case _ => ()
+      }
+      val byDay = rs.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay).toSeq
+      byDay.sliding(2).foreach {
+        case Seq(prev, cur) =>
+          if (cur.getAs[Boolean]("is_filled"))
+            assert(cur.getAs[Double]("value") == prev.getAs[Double]("value"),
+              s"user $u: filled day did not carry forward")
+        case _ => ()
+      }
+      // first day of a user's range is an observation, never a fill
+      assert(!byDay.head.getAs[Boolean]("is_filled"))
+    }
+  }
+
   test("embed_kmeans_iter: assignment conserves vectors and inertia is positive") {
     val rows = Similarity.embedKmeansIter(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_vecs")).sum
