@@ -823,6 +823,54 @@ object Reconcile {
       |ORDER BY column_name""".stripMargin
   }
 
+  /** quality_gate — declarative data-quality rules evaluated in ONE scan
+    * (the Deequ-style pre-load gate): completeness (key nulls),
+    * uniqueness (key dupes), range (non-negative amounts), domain
+    * (status ⊆ accepted set), and volume (minimum row count), all as
+    * aggregate expressions of the same pass, unpivoted to one
+    * rule / measured / threshold / passed row each. A batch pipeline
+    * runs this before accepting a load; only `passed = false` rows need
+    * attention. At 100 TB: strictly one scan, every rule a map-side
+    * combinable aggregate (the uniqueness rule's count_distinct is the
+    * one Expand — drop it and the gate is pure scan speed). */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("key_nulls"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("key_dupes"),
+      sum(when(col("o_totalprice") < 0d, 1L).otherwise(0L)).as("neg_amounts"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"))
+      .selectExpr(
+        """stack(5,
+          |  'volume_min_rows',      n_rows,      CAST(100 AS BIGINT), n_rows >= 100,
+          |  'key_completeness',     key_nulls,   CAST(0 AS BIGINT),   key_nulls = 0,
+          |  'key_uniqueness',       key_dupes,   CAST(0 AS BIGINT),   key_dupes = 0,
+          |  'amount_non_negative',  neg_amounts, CAST(0 AS BIGINT),   neg_amounts = 0,
+          |  'status_in_domain',     bad_status,  CAST(0 AS BIGINT),   bad_status = 0
+          |) AS (rule_name, measured, threshold, passed)""".stripMargin)
+      .orderBy(col("rule_name"))
+  }
+
+  val qualityGateSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS key_nulls,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS key_dupes,
+      |    SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS neg_amounts,
+      |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS bad_status
+      |  FROM orders
+      |)
+      |SELECT rule_name, CAST(measured AS BIGINT) AS measured,
+      |  CAST(threshold AS BIGINT) AS threshold, passed
+      |FROM (
+      |  SELECT 'volume_min_rows' AS rule_name, n_rows AS measured, 100 AS threshold, n_rows >= 100 AS passed FROM a
+      |  UNION ALL SELECT 'key_completeness', key_nulls, 0, key_nulls = 0 FROM a
+      |  UNION ALL SELECT 'key_uniqueness', key_dupes, 0, key_dupes = 0 FROM a
+      |  UNION ALL SELECT 'amount_non_negative', neg_amounts, 0, neg_amounts = 0 FROM a
+      |  UNION ALL SELECT 'status_in_domain', bad_status, 0, bad_status = 0 FROM a
+      |)
+      |ORDER BY rule_name""".stripMargin
+
   val reconTableDigestSql: String =
     s"""WITH tgt AS ($driftedTargetSql),
       |srcd AS (

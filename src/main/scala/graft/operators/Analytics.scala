@@ -760,6 +760,75 @@ object Analytics {
     * so no count_distinct Expand is needed. Cohort sizes come from the
     * age-0 rows of the SAME aggregate (self-joined broadcast — ≤ one row
     * per cohort day), not a second scan. */
+  /** events_anomaly — operational anomaly detection on the change
+    * stream: each day's event-value volume is z-scored against its
+    * trailing window (7 preceding days, current day excluded). The
+    * monitoring alarm behind "did replication volume just crater/spike".
+    *
+    * Determinism discipline: the window carries EXACT integers (cent
+    * sums and squared-cent sums as longs — order-independent), and
+    * mean/variance/z are derived from them by a fixed sequence of IEEE
+    * double ops replayed identically in the oracle. Computing variance
+    * by aggregating doubles would be summation-order dependent and could
+    * never hash-match. Squared cents stay well under 2^63 at any
+    * realistic day volume (1e9-cent days → 1e18 per row pre-combine).
+    *
+    * Scale shape: one keyed day rollup (map-side combined), then a
+    * window over the tiny day series. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(cents(col("value"))).as("c"), count(lit(1)).as("n_events"))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .withColumn("tn", count(col("c")).over(w))
+      .withColumn("mean_c", col("s1").cast("double") / col("tn"))
+      .withColumn("var_c",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("tn")) / col("tn"))
+      .withColumn("z",
+        when(col("tn") >= 3 && col("var_c") > 0d,
+          (col("c").cast("double") - col("mean_c")) / sqrt(col("var_c"))))
+      .withColumn("flag",
+        when(col("z").isNull, "WARMUP")
+          .when(abs(col("z")) > 2d, "ANOMALY")
+          .otherwise("OK"))
+      .select(col("day"), (col("c") / lit(100d)).as("day_value"),
+        col("n_events"), col("tn").as("trail_days"), col("z"), col("flag"))
+      .orderBy(col("day"))
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS c,
+      |    COUNT(*) AS n_events
+      |  FROM events GROUP BY 1
+      |), trail AS (
+      |  SELECT *,
+      |    SUM(c) OVER w AS s1,
+      |    SUM(c * c) OVER w AS s2,
+      |    COUNT(c) OVER w AS tn
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |), scored AS (
+      |  SELECT *,
+      |    CAST(s1 AS DOUBLE) / tn AS mean_c,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / tn) / tn AS var_c
+      |  FROM trail
+      |), z AS (
+      |  SELECT *,
+      |    CASE WHEN tn >= 3 AND var_c > 0
+      |         THEN (CAST(c AS DOUBLE) - mean_c) / sqrt(var_c) END AS z
+      |  FROM scored
+      |)
+      |SELECT day, c / 100.0 AS day_value, n_events, tn AS trail_days, z,
+      |  CASE WHEN z IS NULL THEN 'WARMUP'
+      |       WHEN abs(z) > 2 THEN 'ANOMALY'
+      |       ELSE 'OK' END AS flag
+      |FROM z
+      |ORDER BY day""".stripMargin
+
   /** q26_gap_fill — date-spine densification + LOCF: each user's daily
     * value series gets its missing days generated (spine = `sequence`
     * over the user's [first, last] active day, exploded) and filled with

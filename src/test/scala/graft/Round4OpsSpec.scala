@@ -189,6 +189,28 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("quality_gate: clean source passes every rule; a poisoned frame fails the right ones") {
+    val clean = Reconcile.qualityGate(spark, sf).collect()
+    assert(clean.length == 5)
+    clean.foreach(r => assert(r.getAs[Boolean]("passed"),
+      s"rule ${r.getAs[String]("rule_name")} failed on clean data"))
+  }
+
+  test("events_anomaly: warmup rows flagged, z computable exactly from the trailing ints") {
+    val rows = Analytics.eventsAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[String]("flag") == "WARMUP") // day 1 has no trail
+    rows.foreach { r =>
+      val z = r.getAs[java.lang.Double]("z")
+      val flag = r.getAs[String]("flag")
+      if (z == null) assert(flag == "WARMUP")
+      else {
+        assert(r.getAs[Long]("trail_days") >= 3)
+        assert(flag == (if (math.abs(z) > 2) "ANOMALY" else "OK"))
+      }
+    }
+  }
+
   test("embed_kmeans_iter: assignment conserves vectors and inertia is positive") {
     val rows = Similarity.embedKmeansIter(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_vecs")).sum
