@@ -32,15 +32,27 @@ object Bench {
       val ts = if (two.isEmpty || two.min > 1.0) two ++ Seq(once(fn)).filter(_ >= 0) else two
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }.toMap
-    // Keep the line COMPACT (3-decimal values): with 75+ queries, full
-    // double precision pushed the line past the harness's output-tail
-    // window and it was captured cut mid-line (unparseable) in rounds 1-3.
+    // The harness captures only the LAST 2000 chars of output (observed
+    // in BENCH_r01-03: the full per-query line was cut mid-line and never
+    // parsed). With 89 queries the full map cannot fit that window at any
+    // precision (names alone are ~1.3 KB), so: (1) the complete per-query
+    // map goes to BENCH_QUERIES.json in the repo (committed per round);
+    // (2) the full line prints first for uncapped captures; (3) the LAST
+    // line is a compact summary — total + the 15 slowest queries — that
+    // always fits the tail window whole and parses.
     def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v) // locale-proof decimal point
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jsonMap(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    try {
+      val pw = new java.io.PrintWriter("BENCH_QUERIES.json")
+      pw.write(fullLine + "\n"); pw.close()
+    } catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    println(fullLine)
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jsonMap(slowest)},"queries_shown":${slowest.size},"queries_total":${results.size},"full_results":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
