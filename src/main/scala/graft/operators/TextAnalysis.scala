@@ -453,6 +453,59 @@ object TextAnalysis {
       |ORDER BY source""".stripMargin
   }
 
+  /** sample_temperature — temperature-scaled source mixing (the standard
+    * multilingual/multi-domain rebalancing step: sample source i with
+    * probability ∝ nᵢ^T, T = 0.5, so rare sources are RELATIVELY
+    * upsampled while big sources still dominate in absolute terms).
+    * Per-source keep rate = ⌊1000·√nᵢ/√n_max⌋ permille, realized as the
+    * same deterministic doc-id-hash threshold filter as sample_weighted;
+    * output is the per-source audit with kept-id checksums.
+    *
+    * Determinism: the rate derives from exact counts via two IEEE sqrt
+    * ops and one divide — bit-identical in the oracle. Scale shape: one
+    * count aggregate (tiny, broadcast back), then a scan-speed filter —
+    * the mixture never shuffles the corpus. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val mx = counts.agg(max(col("n_docs")).as("mx"))
+    val rates = counts.crossJoin(broadcast(mx))
+      .withColumn("keep_per_mille",
+        floor(lit(1000d) * sqrt(col("n_docs").cast("double"))
+          / sqrt(col("mx").cast("double"))).cast("long"))
+      .select(col("source"), col("n_docs"), col("keep_per_mille"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("kept",
+        pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 1000L < col("keep_per_mille"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("keep_per_mille")).as("keep_per_mille"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      |), rates AS (
+      |  SELECT source, n_docs,
+      |    CAST(FLOOR(1000.0 * sqrt(CAST(n_docs AS DOUBLE))
+      |      / sqrt(CAST((SELECT MAX(n_docs) FROM counts) AS DOUBLE))) AS BIGINT) AS keep_per_mille
+      |  FROM counts
+      |), b AS (
+      |  SELECT d.doc_id, d.source, r.n_docs, r.keep_per_mille,
+      |    (d.doc_id * 2654435761 % 1000000007) % 1000 < r.keep_per_mille AS kept
+      |  FROM documents d JOIN rates r USING (source)
+      |)
+      |SELECT source, MAX(n_docs) AS n_docs, MAX(keep_per_mille) AS keep_per_mille,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_checksum
+      |FROM b GROUP BY source
+      |ORDER BY source""".stripMargin
+
   // ---- PII scrub ----------------------------------------------------------
 
   // Detection patterns: kept to the regex subset Java (Spark) and RE2

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.{DebeziumJson, FeedSource}
+import graft.sources.{DebeziumJson, FeedSource, KafkaSource}
 import graft.cdc.CdcOps
 
 class SourcesSpec extends SparkSpec {
@@ -98,5 +98,29 @@ class SourcesSpec extends SparkSpec {
     assert(ledger(1L) === ((2L, 0L, "COMPLETED")))
     assert(ledger(2L)._2 >= 1L)
     assert(ledger(2L)._3 === "FAILED")
+  }
+
+  test("KafkaSource: option assembly + binary frame decode feeds the Debezium parse") {
+    import spark.implicits._
+    val opts = KafkaSource.options("broker:9092", "dbserver1\\.public\\..*")
+    assert(opts("subscribePattern") === "dbserver1\\.public\\..*")
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("maxOffsetsPerTrigger") === "1000000")
+    // raw frame shaped like the kafka source's output (binary key/value)
+    val payload = """{"op":"c","after":{"user_id":7,"value":1.5},"source":{"lsn":42},"ts_ms":1700000000000}"""
+    val raw = Seq(("dbserver1.public.orders", 0, 5L,
+      """{"user_id":7}""".getBytes("UTF-8"), payload.getBytes("UTF-8")))
+      .toDF("topic", "partition", "offset", "key", "value")
+    val dec = KafkaSource.decoded(raw).collect().head
+    assert(dec.getAs[String]("value_json") === payload)
+    assert(dec.getAs[Long]("offset") === 5L)
+    // and the decoded value parses through the standard envelope path
+    val row = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val parsed = DebeziumJson.parseEnvelope(
+      KafkaSource.decoded(raw), "value_json", row, "user_id").collect().head
+    assert(parsed.getAs[String]("op") === "I") // create normalizes to insert
+    assert(parsed.getAs[Long]("key") === 7L)
   }
 }
