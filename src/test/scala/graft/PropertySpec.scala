@@ -107,4 +107,43 @@ class PropertySpec extends SparkSpec {
       assert(salted === plain, s"seed $seed salts $salts")
     }
   }
+
+  test("piiScrubOf is idempotent and count-consistent on random PII-laced text") {
+    import spark.implicits._
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8))
+    val piiBit = Gen.oneOf(
+      word.map(w => s"$w@example.com"),
+      Gen.chooseNum(0, 255).map(n => s"10.0.$n.1"),
+      Gen.chooseNum(0, 9999).map(n => f"555-$n%04d"))
+    val docGen = Gen.listOfN(6, Gen.oneOf(word, piiBit)).map(_.mkString(" "))
+    val docs = (1 to 30).map(i => (i.toLong, sample(docGen, i))).toDF("id", "t")
+    val once = graft.operators.TextAnalysis.piiScrubOf(docs, "id", "t")
+    val onceRows = once.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // scrub the scrubbed text: no matches remain, text unchanged
+    val twice = graft.operators.TextAnalysis.piiScrubOf(
+      once.select(col("id"), col("redacted").as("t")), "id", "t")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    onceRows.foreach { case (id, r1) =>
+      val r2 = twice(id)
+      assert(!r2.getAs[Boolean]("pii_found"), s"doc $id: matches survive redaction")
+      assert(r2.getAs[String]("redacted") === r1.getAs[String]("redacted"),
+        s"doc $id: second scrub changed the text")
+    }
+  }
+
+  test("dupCoverageOf fractions bounded and exact-copy pairs always reach 1.0 (random corpora)") {
+    import spark.implicits._
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(6))
+    val textGen = Gen.listOfN(10, word).map(_.mkString(" "))
+    for (seed <- 1 to 3) {
+      val base = (1 to 10).map(i => (i.toLong, sample(textGen, seed * 100 + i)))
+      // plant one exact copy
+      val docs = (base :+ (99L, base.head._2)).toDF("doc_id", "text")
+      val cov = graft.operators.Dedup.dupCoverageOf(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dup_frac")).toMap
+      cov.values.foreach(f => assert(f >= 0.0 && f <= 1.0))
+      assert(cov(1L) === 1.0, s"seed $seed: copied doc's source not fully covered")
+      assert(cov(99L) === 1.0, s"seed $seed: planted copy not fully covered")
+    }
+  }
 }
