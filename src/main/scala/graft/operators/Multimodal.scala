@@ -101,6 +101,62 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm_frames — per-frame processing of a video-like payload: the
+    * binary column splits into fixed-size frames (GOP analog), every
+    * `stride`-th frame is sampled and fingerprinted, and the per-doc
+    * rollup reports frame counts plus sampled-frame fingerprints
+    * (distinct count, min/max — duplicate-frame detection at the frame
+    * level). mm_features reports only the sampled-frame COUNT; this is
+    * the real per-frame fan-out a video pipeline runs (explode →
+    * per-frame decode → rollup).
+    *
+    * Scale shape: the explode multiplies rows, not bytes scanned — each
+    * frame row carries one 256-byte slice of the already-read payload;
+    * the rollup re-aggregates on doc_id with map-side combine. A real
+    * decoder would sit where md5 sits, batched per partition. */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val FrameChars = 256
+    val Stride = 4
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n_bytes"))
+      .withColumn("n_frames", ceil(col("n_bytes").cast("double") / FrameChars).cast("long"))
+    d.select(col("doc_id"), col("text"), col("n_frames"),
+      posexplode(sequence(lit(0L), col("n_frames") - 1L)).as(Seq("pos", "frame_i")))
+      .filter(col("frame_i") % Stride === 0)
+      .withColumn("frame_fp",
+        md5(substring(col("text"), (col("frame_i") * FrameChars + 1).cast("int"),
+          lit(FrameChars)).cast("binary")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        count(lit(1)).as("n_sampled"),
+        count_distinct(col("frame_fp")).as("n_distinct_sampled"),
+        min(col("frame_fp")).as("first_fp"),
+        max(col("frame_fp")).as("last_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for mm_frames: the payload is the (ASCII) text
+    * bytes, so frame slicing is substring arithmetic — generate frame
+    * indices per doc, slice, hash, roll up. Spark's `substring(pos >
+    * len)` and DuckDB's both yield '' for the tail guard; indices stay
+    * in-range by construction. */
+  val mmFramesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n_bytes,
+      |    CAST(CEIL(CAST(length(text) AS DOUBLE) / 256) AS BIGINT) AS n_frames
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, n_frames,
+      |    md5(substring(text, CAST(f * 256 + 1 AS INTEGER), 256)) AS frame_fp
+      |  FROM d, LATERAL (SELECT unnest(range(0, n_frames)) AS f)
+      |  WHERE f % 4 = 0
+      |)
+      |SELECT doc_id, MAX(n_frames) AS n_frames, COUNT(*) AS n_sampled,
+      |  COUNT(DISTINCT frame_fp) AS n_distinct_sampled,
+      |  MIN(frame_fp) AS first_fp, MAX(frame_fp) AS last_fp
+      |FROM fr GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for mm_features: the stub decode is arithmetic over
     * the text's (ASCII) bytes, so the whole pipeline is replayable in
     * SQL — per-bucket char counts, exact-integer squared-sum magnitude,

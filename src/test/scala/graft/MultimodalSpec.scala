@@ -5,6 +5,26 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  test("mm_frames: sampled count matches the stride arithmetic per doc") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Multimodal.mmFrames(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_frames")
+      val sampled = r.getAs[Long]("n_sampled")
+      assert(sampled == (nf + 3) / 4, s"doc ${r.getAs[Long]("doc_id")}: $sampled of $nf frames")
+      assert(r.getAs[Long]("n_distinct_sampled") <= sampled)
+    }
+    // stride arithmetic must agree with mm_features' frameSample counter
+    val feats = graft.operators.Multimodal.mmFeatures(spark, sf)
+      .select(col("doc_id"), col("n_frames")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
+    rows.foreach { r =>
+      assert(feats(r.getAs[Long]("doc_id")) == r.getAs[Long]("n_sampled"),
+        s"doc ${r.getAs[Long]("doc_id")}: mm_features frame count disagrees")
+    }
+  }
+
   test("mm_features: schema, byte counts, and unit-norm features") {
     val res = Multimodal.mmFeatures(spark, sf)
     assert(res.columns.toSeq ===
