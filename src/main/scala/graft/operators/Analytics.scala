@@ -920,6 +920,119 @@ object Analytics {
       |FROM ret r JOIN ret s ON s.cohort_day = r.cohort_day AND s.age_days = 0
       |ORDER BY 1, 2""".stripMargin
 
+  /** q27_interval_sweep — concurrent-interval counting by sweep-line:
+    * each user's activity span [first ts, last ts] becomes a +1 boundary
+    * at the start and a -1 at the end; one global sort by
+    * (ts, delta DESC, user_id) and a running sum yield the number of
+    * concurrently active spans at every boundary (starts sort before
+    * ends at the same instant, so touching spans count as overlapping —
+    * closed-interval semantics).
+    *
+    * Scale shape: this is the O(n log n) alternative to the O(n²)
+    * interval self-join (the batch-overlap / concurrent-session
+    * monitoring shape): the span rollup is one keyed aggregation with
+    * map-side combine, and the sweep is one range-partitioned global
+    * sort whose volume is 2 rows per interval — never a pair expansion.
+    * The running sum over a global ORDER BY is a single-partition window
+    * only at the final (already tiny) boundary table; at 100 TB the
+    * boundary stream would be chunked by time range with per-chunk
+    * offsets carried forward — the operator's data volume, not its
+    * algorithm, is what changes. */
+  def q27IntervalSweep(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val bounds = spans.select(col("user_id"), col("t0").as("ts"), lit(1L).as("delta"))
+      .unionByName(spans.select(col("user_id"), col("t1").as("ts"), lit(-1L).as("delta")))
+    val w = Window.orderBy(col("ts"), col("delta").desc, col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds
+      .withColumn("active", sum(col("delta")).over(w))
+      .orderBy(col("ts"), col("delta").desc, col("user_id"))
+  }
+
+  val q27IntervalSweepSql: String =
+    """WITH spans AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t0, MAX(CAST(ts AS TIMESTAMP)) AS t1
+      |  FROM events GROUP BY user_id
+      |), bounds AS (
+      |  SELECT user_id, t0 AS ts, CAST(1 AS BIGINT) AS delta FROM spans
+      |  UNION ALL
+      |  SELECT user_id, t1 AS ts, CAST(-1 AS BIGINT) AS delta FROM spans
+      |)
+      |SELECT user_id, ts, delta,
+      |  CAST(SUM(delta) OVER (ORDER BY ts, delta DESC, user_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active
+      |FROM bounds
+      |ORDER BY ts, delta DESC, user_id""".stripMargin
+
+  /** q28_histogram — exact fixed-width histogram: order values bucketed
+    * into 10 × 50k-wide price bins (top bin open) per order priority,
+    * with exact-cent bucket sums. The equi-width profile behind data-
+    * quality range checks and skew diagnosis. Pure map-side bucketing +
+    * one tiny aggregation — the bucket id is a single IEEE divide+floor
+    * of the raw double, identical on both engines. */
+  def q28Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        least(floor(col("o_totalprice") / lit(50000d)), lit(9d)).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .withColumn("bucket_lo", (col("bucket") * 50000L).cast("double"))
+      .orderBy(col("o_orderpriority"), col("bucket"))
+
+  val q28HistogramSql: String =
+    """WITH b AS (
+      |  SELECT o_orderpriority,
+      |    CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+      |    o_totalprice
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority, bucket, COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS sum_price,
+      |  CAST(bucket * 50000 AS DOUBLE) AS bucket_lo
+      |FROM b GROUP BY 1, 2
+      |ORDER BY o_orderpriority, bucket""".stripMargin
+
+  /** q29_rolling_distinct — trailing-7-day distinct active users per day,
+    * by contribution explode: activity first collapses to distinct
+    * (user, day), then each user-day contributes itself to report days
+    * d..d+6 (clamped at the observed range end), and the per-day rollup
+    * counts distinct users. A distinct aggregate inside a RANGE window
+    * does not exist in either engine — and would re-walk the trailing
+    * window per day at scale; the explode form shuffles 7× the (already
+    * day-collapsed) activity table instead, with the window length as an
+    * explicit multiplier, then aggregates with partial combine. The
+    * rolling-MAU/WAU shape of activity monitoring. */
+  def q29RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val mx = ud.agg(max(col("d")).as("dmax"))
+    ud.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        explode(sequence(col("d"), least(date_add(col("d"), 6), col("dmax")))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users_7d"),
+        count(lit(1)).as("n_contrib"))
+      .orderBy(col("day"))
+  }
+
+  val q29RollingDistinctSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+      |), mx AS (
+      |  SELECT MAX(d) AS dmax FROM ud
+      |), contrib AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d, least(d + 6, dmax), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM ud CROSS JOIN mx
+      |)
+      |SELECT day, COUNT(DISTINCT user_id) AS active_users_7d, COUNT(*) AS n_contrib
+      |FROM contrib GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

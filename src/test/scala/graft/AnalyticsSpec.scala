@@ -129,4 +129,43 @@ class AnalyticsSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Byte]("g_pri") + r.getAs[Byte]("g_status") === 1))
   }
 
+  test("q27_interval_sweep: sweep invariants — deltas net to zero, active bounded") {
+    val res = Analytics.q27IntervalSweep(spark, sf).collect()
+    val nUsers = graft.core.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(res.length === 2 * nUsers) // one start + one end per span
+    assert(res.map(_.getAs[Long]("delta")).sum === 0)
+    val actives = res.map(_.getAs[Long]("active"))
+    assert(actives.forall(a => a >= 0 && a <= nUsers))
+    assert(actives.last === 0) // after the final end, nothing is active
+    assert(actives.max > 1)    // spans genuinely overlap in this data
+  }
+
+  test("q28_histogram: buckets partition the orders, sums are exact cents") {
+    val res = Analytics.q28Histogram(spark, sf).collect()
+    val total = graft.core.Tables.orders(spark, sf).count()
+    assert(res.map(_.getAs[Long]("n_orders")).sum === total)
+    res.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 9)
+      val s = r.getAs[Double]("sum_price")
+      assert(math.abs(s * 100 - math.rint(s * 100)) < 1e-6)
+    }
+  }
+
+  test("q29_rolling_distinct: trailing window ≥ single-day actives, ≤ total users") {
+    val daily = graft.core.Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("d1"))
+    val res = Analytics.q29RollingDistinct(spark, sf)
+    val joined = res.join(daily, "day").collect()
+    assert(joined.nonEmpty)
+    val nUsers = graft.core.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    joined.foreach { r =>
+      assert(r.getAs[Long]("active_users_7d") >= r.getAs[Long]("d1"))
+      assert(r.getAs[Long]("active_users_7d") <= nUsers)
+    }
+  }
+
 }
