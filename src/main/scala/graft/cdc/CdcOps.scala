@@ -397,4 +397,70 @@ object CdcOps {
       |      FROM unioned)
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
+
+  /** Generic out-of-order audit over any change log: per key, how many
+    * records carry an event time earlier than a prior (by offset)
+    * record's event time, and the worst such lateness in exact integer
+    * micros. This measurement SIZES streaming watermarks — a
+    * `withWatermark` horizon shorter than observed disorder silently
+    * drops late state updates, so a 100 TB deployment audits disorder
+    * continuously. One window over (key, offset order) riding the same
+    * shuffle as the final keyed rollup. */
+  def outOfOrderAuditOf(log: DataFrame, keyCol: String, offsetCol: String,
+                        tsUsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(offsetCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    log
+      .withColumn("prev_max_us", max(col(tsUsCol)).over(w))
+      .withColumn("late_us",
+        when(col("prev_max_us") > col(tsUsCol), col("prev_max_us") - col(tsUsCol))
+          .otherwise(0L))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .withColumn("late_frac", col("n_late").cast("double") / col("n_events"))
+  }
+
+  /** cdc_out_of_order — disorder audit of the events change log keyed by
+    * user, offset-ordered by event_id: the per-key late-event counts,
+    * worst lateness, and a watermark-sizing class (a day of disorder is
+    * MINOR; beyond that SEVERE — the class a deployment alerts on
+    * before state eviction starts dropping updates). */
+  def outOfOrder(spark: SparkSession, dir: String): DataFrame =
+    outOfOrderAuditOf(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us")),
+      "user_id", "event_id", "ts_us")
+      .withColumn("disorder_class",
+        when(col("n_late") === 0, "ORDERED")
+          .when(col("max_late_us") <= 86400000000L, "MINOR")
+          .otherwise("SEVERE"))
+      .orderBy(col("user_id"))
+
+  val outOfOrderSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+      |), lagged AS (
+      |  SELECT user_id, ts_us,
+      |    MAX(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_us
+      |  FROM ev
+      |), late AS (
+      |  SELECT user_id,
+      |    CASE WHEN prev_max_us > ts_us THEN prev_max_us - ts_us ELSE 0 END AS late_us
+      |  FROM lagged
+      |), rolled AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |    CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |  FROM late GROUP BY user_id
+      |)
+      |SELECT user_id, n_events, n_late, max_late_us,
+      |  CAST(n_late AS DOUBLE) / n_events AS late_frac,
+      |  CASE WHEN n_late = 0 THEN 'ORDERED'
+      |       WHEN max_late_us <= 86400000000 THEN 'MINOR'
+      |       ELSE 'SEVERE' END AS disorder_class
+      |FROM rolled
+      |ORDER BY user_id""".stripMargin
 }

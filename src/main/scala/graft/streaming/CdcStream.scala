@@ -233,6 +233,47 @@ object CdcStream {
       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_keys
       |FROM events GROUP BY 1 ORDER BY op""".stripMargin
 
+  /** Stream-static enrichment: each change event joined to the static
+    * customer→nation dimension (user_id = c_custkey in the test data's
+    * key mapping), rolled up per (nation, op) with exact-cent value
+    * sums. Stream-static joins are STATELESS in Structured Streaming —
+    * the static side is just re-read (and here broadcast) per
+    * micro-batch, no watermark or state store involved — which makes
+    * this the canonical CDC enrichment shape: a 100 TB change stream
+    * joins reference dimensions at broadcast cost, with dimension
+    * updates picked up on the next micro-batch. */
+  def enrichCounts(spark: SparkSession, dir: String)(changeEvents: DataFrame): DataFrame = {
+    val dim = graft.core.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(graft.core.Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    changeEvents
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"), col("op"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("value_cents"))
+  }
+
+  /** stream_enrich — per-(nation, op) rollup of the enriched change
+    * stream after full replay (Complete mode). Oracle-checked: the
+    * stateless stream-static join must equal the batch join. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_enrich_sink", OutputMode.Complete,
+      enrichCounts(spark, dir))
+      .orderBy(col("n_name"), col("op"))
+
+  val streamEnrichSql: String =
+    """SELECT n.n_name, CASE WHEN e.event_type = 'signup' THEN 'I'
+      |            WHEN e.event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(FLOOR(e.value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events e
+      |JOIN customer c ON e.user_id = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY 1, 2 ORDER BY n_name, op""".stripMargin
+
   /** End-to-end streaming pipeline: stateful apply → foreachBatch →
     * idempotent bucket-partitioned lake snapshot (Sinks.writeSnapshot).
     * Each micro-batch upserts only the keys it changed: the batch's

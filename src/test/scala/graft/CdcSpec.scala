@@ -122,6 +122,21 @@ class CdcSpec extends SparkSpec {
     assert(wrong.count() === 0)
   }
 
+  test("cdc_out_of_order: ordered log audits clean, planted disorder is caught") {
+    import spark.implicits._
+    // ordered log: offsets and event times agree
+    val ordered = Seq((1L, 1L, 100L), (1L, 2L, 200L), (2L, 3L, 300L))
+      .toDF("k", "off", "ts_us")
+    val a1 = CdcOps.outOfOrderAuditOf(ordered, "k", "off", "ts_us").collect()
+    assert(a1.forall(_.getAs[Long]("n_late") === 0L))
+    // key 1's third event arrives 150us behind the running max
+    val disordered = Seq((1L, 1L, 100L), (1L, 2L, 400L), (1L, 3L, 250L))
+      .toDF("k", "off", "ts_us")
+    val a2 = CdcOps.outOfOrderAuditOf(disordered, "k", "off", "ts_us").collect()(0)
+    assert(a2.getAs[Long]("n_late") === 1L)
+    assert(a2.getAs[Long]("max_late_us") === 150L)
+  }
+
   test("recon_table_digest: drifted table flagged, identical table matches") {
     val r = Reconcile.reconTableDigest(spark, sf).collect()(0)
     assert(r.getAs[Boolean]("tables_match") === false)

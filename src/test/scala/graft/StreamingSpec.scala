@@ -97,6 +97,15 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     batch.foreach { case (op, n) => assert(totals(op) === 2 * n, s"op $op") }
   }
+  test("stream_enrich: stream-static join equals the batch join after replay") {
+    val streamed = CdcStream.streamEnrich(spark, sf)
+    val batch = CdcStream.enrichCounts(spark, sf)(
+      CdcStream.toChangeEvents(graft.core.Tables.events(spark, sf)
+        .withColumn("ts", expr("unix_micros(ts) * 1000"))))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streamApplyToLake: lake snapshot equals batch apply after full replay") {
     val out = java.nio.file.Files.createTempDirectory("graft-lake").toString + "/snap"
     val lake = CdcStream.streamApplyToLake(spark, sf, out)
