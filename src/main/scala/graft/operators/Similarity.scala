@@ -706,6 +706,69 @@ object Similarity {
       |ORDER BY assigned_label""".stripMargin
   }
 
+  /** embed_quantize_int8 — scalar (SQ8) quantization of the embedding
+    * corpus, the FAISS-SQ serving layout: per-dimension global [min, max]
+    * over the corpus (one tiny aggregate), every component mapped to an
+    * 8-bit code `(v - min) * 255 div range`, and the reconstruction
+    * error audited exactly. 64 float dims become 64 bytes — 4× less
+    * scan I/O than float32 at serving time. All arithmetic happens on
+    * the 1e-6-quantized long grid (components and bounds alike), so
+    * codes, reconstructions, and error totals are exact integers the
+    * oracle replays bit-for-bit.
+    *
+    * Scale shape: the bounds pass is posexplode → 64-row aggregate with
+    * map-side combine (at 100 TB: one scan, negligible shuffle), bounds
+    * broadcast back, and the coding pass is map-only. Output is the
+    * per-label audit: element counts, total/max absolute reconstruction
+    * error (in 1e-6 units), and the exact code checksum. */
+  def embedQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val elems = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("vq", floor(col("x") * 1e6 + 0.5).cast("long"))
+    val bounds = elems.groupBy(col("pos"))
+      .agg(min(col("vq")).as("minq"), max(col("vq")).as("maxq"))
+      .withColumn("rng", greatest(col("maxq") - col("minq"), lit(1L)))
+    elems.join(broadcast(bounds), Seq("pos"))
+      .withColumn("code", expr("((vq - minq) * 255) div rng"))
+      .withColumn("recon", col("minq") + expr("(code * rng) div 255"))
+      .withColumn("err", abs(col("vq") - col("recon")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_elems"),
+        countDistinct(col("vec_id")).as("n_vecs"),
+        sum(col("err")).as("total_err_q"),
+        max(col("err")).as("max_err_q"),
+        sum(col("code") * (col("pos") + 1L)).as("code_checksum"))
+      .orderBy(col("label"))
+  }
+
+  val embedQuantizeInt8Sql: String =
+    """WITH elems AS (
+      |  SELECT vec_id, label, unnest(list_transform(embedding, (x, i) ->
+      |    {'pos': i - 1,
+      |     'vq': CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)}), recursive := true)
+      |  FROM embeddings
+      |), bounds AS (
+      |  SELECT pos, MIN(vq) AS minq, MAX(vq) AS maxq,
+      |    GREATEST(MAX(vq) - MIN(vq), 1) AS rng
+      |  FROM elems GROUP BY pos
+      |), coded AS (
+      |  SELECT e.vec_id, e.label, e.pos,
+      |    ((e.vq - b.minq) * 255) // b.rng AS code,
+      |    e.vq, b.minq, b.rng
+      |  FROM elems e JOIN bounds b USING (pos)
+      |), audited AS (
+      |  SELECT label, vec_id, pos, code,
+      |    abs(vq - (minq + (code * rng) // 255)) AS err
+      |  FROM coded
+      |)
+      |SELECT label, COUNT(*) AS n_elems, COUNT(DISTINCT vec_id) AS n_vecs,
+      |  CAST(SUM(err) AS BIGINT) AS total_err_q,
+      |  CAST(MAX(err) AS BIGINT) AS max_err_q,
+      |  CAST(SUM(code * (pos + 1)) AS BIGINT) AS code_checksum
+      |FROM audited GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** mm_doc_embed — cross-modal join: the text table and the embedding
     * table joined on their shared id (doc_id = vec_id — the "every doc
     * has an embedding row" layout of a multimodal corpus), rolled up per

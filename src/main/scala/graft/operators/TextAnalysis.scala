@@ -506,6 +506,98 @@ object TextAnalysis {
       |FROM b GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** shard_pack — greedy sequential packing of the corpus into ~fixed-
+    * byte training shards per source (the WebDataset/TFRecord shard-
+    * building step): docs are laid out in id order within each source,
+    * and a doc belongs to the shard where its running byte offset lands
+    * (`offset div SHARD_BYTES`) — shards may overflow by less than one
+    * doc, the standard greedy discipline. Output is the per-shard
+    * manifest: doc count, byte volume, id range, membership checksum —
+    * the dataset card a training loader consumes.
+    *
+    * Scale shape: one window cumsum riding the per-source shuffle (the
+    * sort is bounded per source; at 100 TB a monster source would be
+    * range-partitioned by id with per-range byte offsets composed — the
+    * same two-pass prefix-sum discipline as any distributed scan), then
+    * a rollup whose output is ∝ corpus bytes / shard size. Byte sizes
+    * use octet_length: UTF-8 bytes, not characters. */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), octet_length(col("text")).as("nb"))
+      .withColumn("cum", sum(col("nb")).over(w))
+      .withColumn("shard_id", expr("(cum - nb) div 4096"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  val shardPackSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, octet_length(encode(text)) AS nb FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, nb,
+      |    SUM(nb) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM b
+      |)
+      |SELECT source, (cum - nb) // 4096 AS shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(nb) AS BIGINT) AS shard_bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM c GROUP BY 1, 2
+      |ORDER BY source, shard_id""".stripMargin
+
+  /** text_vocab — corpus vocabulary profile per language: token volume,
+    * vocabulary size, hapax count (words occurring exactly once — the
+    * long tail that dominates tokenizer training decisions), type-token
+    * ratio, and the dominant word. Two aggregations: explode →
+    * (lang, word) counts with map-side combine (shuffle ∝ distinct
+    * words, not tokens), then a per-language rollup where the dominant
+    * word rides as a lexicographic max(struct) — no window, partial-agg
+    * friendly all the way. */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    wc.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_count"),
+        max(struct(col("n"), col("w"))).as("m"))
+      .withColumn("ttr", col("vocab_size").cast("double") / col("n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("vocab_size"), col("hapax_count"),
+        col("ttr"), col("m.w").as("top_word"), col("m.n").as("top_word_n"))
+      .orderBy(col("lang"))
+  }
+
+  val textVocabSql: String =
+    s"""WITH wc AS (
+      |  SELECT lang, w, COUNT(*) AS n FROM (
+      |    SELECT lang, unnest(${wordsSql("text")}) AS w FROM documents)
+      |  GROUP BY 1, 2
+      |), roll AS (
+      |  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS vocab_size,
+      |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count
+      |  FROM wc GROUP BY 1
+      |), top AS (
+      |  SELECT lang, w AS top_word, n AS top_word_n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, w DESC) AS rn
+      |  FROM wc
+      |)
+      |SELECT r.lang, r.n_tokens, r.vocab_size, r.hapax_count,
+      |  CAST(r.vocab_size AS DOUBLE) / r.n_tokens AS ttr,
+      |  t.top_word, t.top_word_n
+      |FROM roll r JOIN top t ON r.lang = t.lang AND t.rn = 1
+      |ORDER BY r.lang""".stripMargin
+
   // ---- PII scrub ----------------------------------------------------------
 
   // Detection patterns: kept to the regex subset Java (Spark) and RE2

@@ -90,4 +90,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed_quantize_int8: exact tiling and bounded reconstruction error") {
+    val res = Similarity.embedQuantizeInt8(spark, sf).collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(res.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_elems") === 64L * r.getAs[Long]("n_vecs"))
+    }
+    // reconstruction error is bounded by rng/255 + 1 on the 1e-6 grid
+    val elems = emb.select(posexplode(transform(col("embedding"), _.cast("double"))).as(Seq("pos", "x")))
+      .withColumn("vq", floor(col("x") * 1e6 + 0.5).cast("long"))
+    val rngMax = elems.groupBy(col("pos"))
+      .agg((max(col("vq")) - min(col("vq"))).as("rng"))
+      .agg(max(col("rng"))).collect()(0).getLong(0)
+    val bound = rngMax / 255L + 1L
+    res.foreach(r => assert(r.getAs[Long]("max_err_q") <= bound))
+  }
+
 }

@@ -122,4 +122,42 @@ class TextSpec extends SparkSpec {
     assert(res.unionAll(again).distinct().count() === res.count())
   }
 
+  test("shard_pack: shards tile each source exactly, ids contiguous from 0") {
+    val res = TextAnalysis.shardPack(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(res.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val byteTotal = docs.select(sum(octet_length(col("text")))).collect()(0).getLong(0)
+    assert(res.map(_.getAs[Long]("shard_bytes")).sum === byteTotal)
+    res.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("shard_id")).sorted
+      assert(ids.head === 0L && ids === (0L until ids.length).toArray.toSeq.toArray)
+      // doc id ranges of consecutive shards never overlap (sequential layout)
+      val sortedRows = rows.sortBy(_.getAs[Long]("shard_id"))
+      sortedRows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
+
+  test("text_vocab: hapax <= vocab <= tokens, top word is the max count") {
+    val res = TextAnalysis.textVocab(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[Long]("hapax_count") <= r.getAs[Long]("vocab_size"))
+      assert(r.getAs[Long]("vocab_size") <= r.getAs[Long]("n_tokens"))
+      val ttr = r.getAs[Double]("ttr")
+      assert(ttr > 0 && ttr <= 1)
+    }
+    // recompute the max word count for one language independently
+    val lang = res(0).getAs[String]("lang")
+    val mx = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === lang)
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy(col("w")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(res(0).getAs[Long]("top_word_n") === mx)
+  }
+
 }
