@@ -885,4 +885,88 @@ object Reconcile {
       |  src_count = tgt_count AND src_digest = tgt_digest AS tables_match
       |FROM srcd CROSS JOIN tgtd""".stripMargin
 
+  /** recon_lsn_gap — offset-continuity check of the change log: holes in
+    * the LSN sequence are the failure the two-sided compare ladder can
+    * NOT see, because a slot that silently skipped records leaves both
+    * sides agreeing. Planted: event_ids divisible by 101 are dropped
+    * before the check, and the detector must recover exactly those
+    * offsets as gap ranges. One lag over the global offset order — at
+    * scale a range-partitioned sort whose output is ∝ holes, not log
+    * volume (per-partition boundary handoff replaces the single-
+    * partition window this runs as at test scale). */
+  def reconLsnGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"))
+      .filter(col("event_id") % 101 =!= 0)
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 1)
+      .select((col("prev_id") + 1).as("gap_start"),
+        (col("event_id") - 1).as("gap_end"),
+        (col("event_id") - col("prev_id") - 1).as("gap_width"))
+      .orderBy(col("gap_start"))
+  }
+
+  val reconLsnGapSql: String =
+    """WITH kept AS (
+      |  SELECT event_id FROM events WHERE event_id % 101 <> 0
+      |), lagged AS (
+      |  SELECT event_id, LAG(event_id) OVER (ORDER BY event_id) AS prev_id FROM kept
+      |)
+      |SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+      |  event_id - prev_id - 1 AS gap_width
+      |FROM lagged
+      |WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+      |ORDER BY gap_start""".stripMargin
+
+  /** stats_corr — exact-carrier Pearson correlation between quantity and
+    * extended price per return flag: the sufficient statistics (n, Σx,
+    * Σy, Σxy, Σx², Σy²) are exact integer sums — x on the unit grid,
+    * y on the whole-dollar grid — and r derives from them by a fixed
+    * IEEE sequence replayed in the oracle (the events_anomaly
+    * discipline applied to correlation; aggregating doubles directly
+    * would be summation-order dependent and could never hash-match).
+    * One scan with map-side combine. Carrier ranges: Σy² stays under
+    * 2^53 (double-exact) through sf0.1's ~200k rows/group; a larger
+    * deployment widens the grid or moves carriers to DECIMAL(38). */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    val xq = floor(col("l_quantity") + 0.5d).cast("long")
+    val yq = floor(col("l_extendedprice") + 0.5d).cast("long")
+    def d(c: Column) = c.cast("double")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), xq.as("xq"), yq.as("yq"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"))
+      .withColumn("corr_xy",
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+           sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsCorrSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS xq,
+      |    CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS yq
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+      |    CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+      |    CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+      |    CAST(SUM(yq * yq) AS BIGINT) AS syy
+      |  FROM q GROUP BY 1
+      |)
+      |SELECT l_returnflag, n, sx, sy, sxy, sxx, syy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_xy
+      |FROM s
+      |ORDER BY l_returnflag""".stripMargin
 }

@@ -1033,6 +1033,43 @@ object Analytics {
       |FROM contrib GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** events_markov — first-order transition matrix over per-user event
+    * sequences: consecutive (by offset) event-type pairs counted into
+    * (prev, next) cells, with row-normalized transition probabilities
+    * (one IEEE divide of exact longs). The sequence-model / funnel-
+    * diagnosis shape. The lag window rides the same per-key shuffle the
+    * rollup needs; the matrix itself is |types|² rows, so the
+    * normalizing window runs on a trivially small table. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .withColumn("p", col("n").cast("double") / col("row_total"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val eventsMarkovSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+      |  FROM events
+      |), counts AS (
+      |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT prev_type, next_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+      |FROM counts
+      |ORDER BY prev_type, next_type""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -598,6 +598,41 @@ object TextAnalysis {
       |FROM roll r JOIN top t ON r.lang = t.lang AND t.rn = 1
       |ORDER BY r.lang""".stripMargin
 
+  /** text_bpe_pairs — the counting step of one BPE merge round, the
+    * tokenizer-training kernel: corpus-wide adjacent-symbol-pair
+    * frequencies over whitespace words (symbols = characters at
+    * iteration zero), top-20 pairs by count. Looped with the winning
+    * merge applied per round this IS BPE training; the pair count is
+    * the scale problem — explode ∝ corpus characters — and it shuffles
+    * only distinct pairs after map-side combine. The top-k is a sort
+    * of the (tiny) aggregated pair table. */
+  def textBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .select(split(col("w"), "").as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(explode(zip_with(
+        slice(col("cs"), lit(1), size(col("cs")) - 1),
+        slice(col("cs"), lit(2), size(col("cs")) - 1),
+        (a, b) => concat(a, b))).as("pair"))
+    pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  val textBpePairsSql: String =
+    s"""WITH w AS (
+      |  SELECT unnest(${wordsSql("text")}) AS w FROM documents
+      |), cs AS (
+      |  SELECT string_split(w, '') AS cs FROM w
+      |), p AS (
+      |  SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i] || cs[i+1])) AS pair
+      |  FROM cs WHERE len(cs) >= 2
+      |)
+      |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair
+      |LIMIT 20""".stripMargin
+
   // ---- PII scrub ----------------------------------------------------------
 
   // Detection patterns: kept to the regex subset Java (Spark) and RE2

@@ -168,4 +168,15 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+
+  test("events_markov: rows normalize to 1, transitions = events - users") {
+    val res = Analytics.eventsMarkov(spark, sf).collect()
+    val byPrev = res.groupBy(_.getAs[String]("prev_type"))
+    byPrev.foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+    val ev = graft.core.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(res.map(_.getAs[Long]("n")).sum === expected)
+  }
 }

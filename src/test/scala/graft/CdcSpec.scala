@@ -145,4 +145,33 @@ class CdcSpec extends SparkSpec {
     assert(r.getAs[Long]("src_digest") !== r.getAs[Long]("tgt_digest"))
   }
 
+
+  test("recon_lsn_gap: planted holes recovered exactly") {
+    val ids = graft.core.Tables.events(spark, sf).select(col("event_id"))
+      .collect().map(_.getLong(0)).sorted
+    val kept = ids.filter(_ % 101 != 0)
+    // planted holes strictly inside the kept range, restricted to ids
+    // that exist in this log (the id space may itself be sparse)
+    val planted = ids.filter(i => i % 101 == 0 && i > kept.head && i < kept.last)
+    val gaps = Reconcile.reconLsnGap(spark, sf).collect()
+    planted.foreach { i =>
+      assert(gaps.exists(g => g.getAs[Long]("gap_start") <= i && i <= g.getAs[Long]("gap_end")),
+        s"planted hole $i not covered")
+    }
+  }
+
+  test("stats_corr: exact carriers agree with Spark's built-in corr") {
+    val res = Reconcile.statsCorr(spark, sf).collect()
+    assert(res.length >= 2)
+    val li = graft.core.Tables.lineitem(spark, sf)
+    res.foreach { r =>
+      val rf = r.getAs[String]("l_returnflag")
+      val c = r.getAs[Double]("corr_xy")
+      assert(math.abs(c) <= 1.0)
+      val builtin = li.filter(col("l_returnflag") === rf)
+        .agg(corr(floor(col("l_quantity") + 0.5), floor(col("l_extendedprice") + 0.5)))
+        .collect()(0).getDouble(0)
+      assert(math.abs(c - builtin) < 1e-6, s"$rf: $c vs $builtin")
+    }
+  }
 }

@@ -160,4 +160,19 @@ class TextSpec extends SparkSpec {
     assert(res(0).getAs[Long]("top_word_n") === mx)
   }
 
+
+  test("text_bpe_pairs: descending counts, pairs are 2-char, top matches recount") {
+    val res = TextAnalysis.textBpePairs(spark, sf).collect()
+    assert(res.length === 20)
+    val ns = res.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    res.foreach(r => assert(r.getAs[String]("pair").length === 2))
+    // independent recount of the winning pair
+    val top = res(0)
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(TextFunctions.words(col("text"))).as("w"))
+      .select(explode(expr("filter(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)), p -> length(p) = 2)")).as("pair"))
+      .filter(col("pair") === top.getAs[String]("pair")).count()
+    assert(n === top.getAs[Long]("n"))
+  }
 }
