@@ -1070,6 +1070,44 @@ object Analytics {
       |FROM counts
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** q30_window_suite — the remaining ranked-window family in one
+    * query: quartile assignment (ntile), percent_rank, cume_dist, and
+    * second-lowest price (nth_value over the full frame) per order
+    * priority. The ORDER BY includes the unique key so ranks are
+    * tie-free and the rank-derived doubles are single IEEE divisions —
+    * deterministic on both engines. The %37 output filter keeps the
+    * presentation small but runs AFTER the windows (they need the full
+    * partition). One shuffle on the partition key. */
+  def q30WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("second_lowest", nth_value(col("o_totalprice"), 2).over(wf))
+      .filter(col("o_orderkey") % 37 === 0)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val q30WindowSuiteSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice, quartile, pct_rank, cume, second_lowest
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |    PERCENT_RANK() OVER w AS pct_rank,
+      |    CUME_DIST() OVER w AS cume,
+      |    NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_lowest
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |)
+      |WHERE o_orderkey % 37 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

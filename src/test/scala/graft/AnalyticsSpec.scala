@@ -179,4 +179,18 @@ class AnalyticsSpec extends SparkSpec {
     val expected = ev.count() - ev.select(col("user_id")).distinct().count()
     assert(res.map(_.getAs[Long]("n")).sum === expected)
   }
+
+  test("q30_window_suite: ranks well-formed within each priority") {
+    val res = Analytics.q30WindowSuite(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val q = r.getAs[Int]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      val cd = r.getAs[Double]("cume")
+      assert(pr >= 0 && pr <= 1 && cd > 0 && cd <= 1 && cd >= pr)
+      assert(r.getAs[Double]("second_lowest") <= r.getAs[Double]("o_totalprice") ||
+        r.getAs[Double]("pct_rank") === 0.0)
+    }
+  }
 }
