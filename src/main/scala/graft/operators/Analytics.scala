@@ -1108,6 +1108,75 @@ object Analytics {
       |WHERE o_orderkey % 37 = 0
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** events_path_topk — top-10 three-step user journeys: per user in
+    * offset order, every consecutive event-type trigram counted
+    * corpus-wide (the path-mining / funnel-discovery shape, the
+    * higher-order cousin of events_markov). The double lag rides ONE
+    * per-key window sort; the count aggregates over at most |types|³
+    * cells with map-side combine, and the top-k sorts the tiny cell
+    * table. */
+  def eventsPathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(" > ", col("t1"), col("t2"), col("event_type")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  val eventsPathTopkSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type, 2) OVER w AS t1,
+      |    LAG(event_type, 1) OVER w AS t2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |)
+      |SELECT t1 || ' > ' || t2 || ' > ' || event_type AS path, COUNT(*) AS n
+      |FROM seq WHERE t1 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 10""".stripMargin
+
+  /** q31_unpivot — wide→long melt of the lineitem measures via `stack`
+    * (ONE scan expands to measure rows — Spark's Expand node; the
+    * oracle's UNION ALL shape would scan four times), profiled
+    * per measure with exact-cent carriers: count, sum, min, max. The
+    * generic column-profiler shape over a measures-wide fact table. */
+  def q31Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val melted = Tables.lineitem(spark, dir)
+      .select(expr(
+        """stack(4,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount,
+          |  'l_tax', l_tax) AS (measure, v)""".stripMargin))
+    melted.groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"),
+        sum(cents(col("v"))).as("sum_cents"),
+        min(cents(col("v"))).as("min_cents"),
+        max(cents(col("v"))).as("max_cents"))
+      .orderBy(col("measure"))
+  }
+
+  val q31UnpivotSql: String =
+    """WITH m AS (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+      |)
+      |SELECT measure, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(v*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(CAST(FLOOR(v*100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(MAX(CAST(FLOOR(v*100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM m GROUP BY measure
+      |ORDER BY measure""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -157,6 +157,68 @@ object Multimodal {
       |FROM fr GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** mm_chunk_dedup — storage-layer deduplication of binary payloads,
+    * the content-addressed-store question at 100 TB ("how much of this
+    * corpus is literally the same bytes"): each payload splits into
+    * fixed 128-byte chunks, chunks are hashed corpus-wide, and the
+    * per-source rollup reports logical vs stored bytes (dedup ratio as
+    * one IEEE divide of exact longs), distinct-chunk counts, and the
+    * hottest chunk's reference count. Planted duplicate docs make some
+    * sources genuinely dedup-able.
+    *
+    * Scale shape: the explode multiplies rows, not bytes scanned (each
+    * chunk row is one slice of the already-read payload); only chunk
+    * HASHES shuffle, once, with map-side combine — the blob store never
+    * moves payload bytes to answer the question. */
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val Chunk = 128
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("nb"))
+      .withColumn("n_chunks", ceil(col("nb").cast("double") / Chunk).cast("long"))
+    val perChunk = d
+      .select(col("source"), col("text"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("ci"))
+      .withColumn("chunk", substring(col("text"),
+        (col("ci") * Chunk + 1).cast("int"), lit(Chunk)))
+      .select(col("source"), md5(col("chunk").cast("binary")).as("chunk_fp"),
+        length(col("chunk")).as("chunk_bytes"))
+      .groupBy(col("source"), col("chunk_fp"))
+      .agg(count(lit(1)).as("n_refs"), max(col("chunk_bytes")).as("chunk_bytes"))
+    perChunk.groupBy(col("source"))
+      .agg(sum(col("n_refs")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("n_refs") * col("chunk_bytes")).as("logical_bytes"),
+        sum(col("chunk_bytes")).as("stored_bytes"),
+        max(col("n_refs")).as("max_chunk_refs"))
+      .withColumn("dedup_ratio",
+        col("logical_bytes").cast("double") / col("stored_bytes"))
+      .orderBy(col("source"))
+  }
+
+  val mmChunkDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text, length(text) AS nb,
+      |    CAST(CEIL(CAST(length(text) AS DOUBLE) / 128) AS BIGINT) AS n_chunks
+      |  FROM documents
+      |), ch AS (
+      |  SELECT source,
+      |    md5(substring(text, CAST(ci * 128 + 1 AS INTEGER), 128)) AS chunk_fp,
+      |    length(substring(text, CAST(ci * 128 + 1 AS INTEGER), 128)) AS chunk_bytes
+      |  FROM d, LATERAL (SELECT unnest(range(0, n_chunks)) AS ci)
+      |), pc AS (
+      |  SELECT source, chunk_fp, COUNT(*) AS n_refs, MAX(chunk_bytes) AS chunk_bytes
+      |  FROM ch GROUP BY 1, 2
+      |)
+      |SELECT source, CAST(SUM(n_refs) AS BIGINT) AS n_chunks,
+      |  COUNT(*) AS n_distinct_chunks,
+      |  CAST(SUM(n_refs * chunk_bytes) AS BIGINT) AS logical_bytes,
+      |  CAST(SUM(chunk_bytes) AS BIGINT) AS stored_bytes,
+      |  CAST(MAX(n_refs) AS BIGINT) AS max_chunk_refs,
+      |  CAST(SUM(n_refs * chunk_bytes) AS DOUBLE) / SUM(chunk_bytes) AS dedup_ratio
+      |FROM pc GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** DuckDB oracle for mm_features: the stub decode is arithmetic over
     * the text's (ASCII) bytes, so the whole pipeline is replayable in
     * SQL — per-bucket char counts, exact-integer squared-sum magnitude,

@@ -193,4 +193,33 @@ class AnalyticsSpec extends SparkSpec {
         r.getAs[Double]("pct_rank") === 0.0)
     }
   }
+
+  test("events_path_topk: descending, top path recounted independently") {
+    val res = Analytics.eventsPathTopk(spark, sf).collect()
+    assert(res.length === 10)
+    val ns = res.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    val top = res(0)
+    val parts = top.getAs[String]("path").split(" > ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val n = graft.core.Tables.events(spark, sf)
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1") === parts(0) && col("t2") === parts(1) &&
+        col("event_type") === parts(2)).count()
+    assert(n === top.getAs[Long]("n"))
+  }
+
+  test("q31_unpivot: every measure covers all lineitem rows") {
+    val res = Analytics.q31Unpivot(spark, sf).collect()
+    assert(res.length === 4)
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val cnt = li.count()
+    res.foreach(r => assert(r.getAs[Long]("n") === cnt))
+    val qtySum = li.select(sum(floor(col("l_quantity") * 100d + 0.5d).cast("long")))
+      .collect()(0).getLong(0)
+    assert(res.find(_.getAs[String]("measure") == "l_quantity").get
+      .getAs[Long]("sum_cents") === qtySum)
+  }
 }

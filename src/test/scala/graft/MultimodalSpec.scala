@@ -56,4 +56,18 @@ class MultimodalSpec extends SparkSpec {
     val b = "hello world".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b).toSeq === Multimodal.decodeStub(b).toSeq)
   }
+
+  test("mm_chunk_dedup: byte accounting exact, planted duplicates dedup") {
+    val res = graft.operators.Multimodal.mmChunkDedup(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val byteTotal = docs.select(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(res.map(_.getAs[Long]("logical_bytes")).sum === byteTotal)
+    res.foreach { r =>
+      assert(r.getAs[Long]("stored_bytes") <= r.getAs[Long]("logical_bytes"))
+      assert(r.getAs[Double]("dedup_ratio") >= 1.0)
+      assert(r.getAs[Long]("n_distinct_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+    // the dedup corpus plants exact duplicate docs: some source must dedup
+    assert(res.exists(_.getAs[Long]("max_chunk_refs") > 1))
+  }
 }
