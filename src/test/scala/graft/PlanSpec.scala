@@ -223,4 +223,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+
+  test("mm_chunk_dedup: payload bytes never shuffle — only chunk hashes exchange") {
+    val p = plan(graft.operators.Multimodal.mmChunkDedup(spark, sf))
+    // the first exchange happens after the md5 projection: no Exchange
+    // may carry the text or chunk columns
+    val exchanges = p.split("Exchange").drop(1)
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(e => e.takeWhile(_ != '\n').contains("text")))
+  }
+
+  test("q31_unpivot: one scan feeds the melt — not four") {
+    val p = plan(Analytics.q31Unpivot(spark, sf))
+    assert("FileScan parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("Generate stack"))
+  }
+
+  test("embed_quantize_int8: per-dim bounds broadcast back to the element stream") {
+    val p = plan(Similarity.embedQuantizeInt8(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("shard_pack: the rollup reuses the window's source partitioning (no extra exchange)") {
+    val p = plan(TextAnalysis.shardPack(spark, sf))
+    // exactly two exchanges: the window shuffle on source and the final
+    // presentation sort's range partitioning
+    assert("Exchange".r.findAllIn(p).size === 2)
+  }
 }
