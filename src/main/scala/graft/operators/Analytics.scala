@@ -1177,6 +1177,39 @@ object Analytics {
       |FROM m GROUP BY measure
       |ORDER BY measure""".stripMargin
 
+  /** q32_sql_api — the SQL-string entry path: graft's native codegen
+    * expressions used from `spark.sql` over a temp view, exactly as a
+    * spark-shell / Thrift-gateway user would (GraftExtensions registers
+    * them; `spark.sql.extensions=graft.GraftExtensions` does the same
+    * at session build). The query itself is an exact per-source text-
+    * hash profile with `poly_hash` — a native expression — sitting next
+    * to built-in aggregates in SQL text. Oracle: the portable-hash rule
+    * (list_reduce replay of the same polynomial fold). */
+  def q32SqlApi(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_sqlv")
+    spark.sql(
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT poly_hash(text)) AS n_distinct_texts,
+        |  CAST(SUM(poly_hash(text)) AS BIGINT) AS hash_checksum
+        |FROM documents_sqlv
+        |GROUP BY source
+        |ORDER BY source""".stripMargin)
+  }
+
+  val q32SqlApiSql: String =
+    """WITH h AS (
+      |  SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 131 + c) % 1000000007) AS ph
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT ph) AS n_distinct_texts,
+      |  CAST(SUM(ph) AS BIGINT) AS hash_checksum
+      |FROM h GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

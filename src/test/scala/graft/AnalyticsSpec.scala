@@ -222,4 +222,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(res.find(_.getAs[String]("measure") == "l_quantity").get
       .getAs[Long]("sum_cents") === qtySum)
   }
+
+  test("q32_sql_api: SQL-path poly_hash equals the Column-API fingerprint path") {
+    val res = Analytics.q32SqlApi(spark, sf).collect()
+    assert(res.nonEmpty)
+    // distinct raw texts per source, recomputed without the extension
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = docs.groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_texts") === exact(r.getAs[String]("source")))
+    }
+  }
 }
