@@ -1040,19 +1040,27 @@ object Analytics {
     * diagnosis shape. The lag window rides the same per-key shuffle the
     * rollup needs; the matrix itself is |types|² rows, so the
     * normalizing window runs on a trivially small table. */
-  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
-    val counts = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+  /** Generic first-order transition matrix over any keyed, offset-
+    * ordered state log: (prev, next) cell counts with row-normalized
+    * probabilities. */
+  def markovOf(log: DataFrame, keyCol: String, offsetCol: String,
+               stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(offsetCol))
+    val counts = log
+      .withColumn("prev_type", lag(col(stateCol), 1).over(w))
       .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy(col("prev_type"), col(stateCol).as("next_type"))
       .agg(count(lit(1)).as("n"))
     counts
       .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
       .withColumn("p", col("n").cast("double") / col("row_total"))
-      .orderBy(col("prev_type"), col("next_type"))
   }
+
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame =
+    markovOf(
+      Tables.events(spark, dir).select(col("user_id"), col("event_id"), col("event_type")),
+      "user_id", "event_id", "event_type")
+      .orderBy(col("prev_type"), col("next_type"))
 
   val eventsMarkovSql: String =
     """WITH seq AS (

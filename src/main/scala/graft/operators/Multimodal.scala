@@ -170,22 +170,26 @@ object Multimodal {
     * chunk row is one slice of the already-read payload); only chunk
     * HASHES shuffle, once, with map-side combine — the blob store never
     * moves payload bytes to answer the question. */
-  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val Chunk = 128
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"),
-        length(col("text")).as("nb"))
-      .withColumn("n_chunks", ceil(col("nb").cast("double") / Chunk).cast("long"))
+  /** Generic chunk-level dedup accounting over any (group, payload)
+    * relation: the payload column splits into fixed `chunkBytes`
+    * chunks, chunk hashes count corpus-wide per group, and the rollup
+    * reports logical vs stored bytes with the dedup ratio. Only chunk
+    * hashes ever shuffle. */
+  def chunkDedupOf(df: DataFrame, groupCol: String,
+                   payload: org.apache.spark.sql.Column, chunkBytes: Int): DataFrame = {
+    val d = df
+      .select(col(groupCol), payload.as("p"), length(payload).as("nb"))
+      .withColumn("n_chunks", ceil(col("nb").cast("double") / chunkBytes).cast("long"))
     val perChunk = d
-      .select(col("source"), col("text"),
+      .select(col(groupCol), col("p"),
         explode(sequence(lit(0L), col("n_chunks") - 1L)).as("ci"))
-      .withColumn("chunk", substring(col("text"),
-        (col("ci") * Chunk + 1).cast("int"), lit(Chunk)))
-      .select(col("source"), md5(col("chunk").cast("binary")).as("chunk_fp"),
+      .withColumn("chunk", substring(col("p"),
+        (col("ci") * chunkBytes + 1).cast("int"), lit(chunkBytes)))
+      .select(col(groupCol), md5(col("chunk").cast("binary")).as("chunk_fp"),
         length(col("chunk")).as("chunk_bytes"))
-      .groupBy(col("source"), col("chunk_fp"))
+      .groupBy(col(groupCol), col("chunk_fp"))
       .agg(count(lit(1)).as("n_refs"), max(col("chunk_bytes")).as("chunk_bytes"))
-    perChunk.groupBy(col("source"))
+    perChunk.groupBy(col(groupCol))
       .agg(sum(col("n_refs")).as("n_chunks"),
         count(lit(1)).as("n_distinct_chunks"),
         sum(col("n_refs") * col("chunk_bytes")).as("logical_bytes"),
@@ -193,8 +197,13 @@ object Multimodal {
         max(col("n_refs")).as("max_chunk_refs"))
       .withColumn("dedup_ratio",
         col("logical_bytes").cast("double") / col("stored_bytes"))
-      .orderBy(col("source"))
   }
+
+  def mmChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunkDedupOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+      "source", col("text"), 128)
+      .orderBy(col("source"))
 
   val mmChunkDedupSql: String =
     """WITH d AS (

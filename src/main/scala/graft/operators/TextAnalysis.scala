@@ -521,23 +521,31 @@ object TextAnalysis {
     * same two-pass prefix-sum discipline as any distributed scan), then
     * a rollup whose output is ∝ corpus bytes / shard size. Byte sizes
     * use octet_length: UTF-8 bytes, not characters. */
-  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+  /** Generic greedy shard packer over any relation: rows are laid out
+    * in `idCol` order within each `groupCol`, and each row belongs to
+    * the shard where its running `bytes` offset lands. Returns the
+    * per-shard manifest (counts / bytes / id range / checksum). */
+  def shardPackOf(df: DataFrame, groupCol: String, idCol: String,
+                  bytes: org.apache.spark.sql.Column, shardBytes: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), octet_length(col("text")).as("nb"))
+    df.select(col(groupCol), col(idCol), bytes.as("nb"))
       .withColumn("cum", sum(col("nb")).over(w))
-      .withColumn("shard_id", expr("(cum - nb) div 4096"))
-      .groupBy(col("source"), col("shard_id"))
+      .withColumn("shard_id", expr(s"(cum - nb) div $shardBytes"))
+      .groupBy(col(groupCol), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nb")).as("shard_bytes"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"),
-        sum(col("doc_id")).as("id_checksum"))
-      .orderBy(col("source"), col("shard_id"))
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"),
+        sum(col(idCol)).as("id_checksum"))
   }
+
+  def shardPack(spark: SparkSession, dir: String): DataFrame =
+    shardPackOf(Tables.documents(spark, dir), "source", "doc_id",
+      octet_length(col("text")), 4096L)
+      .orderBy(col("source"), col("shard_id"))
 
   val shardPackSql: String =
     """WITH b AS (

@@ -159,4 +159,46 @@ class LibraryApiSpec extends SparkSpec {
     assert(r(3L) === "TOMBSTONE_RETAINED")
   }
 
+
+  test("shardPackOf: hand-built byte layout produces the expected shard boundaries") {
+    import spark.implicits._
+    // group g: ids 1..4 with 60-byte rows, 100-byte shards:
+    // offsets 0,60,120,180 -> shards 0,0,1,1
+    val df = Seq((1L, "g", 60), (2L, "g", 60), (3L, "g", 60), (4L, "g", 60))
+      .toDF("id", "grp", "nb")
+    val res = graft.operators.TextAnalysis
+      .shardPackOf(df, "grp", "id", col("nb"), 100L)
+      .orderBy("shard_id").collect()
+    assert(res.map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"))).toSeq
+      === Seq((0L, 2L), (1L, 2L)))
+    assert(res.map(_.getAs[Long]("shard_bytes")).toSeq === Seq(120L, 120L))
+    assert(res.head.getAs[Long]("first_doc") === 1L)
+    assert(res.last.getAs[Long]("last_doc") === 4L)
+  }
+
+  test("chunkDedupOf: identical payloads dedup to one chunk set") {
+    import spark.implicits._
+    val payload = "a" * 64 + "b" * 64 // exactly two 64-byte chunks
+    val df = Seq(("g", payload), ("g", payload), ("g", "c" * 64))
+      .toDF("grp", "p")
+    val r = graft.operators.Multimodal
+      .chunkDedupOf(df, "grp", col("p"), 64).collect()(0)
+    assert(r.getAs[Long]("n_chunks") === 5L)         // 2+2+1 references
+    assert(r.getAs[Long]("n_distinct_chunks") === 3L) // a-block, b-block, c-block
+    assert(r.getAs[Long]("logical_bytes") === 320L)
+    assert(r.getAs[Long]("stored_bytes") === 192L)
+    assert(r.getAs[Long]("max_chunk_refs") === 2L)
+  }
+
+  test("markovOf: hand-built sequence yields exact transition probabilities") {
+    import spark.implicits._
+    // key 1: A B A B ; key 2: A B -> transitions A>B x3, B>A x1
+    val df = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B")).toDF("k", "off", "s")
+    val res = graft.operators.Analytics.markovOf(df, "k", "off", "s")
+      .orderBy("prev_type", "next_type").collect()
+    val cells = res.map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type"),
+      r.getAs[Long]("n"), r.getAs[Double]("p"))).toSeq
+    assert(cells === Seq(("A", "B", 3L, 1.0), ("B", "A", 1L, 1.0)))
+  }
 }
