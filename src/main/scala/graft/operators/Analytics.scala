@@ -1218,6 +1218,87 @@ object Analytics {
       |FROM h GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** q33_streaks — gaps-and-islands: consecutive-active-day runs per
+    * user via the day-minus-row_number constant-group trick (each
+    * unbroken run maps to one constant date), rolled up to active-day,
+    * streak, and longest-streak counts. The engagement-streak /
+    * SLA-window shape. One window riding the same key shuffle as both
+    * rollups; activity collapses to distinct (user, day) first so the
+    * window input is days, not raw events. */
+  def q33Streaks(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    ud.withColumn("grp", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  val q33StreaksSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+      |), g AS (
+      |  SELECT user_id, d,
+      |    d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      |  FROM ud
+      |), i AS (
+      |  SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2
+      |)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS longest_streak
+      |FROM i GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** stats_mad — robust dispersion per return flag: exact interpolated
+    * median on the cent grid, the median absolute deviation (a second
+    * exact percentile over |x − median|), and the >3×MAD outlier count
+    * — the robust outlier rule that survives heavy tails a stddev rule
+    * drowns in. Determinism: both percentiles are exact sort-based
+    * interpolations over integer-valued doubles (the q17 discipline),
+    * and every derived value is a fixed IEEE sequence from them. Scale
+    * shape: two keyed percentile passes with the tiny (group, median)
+    * tables broadcast back between them — the big side never shuffles
+    * twice on the same key for the joins. */
+  def statsMad(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("rf"), cents(col("l_extendedprice")).as("c"))
+    val med = li.groupBy(col("rf")).agg(expr("percentile(c, 0.5d)").as("med"))
+    val dev = li.join(broadcast(med), Seq("rf"))
+      .withColumn("ad", abs(col("c").cast("double") - col("med")))
+    val mad = dev.groupBy(col("rf")).agg(expr("percentile(ad, 0.5d)").as("mad"))
+    dev.join(broadcast(mad), Seq("rf"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("median_cents"),
+        max(col("mad")).as("mad_cents"),
+        sum(when(col("ad") > lit(3d) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("rf"))
+  }
+
+  val statsMadSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS c
+      |  FROM lineitem
+      |), med AS (
+      |  SELECT rf, quantile_cont(c, 0.5) AS med FROM q GROUP BY rf
+      |), dev AS (
+      |  SELECT q.rf, q.c, med.med, abs(CAST(q.c AS DOUBLE) - med.med) AS ad
+      |  FROM q JOIN med USING (rf)
+      |), mad AS (
+      |  SELECT rf, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY rf
+      |)
+      |SELECT rf, COUNT(*) AS n, MAX(d.med) AS median_cents, MAX(m.mad) AS mad_cents,
+      |  CAST(SUM(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (rf)
+      |GROUP BY rf
+      |ORDER BY rf""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -235,4 +235,41 @@ class AnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_distinct_texts") === exact(r.getAs[String]("source")))
     }
   }
+
+  test("q33_streaks: day accounting exact, one user recounted by hand") {
+    val res = Analytics.q33Streaks(spark, sf).collect()
+    val ud = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    assert(res.map(_.getAs[Long]("n_active_days")).sum === ud.count())
+    res.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1)
+    }
+    // recount user 0's longest streak from its sorted day list
+    val days = ud.filter(col("user_id") === 0).collect()
+      .map(_.getAs[java.sql.Date]("d").toLocalDate.toEpochDay).sorted
+    var best = 1L; var cur = 1L
+    days.sliding(2).foreach { case Array(a, b) =>
+      if (b == a + 1) { cur += 1; best = math.max(best, cur) } else cur = 1
+      case _ =>
+    }
+    assert(res.find(_.getAs[Long]("user_id") == 0L).get
+      .getAs[Long]("longest_streak") === best)
+  }
+
+  test("stats_mad: median by hand for one group, outliers bounded") {
+    val res = Analytics.statsMad(spark, sf).collect()
+    val li = graft.core.Tables.lineitem(spark, sf)
+    res.foreach { r =>
+      assert(r.getAs[Double]("mad_cents") >= 0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n"))
+    }
+    val rf = res(0).getAs[String]("rf")
+    val cs = li.filter(col("l_returnflag") === rf)
+      .select(floor(col("l_extendedprice") * 100d + 0.5d).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cs.length
+    val med = if (n % 2 == 1) cs(n / 2).toDouble else (cs(n / 2 - 1) + cs(n / 2)) / 2.0
+    assert(res(0).getAs[Double]("median_cents") === med)
+  }
 }
