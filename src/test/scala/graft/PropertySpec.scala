@@ -146,4 +146,68 @@ class PropertySpec extends SparkSpec {
       assert(cov(99L) === 1.0, s"seed $seed: planted copy not fully covered")
     }
   }
+
+  test("shardPackOf conserves rows and bytes for random layouts") {
+    import spark.implicits._
+    val rowsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(1L, 10000L)
+      g <- Gen.oneOf("a", "b", "c")
+      nb <- Gen.chooseNum(1, 500)
+    } yield (id, g, nb))
+    for (seed <- 1 to 5) {
+      val rows = sample(rowsGen, seed).groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val res = graft.operators.TextAnalysis
+        .shardPackOf(rows.toDF("id", "g", "nb"), "g", "id", col("nb"), 256L)
+        .collect()
+      assert(res.map(_.getAs[Long]("n_docs")).sum === rows.length, s"seed $seed")
+      assert(res.map(_.getAs[Long]("shard_bytes")).sum === rows.map(_._3.toLong).sum,
+        s"seed $seed")
+      // every group's first shard is 0 (first row's offset is 0); ids may
+      // skip slots when a jumbo row spans multiple shard widths
+      res.groupBy(_.getAs[String]("g")).foreach { case (_, rs) =>
+        val ids = rs.map(_.getAs[Long]("shard_id")).sorted
+        assert(ids.head === 0L, s"seed $seed")
+        assert(ids.distinct.length === ids.length, s"seed $seed")
+      }
+    }
+  }
+
+  test("markovOf rows always normalize to 1 (random state logs)") {
+    import spark.implicits._
+    val logGen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 4L)
+      off <- Gen.chooseNum(1L, 500L)
+      st <- Gen.oneOf("X", "Y", "Z")
+    } yield (k, off, st))
+    for (seed <- 1 to 5) {
+      val uniq = sample(logGen, seed).groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val res = graft.operators.Analytics.markovOf(uniq.toDF("k", "off", "s"), "k", "off", "s")
+        .collect()
+      val totalTrans = uniq.groupBy(_._1).map { case (_, rs) => math.max(0, rs.size - 1) }.sum
+      assert(res.map(_.getAs[Long]("n")).sum === totalTrans, s"seed $seed")
+      res.groupBy(_.getAs[String]("prev_type")).foreach { case (_, rs) =>
+        assert(math.abs(rs.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9, s"seed $seed")
+      }
+    }
+  }
+
+  test("chunkDedupOf: stored never exceeds logical; singleton corpus stores everything once") {
+    import spark.implicits._
+    val strGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b")
+      s <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    } yield (g, s))
+    for (seed <- 1 to 5) {
+      val rows = sample(strGen, seed)
+      val res = graft.operators.Multimodal
+        .chunkDedupOf(rows.toDF("g", "p"), "g", col("p"), 16)
+        .collect()
+      res.foreach { r =>
+        assert(r.getAs[Long]("stored_bytes") <= r.getAs[Long]("logical_bytes"), s"seed $seed")
+        assert(r.getAs[Double]("dedup_ratio") >= 1.0, s"seed $seed")
+      }
+      assert(res.map(_.getAs[Long]("logical_bytes")).sum === rows.map(_._2.length.toLong).sum,
+        s"seed $seed")
+    }
+  }
 }
