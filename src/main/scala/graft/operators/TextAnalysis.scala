@@ -240,14 +240,15 @@ object TextAnalysis {
     * materialized before the zip_with lambda (HOF no-CSE discipline). */
   def textNgramTopk(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
+    // bigram fan-out is one native kernel call per doc (WordBigrams, in
+    // whole-stage codegen) — the zip_with-over-slices HOF form evaluated
+    // interpreted, one lambda dispatch per element; arrays shorter than
+    // 2 words yield an empty array, which explode drops (the old
+    // size >= 2 guard)
     val bigrams = Tables.documents(spark, dir)
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) >= 2)
       .select(col("lang"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        explode(org.apache.spark.sql.graftvec.NgramExpressions
+          .wordBigrams(words(col("text")))).as("bigram"))
     val counts = bigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
@@ -615,14 +616,12 @@ object TextAnalysis {
     * only distinct pairs after map-side combine. The top-k is a sort
     * of the (tiny) aggregated pair table. */
   def textBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    // one native kernel call per doc (CharPairs) replaces an explode row
+    // per word plus an interpreted per-character lambda — the pair
+    // stream goes straight into the map-side-combining count
     val pairs = Tables.documents(spark, dir)
-      .select(explode(words(col("text"))).as("w"))
-      .select(split(col("w"), "").as("cs"))
-      .filter(size(col("cs")) >= 2)
-      .select(explode(zip_with(
-        slice(col("cs"), lit(1), size(col("cs")) - 1),
-        slice(col("cs"), lit(2), size(col("cs")) - 1),
-        (a, b) => concat(a, b))).as("pair"))
+      .select(explode(org.apache.spark.sql.graftvec.NgramExpressions
+        .charPairs(words(col("text")))).as("pair"))
     pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)

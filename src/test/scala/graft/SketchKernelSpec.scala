@@ -104,4 +104,39 @@ class SketchKernelSpec extends SparkSpec {
       assert(ds === (1 to 6).filter(_ % 3 == g).map(_.toLong).sorted)
     }
   }
+
+  test("word_bigrams equals the zip_with-over-slices HOF form") {
+    import org.apache.spark.sql.graftvec.NgramExpressions
+    val d = docsWithWords.filter(size(col("ws")) >= 2)
+    val kernel = d.select(col("doc_id"),
+      explode(NgramExpressions.wordBigrams(col("ws"))).as("bg"))
+    val hof = d.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    assert(kernel.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(kernel).count() === 0)
+    // short arrays yield empty (explode drops the row)
+    import spark.implicits._
+    val short = Seq(Seq("one")).toDF("ws")
+      .select(explode(NgramExpressions.wordBigrams(col("ws"))))
+    assert(short.count() === 0)
+  }
+
+  test("char_pairs equals the explode-words + split + zip_with form") {
+    import org.apache.spark.sql.graftvec.NgramExpressions
+    val kernel = docsWithWords.select(col("doc_id"),
+      explode(NgramExpressions.charPairs(col("ws"))).as("pair"))
+    val hof = docsWithWords
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), split(col("w"), "").as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("cs"), lit(1), size(col("cs")) - 1),
+        slice(col("cs"), lit(2), size(col("cs")) - 1),
+        (a, b) => concat(a, b))).as("pair"))
+    assert(kernel.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(kernel).count() === 0)
+  }
 }
