@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graftvec.{CollectCapped, KmvDistinct, LshSignatures, MinHashBands, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed, SimHash64, SortedPairs, TopBigramCount}
+import org.apache.spark.sql.graftvec.{CharPairs, CollectCapped, KmvDistinct, LshSignatures, MinHashBands, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed, SimHash64, SortedPairs, TopBigramCount, WordBigrams}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("... qdot(a, b) ...")`
@@ -72,6 +72,16 @@ object GraftExtensions {
         "sorted_pairs(ds) - all unordered (a < b) pairs over the distinct elements of a BIGINT array",
         ""),
       (children: Seq[Expression]) => SortedPairs(children.head)),
+    (FunctionIdentifier("word_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, null, "word_bigrams",
+        "word_bigrams(words) - all adjacent word bigrams (' '-joined, duplicates preserved); empty for arrays shorter than 2",
+        ""),
+      (children: Seq[Expression]) => WordBigrams(children.head)),
+    (FunctionIdentifier("char_pairs"),
+      new ExpressionInfo(classOf[CharPairs].getName, null, "char_pairs",
+        "char_pairs(words) - adjacent character pairs of every word, concatenated across words (the BPE pair-count fan-out)",
+        ""),
+      (children: Seq[Expression]) => CharPairs(children.head)),
     (FunctionIdentifier("top_bigram_count"),
       new ExpressionInfo(classOf[TopBigramCount].getName, null, "top_bigram_count",
         "top_bigram_count(words) - occurrence count of the most frequent adjacent-word bigram",

@@ -68,6 +68,12 @@ class PlanSpec extends SparkSpec {
       "SELECT kmv_distinct(h, 16) AS nd FROM (SELECT CAST(id % 7 AS BIGINT) AS h FROM range(1000))")
       .collect()(0).getLong(0)
     assert(kmv === 7L) // under k: exact distinct count
+    val bg = spark.sql("SELECT word_bigrams(array('a','b','c')) AS s").collect()(0)
+      .getSeq[String](0)
+    assert(bg === Seq("a b", "b c"))
+    val cp = spark.sql("SELECT char_pairs(array('abc','de')) AS s").collect()(0)
+      .getSeq[String](0)
+    assert(cp === Seq("ab", "bc", "de"))
   }
 
   private def ph2(s: String): Long =
