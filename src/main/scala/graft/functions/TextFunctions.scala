@@ -20,10 +20,18 @@ object TextFunctions {
   /** Whitespace tokens of normalized text. */
   def words(c: Column): Column = split(normText(c), " ")
 
-  /** Count of tokens from `c` that appear in `marker` (language marker /
-    * stopword hits). */
+  /** Count of tokens from `c` that appear in `markers` (language marker /
+    * stopword hits). Backed by the native MarkerHits kernel: the
+    * equivalent `size(filter(words(c), isin))` HOF evaluates interpreted
+    * AND re-splits the text per call (no CSE across HOF lambdas). */
   def markerHits(c: Column, markers: Seq[String]): Column =
-    size(filter(words(c), w => w.isin(markers: _*)))
+    org.apache.spark.sql.graftvec.MarkerHitsExpressions
+      .markerHits(words(c), Seq(markers)).getItem(0)
+
+  /** Occurrence counts against K marker sets in one pass over one words
+    * array — text_langid probes three language sets per doc. */
+  def markerHitsMulti(ws: Column, markerSets: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graftvec.MarkerHitsExpressions.markerHits(ws, markerSets)
 
   /** Word 3-gram shingles (distinct, first-occurrence order) from a words
     * array column; empty array for texts shorter than 3 words.

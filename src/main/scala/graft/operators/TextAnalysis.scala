@@ -27,10 +27,15 @@ object TextAnalysis {
     * label. */
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // one kernel pass probes all three marker sets (the HOF form
+      // re-split the text and ran an interpreted filter per language)
       .select(col("doc_id"), col("lang"),
-        markerHits(col("text"), enMarkers).as("en_hits"),
-        markerHits(col("text"), esMarkers).as("es_hits"),
-        markerHits(col("text"), deMarkers).as("de_hits"))
+        markerHitsMulti(words(col("text")),
+          Seq(enMarkers, esMarkers, deMarkers)).as("h"))
+      .select(col("doc_id"), col("lang"),
+        col("h").getItem(0).as("en_hits"),
+        col("h").getItem(1).as("es_hits"),
+        col("h").getItem(2).as("de_hits"))
       .withColumn("pred_lang",
         when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits"), "en")
           .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits"), "es")

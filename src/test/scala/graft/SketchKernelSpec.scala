@@ -139,4 +139,18 @@ class SketchKernelSpec extends SparkSpec {
     assert(kernel.exceptAll(hof).count() === 0)
     assert(hof.exceptAll(kernel).count() === 0)
   }
+
+  test("marker_hits equals the size(filter(isin)) HOF form for every set") {
+    import org.apache.spark.sql.graftvec.MarkerHitsExpressions
+    val sets = Seq(Seq("the", "a", "of"), Seq("el", "la", "de"), Seq("und", "ist"))
+    val d = docsWithWords
+    val kernel = d.select(col("doc_id"),
+      MarkerHitsExpressions.markerHits(col("ws"), sets).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    sets.zipWithIndex.foreach { case (set, i) =>
+      val hof = d.select(col("doc_id"),
+        size(filter(col("ws"), w => w.isin(set: _*))).as("n")).collect()
+      hof.foreach(r => assert(kernel(r.getLong(0))(i) === r.getInt(1), s"set $i"))
+    }
+  }
 }
