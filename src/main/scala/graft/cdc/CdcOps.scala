@@ -398,6 +398,61 @@ object CdcOps {
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  /** cdc_txn_apply — transaction-atomic apply (Debezium transaction-
+    * metadata semantics): change events carry a transaction id
+    * (event_id div 50, the generator's batch analog), and a transaction
+    * is COMMITTED only when its last event sits at or below the stream
+    * watermark (the same slot-progress analog batch_status uses). The
+    * apply materializes latest-state from committed transactions ONLY —
+    * no partial transaction is ever visible (the atomicity a naive
+    * per-event apply violates whenever the watermark lands mid-txn).
+    * Per key: the latest committed state, its transaction, and how many
+    * events are held back awaiting their txn's commit.
+    *
+    * Scale shape: txn spans aggregate to one tiny (txn, end) table —
+    * broadcast; the commit tag is then a scan-speed comparison and the
+    * apply is the usual one keyed max_by shuffle. */
+  def txnApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("txn", expr("event_id div 50"))
+    val wm = ev.agg(floor(max(col("event_id")) * 0.8d).cast("long").as("wm"))
+    val txnEnd = ev.groupBy(col("txn")).agg(max(col("event_id")).as("txn_end"))
+    ev.join(broadcast(txnEnd), Seq("txn")).crossJoin(broadcast(wm))
+      .withColumn("committed", col("txn_end") <= col("wm"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("committed"), struct(col("event_id"), col("value")))).as("m"),
+        max(when(col("committed"), col("txn"))).as("last_committed_txn"),
+        sum(when(!col("committed"), 1L).otherwise(0L)).as("n_held_events"))
+      .filter(col("m").isNotNull)
+      .select(col("user_id"), col("m.event_id").as("last_committed_id"),
+        col("m.value").as("last_value"), col("last_committed_txn"),
+        col("n_held_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val txnApplySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, event_id // 50 AS txn FROM events
+      |), w AS (
+      |  SELECT CAST(FLOOR(MAX(event_id) * 0.8) AS BIGINT) AS wm FROM ev
+      |), t AS (
+      |  SELECT txn, MAX(event_id) AS txn_end FROM ev GROUP BY txn
+      |), tagged AS (
+      |  SELECT e.user_id, e.event_id, e.value, e.txn,
+      |    t.txn_end <= (SELECT wm FROM w) AS committed
+      |  FROM ev e JOIN t USING (txn)
+      |)
+      |SELECT user_id,
+      |  MAX(CASE WHEN committed THEN event_id END) AS last_committed_id,
+      |  arg_max(value, event_id) FILTER (WHERE committed) AS last_value,
+      |  MAX(CASE WHEN committed THEN txn END) AS last_committed_txn,
+      |  CAST(SUM(CASE WHEN NOT committed THEN 1 ELSE 0 END) AS BIGINT) AS n_held_events
+      |FROM tagged
+      |GROUP BY user_id
+      |HAVING MAX(CASE WHEN committed THEN event_id END) IS NOT NULL
+      |ORDER BY user_id""".stripMargin
+
   /** Generic out-of-order audit over any change log: per key, how many
     * records carry an event time earlier than a prior (by offset)
     * record's event time, and the worst such lateness in exact integer

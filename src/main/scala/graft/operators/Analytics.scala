@@ -1299,6 +1299,78 @@ object Analytics {
       |GROUP BY rf
       |ORDER BY rf""".stripMargin
 
+  /** q34_hist_quantile — approximate quantiles from a fixed-width
+    * histogram: per priority, p50/p95 estimated by linear interpolation
+    * inside the bucket containing the target rank. THIS is the 100 TB
+    * quantile path — one map-side-combining pass builds the histogram
+    * (vs q17/stats_mad's exact sort-per-group, which is the small-data
+    * luxury), and the estimate derives from exact bucket counts by a
+    * fixed IEEE sequence the oracle replays bit-for-bit (engine
+    * quantile sketches — t-digest, GK — have engine-specific internals
+    * and could never hash-match). Top bucket is open, so estimates
+    * clamp to its lower edge + width. */
+  def q34HistQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val W = 50000d
+    val b = least(floor(col("o_totalprice") / lit(W)), lit(9d)).cast("long")
+    val hist = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), b.as("bucket"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("bucket"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy(col("o_orderpriority"))))
+    def est(p: Double) = {
+      // first bucket whose cumulative count reaches rank = p * total:
+      // interpolate (rank - cum_before) / cnt into the bucket's width
+      val rank = lit(p) * col("total").cast("double")
+      val inBucket = col("cum").cast("double") >= rank &&
+        (col("cum") - col("cnt")).cast("double") < rank
+      when(inBucket,
+        col("bucket").cast("double") * W +
+          (rank - (col("cum") - col("cnt")).cast("double")) / col("cnt").cast("double") * W)
+    }
+    cum
+      .withColumn("e50", est(0.5))
+      .withColumn("e95", est(0.95))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("total")).as("n_orders"),
+        max(col("e50")).as("p50_est"),
+        max(col("e95")).as("p95_est"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q34HistQuantileSql: String =
+    """WITH hist AS (
+      |  SELECT o_orderpriority,
+      |    CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM orders GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT o_orderpriority, bucket, cnt,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY o_orderpriority) AS total
+      |  FROM hist
+      |), est AS (
+      |  SELECT o_orderpriority, total,
+      |    CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+      |          AND CAST(cum - cnt AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
+      |      THEN CAST(bucket AS DOUBLE) * 50000 +
+      |        (0.5 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) * 50000
+      |    END AS e50,
+      |    CASE WHEN CAST(cum AS DOUBLE) >= 0.95 * CAST(total AS DOUBLE)
+      |          AND CAST(cum - cnt AS DOUBLE) < 0.95 * CAST(total AS DOUBLE)
+      |      THEN CAST(bucket AS DOUBLE) * 50000 +
+      |        (0.95 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) * 50000
+      |    END AS e95
+      |  FROM cum
+      |)
+      |SELECT o_orderpriority, CAST(MAX(total) AS BIGINT) AS n_orders,
+      |  MAX(e50) AS p50_est, MAX(e95) AS p95_est
+      |FROM est GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val q16AsofJoinSql: String =
     """WITH purchases AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -272,4 +272,18 @@ class AnalyticsSpec extends SparkSpec {
     val med = if (n % 2 == 1) cs(n / 2).toDouble else (cs(n / 2 - 1) + cs(n / 2)) / 2.0
     assert(res(0).getAs[Double]("median_cents") === med)
   }
+
+  test("q34_hist_quantile: estimates ordered and within one bucket of exact") {
+    val res = Analytics.q34HistQuantile(spark, sf).collect()
+    val o = graft.core.Tables.orders(spark, sf)
+    res.foreach { r =>
+      val pri = r.getAs[String]("o_orderpriority")
+      val e50 = r.getAs[Double]("p50_est")
+      val e95 = r.getAs[Double]("p95_est")
+      assert(e50 <= e95)
+      val exact = o.filter(col("o_orderpriority") === pri)
+        .agg(expr("percentile(o_totalprice, 0.5d)")).first().getDouble(0)
+      assert(math.abs(e50 - exact) <= 50000d, s"$pri: $e50 vs $exact")
+    }
+  }
 }

@@ -174,4 +174,25 @@ class CdcSpec extends SparkSpec {
       assert(math.abs(c - builtin) < 1e-6, s"$rf: $c vs $builtin")
     }
   }
+
+  test("cdc_txn_apply: no partial transaction visible, held counts exact") {
+    val res = CdcOps.txnApply(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val wm = ev.agg(floor(max(col("event_id")) * 0.8d).cast("long"))
+      .first().getLong(0)
+    // a committed txn ends at or below the watermark, so no applied
+    // state may reference an offset above it
+    res.foreach(r => assert(r.getAs[Long]("last_committed_id") <= wm))
+    // held = events of txns ending above the watermark, recomputed
+    val txnEnd = ev.withColumn("txn", expr("event_id div 50"))
+      .groupBy("txn").agg(max("event_id").as("e"))
+    val held = ev.withColumn("txn", expr("event_id div 50"))
+      .join(txnEnd, "txn").filter(col("e") > wm)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_held_events") ===
+        held.getOrElse(r.getAs[Long]("user_id"), 0L))
+    }
+  }
 }
