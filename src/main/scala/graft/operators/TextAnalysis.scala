@@ -645,6 +645,79 @@ object TextAnalysis {
       |ORDER BY n DESC, pair
       |LIMIT 20""".stripMargin
 
+  /** sample_split_leakage — train/test contamination audit: the
+    * deterministic hash-split assignment crossed with exact-dup
+    * fingerprints of the CLEANED text (scrub-then-fingerprint, the
+    * text_clean key). A fingerprint whose copies span different splits
+    * leaks training text into eval — the leak dedup must catch BEFORE
+    * the split is trusted. Output: one row per split-membership
+    * signature ("train", "test,train", …) with fingerprint/doc counts
+    * and a leaky flag.
+    *
+    * The synthetic corpus has no natural exact duplicates, so copies
+    * are planted (every doc_id%11==0 doc re-keyed at +1000000, the
+    * dedup family's planted-corpus discipline): the re-keyed copy
+    * hashes into an independent split, so real cross-split leaks exist
+    * and the audit must find exactly them — replayed identically in
+    * the oracle.
+    *
+    * Scale shape: one scan computes fp + split per row; one shuffle
+    * groups by fingerprint (map-side combined); the signature rollup is
+    * tiny. At 100 TB this is the cheapest possible leakage check —
+    * no pairwise compare, just two keyed aggregations. */
+  def sampleSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val clean = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "https?://\\S+", " "),
+        "\\S+@\\S+", " "),
+      "\\s+", " "))
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 100L
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    planted
+      .select(col("doc_id"), md5(clean.cast("binary")).as("fp"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("fp"))
+      .agg(array_join(array_sort(collect_set(col("split"))), ",").as("splits"),
+        count(lit(1)).as("n_copies"))
+      .groupBy(col("splits"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(col("n_copies")).as("n_docs"))
+      .withColumn("leaky", col("splits").contains(","))
+      .orderBy(col("splits"))
+  }
+
+  val sampleSplitLeakageSql: String = {
+    val cleanSql =
+      """trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(lower(text), 'https?://\S+', ' ', 'g'),
+        |      '\S+@\S+', ' ', 'g'),
+        |    '\s+', ' ', 'g'))""".stripMargin
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+      |), b AS (
+      |  SELECT doc_id, md5($cleanSql) AS fp,
+      |    CASE WHEN (doc_id * 2654435761 % 1000000007) % 100 < 80 THEN 'train'
+      |         WHEN (doc_id * 2654435761 % 1000000007) % 100 < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM corpus
+      |), f AS (
+      |  SELECT fp, string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+      |    COUNT(*) AS n_copies
+      |  FROM b GROUP BY fp
+      |)
+      |SELECT splits, COUNT(*) AS n_fingerprints,
+      |  CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+      |  splits LIKE '%,%' AS leaky
+      |FROM f GROUP BY splits
+      |ORDER BY splits""".stripMargin
+  }
+
   // ---- PII scrub ----------------------------------------------------------
 
   // Detection patterns: kept to the regex subset Java (Spark) and RE2

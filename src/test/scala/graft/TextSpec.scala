@@ -175,4 +175,19 @@ class TextSpec extends SparkSpec {
       .filter(col("pair") === top.getAs[String]("pair")).count()
     assert(n === top.getAs[Long]("n"))
   }
+
+  test("sample_split_leakage: planted copies accounted, leaks only from copies") {
+    val res = TextAnalysis.sampleSplitLeakage(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nDocs = docs.count()
+    val nCopies = docs.filter(col("doc_id") % 11 === 0).count()
+    assert(res.map(_.getAs[Long]("n_docs")).sum === nDocs + nCopies)
+    // every multi-split signature is flagged leaky, single-split never
+    res.foreach { r =>
+      assert(r.getAs[Boolean]("leaky") === r.getAs[String]("splits").contains(","))
+      // a leaky signature needs at least 2 docs per fingerprint
+      if (r.getAs[Boolean]("leaky"))
+        assert(r.getAs[Long]("n_docs") >= 2 * r.getAs[Long]("n_fingerprints"))
+    }
+  }
 }
