@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Prefix, Tables}
 
 /** Source↔target reconciliation (SURVEY.md §2.B).
   *
@@ -890,16 +890,17 @@ object Reconcile {
     * NOT see, because a slot that silently skipped records leaves both
     * sides agreeing. Planted: event_ids divisible by 101 are dropped
     * before the check, and the detector must recover exactly those
-    * offsets as gap ranges. One lag over the global offset order — at
-    * scale a range-partitioned sort whose output is ∝ holes, not log
-    * volume (per-partition boundary handoff replaces the single-
-    * partition window this runs as at test scale). */
+    * offsets as gap ranges. The lag over the global offset order runs
+    * as a two-pass distributed prefix ([[graft.core.Prefix.lag1]]):
+    * range-partition on event_id, per-slice lag, boundary handoff of
+    * each slice's max to the next — no single task ever sees the whole
+    * log, and the output stays ∝ holes, not log volume (PlanSpec
+    * asserts the plan has no Exchange SinglePartition). */
   def reconLsnGap(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-    Tables.events(spark, dir)
+    val kept = Tables.events(spark, dir)
       .select(col("event_id"))
       .filter(col("event_id") % 101 =!= 0)
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+    Prefix.lag1(kept, "event_id", "prev_id")
       .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 1)
       .select((col("prev_id") + 1).as("gap_start"),
         (col("event_id") - 1).as("gap_end"),

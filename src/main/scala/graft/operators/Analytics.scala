@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Prefix, Tables}
 
 /** Relational analytics core (SURVEY.md §2.C) — the generalized SQL
   * machinery of the reference's monitoring queries (CTEs, window
@@ -933,21 +933,20 @@ object Analytics {
     * monitoring shape): the span rollup is one keyed aggregation with
     * map-side combine, and the sweep is one range-partitioned global
     * sort whose volume is 2 rows per interval — never a pair expansion.
-    * The running sum over a global ORDER BY is a single-partition window
-    * only at the final (already tiny) boundary table; at 100 TB the
-    * boundary stream would be chunked by time range with per-chunk
-    * offsets carried forward — the operator's data volume, not its
-    * algorithm, is what changes. */
+    * The running sum over the global boundary order runs as a two-pass
+    * distributed prefix sum ([[graft.core.Prefix.runningSum]]): the
+    * boundary stream is chunked by time range, each chunk sums locally,
+    * and per-chunk offsets are composed and broadcast back — no
+    * Exchange SinglePartition anywhere in the plan (PlanSpec-asserted),
+    * so the sweep survives any interval count. */
   def q27IntervalSweep(spark: SparkSession, dir: String): DataFrame = {
     val spans = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
     val bounds = spans.select(col("user_id"), col("t0").as("ts"), lit(1L).as("delta"))
       .unionByName(spans.select(col("user_id"), col("t1").as("ts"), lit(-1L).as("delta")))
-    val w = Window.orderBy(col("ts"), col("delta").desc, col("user_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounds
-      .withColumn("active", sum(col("delta")).over(w))
+    Prefix.runningSum(bounds, Seq.empty,
+        Seq(col("ts"), col("delta").desc, col("user_id")), col("delta"), "active")
       .orderBy(col("ts"), col("delta").desc, col("user_id"))
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Prefix, Tables}
 import graft.functions.TextFunctions._
 
 /** Text analysis for a training-data pipeline (SURVEY.md §2.D): language
@@ -521,11 +521,13 @@ object TextAnalysis {
     * manifest: doc count, byte volume, id range, membership checksum —
     * the dataset card a training loader consumes.
     *
-    * Scale shape: one window cumsum riding the per-source shuffle (the
-    * sort is bounded per source; at 100 TB a monster source would be
-    * range-partitioned by id with per-range byte offsets composed — the
-    * same two-pass prefix-sum discipline as any distributed scan), then
-    * a rollup whose output is ∝ corpus bytes / shard size. Byte sizes
+    * Scale shape: the per-source byte cumsum runs as a two-pass
+    * distributed prefix sum ([[graft.core.Prefix.runningSum]]): docs
+    * range-partition by (source, id), each range slice sums locally,
+    * and per-slice byte offsets compose via a tiny broadcast — a
+    * monster source spreads over all slices instead of serializing
+    * onto one task (PlanSpec asserts no Exchange SinglePartition).
+    * The rollup output is ∝ corpus bytes / shard size. Byte sizes
     * use octet_length: UTF-8 bytes, not characters. */
   /** Generic greedy shard packer over any relation: rows are laid out
     * in `idCol` order within each `groupCol`, and each row belongs to
@@ -533,12 +535,8 @@ object TextAnalysis {
     * per-shard manifest (counts / bytes / id range / checksum). */
   def shardPackOf(df: DataFrame, groupCol: String, idCol: String,
                   bytes: org.apache.spark.sql.Column, shardBytes: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.select(col(groupCol), col(idCol), bytes.as("nb"))
-      .withColumn("cum", sum(col("nb")).over(w))
+    Prefix.runningSum(df.select(col(groupCol), col(idCol), bytes.as("nb")),
+        Seq(groupCol), Seq(col(idCol)), col("nb"), "cum")
       .withColumn("shard_id", expr(s"(cum - nb) div $shardBytes"))
       .groupBy(col(groupCol), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -562,7 +560,7 @@ object TextAnalysis {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM b
       |)
-      |SELECT source, (cum - nb) // 4096 AS shard_id, COUNT(*) AS n_docs,
+      |SELECT source, CAST((cum - nb) // 4096 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
       |  CAST(SUM(nb) AS BIGINT) AS shard_bytes,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum

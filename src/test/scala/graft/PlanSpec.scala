@@ -97,6 +97,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("prefix-rewritten operators: no single-partition exchange anywhere in the plan") {
+    // recon_lsn_gap / q27_interval_sweep / shard_pack ran their running
+    // computation through Window.orderBy() (Exchange SinglePartition =
+    // the whole log through ONE task) until round 5; the Prefix two-pass
+    // rewrite must keep every stage partitioned
+    for (df <- Seq(graft.cdc.Reconcile.reconLsnGap(spark, sf),
+                   Analytics.q27IntervalSweep(spark, sf),
+                   TextAnalysis.shardPack(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("SinglePartition"), p)
+    }
+  }
+
   test("new sketch functions are SQL-callable") {
     GraftExtensions.register(spark)
     val tb = spark.sql("SELECT top_bigram_count(array('a','b','a','b','a')) AS t")
@@ -251,10 +264,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("shard_pack: the rollup reuses the window's source partitioning (no extra exchange)") {
+  test("shard_pack: prefix offsets broadcast back — the doc stream only range+hash shuffles") {
     val p = plan(TextAnalysis.shardPack(spark, sf))
-    // exactly two exchanges: the window shuffle on source and the final
-    // presentation sort's range partitioning
-    assert("Exchange".r.findAllIn(p).size === 2)
+    // the document stream crosses exactly two full-data exchanges (the
+    // prefix range slicing and the per-slice window's hash shuffle);
+    // the offset table comes back as a broadcast, never a shuffle join
+    assert(p.contains("rangepartitioning"))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("SinglePartition"))
   }
 }
