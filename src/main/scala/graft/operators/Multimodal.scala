@@ -174,18 +174,29 @@ object Multimodal {
     * relation: the payload column splits into fixed `chunkBytes`
     * chunks, chunk hashes count corpus-wide per group, and the rollup
     * reports logical vs stored bytes with the dedup ratio. Only chunk
-    * hashes ever shuffle. */
+    * hashes ever shuffle.
+    *
+    * Accounting is byte-true: the payload is sliced as BINARY with
+    * octet_length sizes, so a multi-byte UTF-8 text payload chunks on
+    * real byte boundaries, same as any opaque blob. (The DuckDB oracle
+    * slices VARCHAR — its 1.0 build has no BLOB substring — which is
+    * byte-identical on the ASCII test corpus.) Empty payloads carry no
+    * chunks: without the n_chunks >= 1 guard, sequence(0, -1) would
+    * auto-reverse into [0, -1] and emit two phantom chunks per empty
+    * row (and an all-empty group would 0/0 the ratio). */
   def chunkDedupOf(df: DataFrame, groupCol: String,
                    payload: org.apache.spark.sql.Column, chunkBytes: Int): DataFrame = {
     val d = df
-      .select(col(groupCol), payload.as("p"), length(payload).as("nb"))
+      .select(col(groupCol), payload.cast("binary").as("p"),
+        octet_length(payload).as("nb"))
       .withColumn("n_chunks", ceil(col("nb").cast("double") / chunkBytes).cast("long"))
     val perChunk = d
+      .filter(col("n_chunks") >= 1)
       .select(col(groupCol), col("p"),
         explode(sequence(lit(0L), col("n_chunks") - 1L)).as("ci"))
       .withColumn("chunk", substring(col("p"),
         (col("ci") * chunkBytes + 1).cast("int"), lit(chunkBytes)))
-      .select(col(groupCol), md5(col("chunk").cast("binary")).as("chunk_fp"),
+      .select(col(groupCol), md5(col("chunk")).as("chunk_fp"),
         length(col("chunk")).as("chunk_bytes"))
       .groupBy(col(groupCol), col("chunk_fp"))
       .agg(count(lit(1)).as("n_refs"), max(col("chunk_bytes")).as("chunk_bytes"))

@@ -60,11 +60,12 @@ case class WordBigrams(child: Expression)
   * Equivalent to exploding the words, splitting each into characters,
   * and zip_with-ing adjacent slices (text_bpe_pairs' original shape) —
   * but one kernel call per DOC replaces an explode row per word plus an
-  * interpreted lambda per character. Character boundaries follow
-  * Java/Spark `split("")` code-unit semantics (identical to DuckDB's
-  * string_split for the ASCII corpus; a real tokenizer pipeline
-  * operates on bytes anyway). Null words are skipped; words shorter
-  * than 2 contribute nothing. */
+  * interpreted lambda per character. Character boundaries are Unicode
+  * CODE POINTS (surrogate pairs stay whole — "a😀b" pairs as
+  * ["a😀","😀b"], never a lone surrogate), matching DuckDB's
+  * string_split(w, '') semantics; the kernel is registered as a general
+  * SQL function, so this must hold beyond the ASCII corpus. Null words
+  * are skipped; words shorter than 2 code points contribute nothing. */
 case class CharPairs(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -124,10 +125,17 @@ object NgramOps {
     while (i < n) {
       if (!ws.isNullAt(i)) {
         val s = ws.getUTF8String(i).toString
+        // walk by code point: a pair spans two code points, so a
+        // surrogate pair (one astral char, two UTF-16 units) is never
+        // split into lone surrogates
         var j = 0
-        while (j < s.length - 1) {
-          out.add(UTF8String.fromString(s.substring(j, j + 2)))
-          j += 1
+        while (j < s.length) {
+          val next = s.offsetByCodePoints(j, 1)
+          if (next < s.length) {
+            val end = s.offsetByCodePoints(next, 1)
+            out.add(UTF8String.fromString(s.substring(j, end)))
+          }
+          j = next
         }
       }
       i += 1

@@ -70,4 +70,24 @@ class MultimodalSpec extends SparkSpec {
     // the dedup corpus plants exact duplicate docs: some source must dedup
     assert(res.exists(_.getAs[Long]("max_chunk_refs") > 1))
   }
+
+  test("chunkDedupOf: empty payloads emit no chunks; bytes counted, not characters") {
+    import spark.implicits._
+    // "" must contribute nothing (sequence(0,-1) would have emitted two
+    // phantom chunks); an all-empty group must vanish, not 0/0 → NaN
+    val df = Seq(("a", "xy"), ("a", ""), ("b", ""), ("b", "")).toDF("g", "p")
+    val res = Multimodal.chunkDedupOf(df, "g", col("p"), 128).collect()
+    assert(res.length === 1)
+    val a = res(0)
+    assert(a.getAs[String]("g") === "a")
+    assert(a.getAs[Long]("n_chunks") === 1L && a.getAs[Long]("logical_bytes") === 2L)
+
+    // 3 code points but 8 UTF-8 bytes (2+4+2): chunking at 4 must split
+    // on BYTE boundaries (octet_length accounting), not characters
+    val uni = Seq(("u", "é😀é")).toDF("g", "p")
+    val bytes = "é😀é".getBytes("UTF-8").length
+    val r = Multimodal.chunkDedupOf(uni, "g", col("p"), 4).collect()(0)
+    assert(r.getAs[Long]("logical_bytes") === bytes.toLong)
+    assert(r.getAs[Long]("n_chunks") === math.ceil(bytes / 4.0).toLong)
+  }
 }

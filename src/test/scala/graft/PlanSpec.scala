@@ -74,6 +74,11 @@ class PlanSpec extends SparkSpec {
     val cp = spark.sql("SELECT char_pairs(array('abc','de')) AS s").collect()(0)
       .getSeq[String](0)
     assert(cp === Seq("ab", "bc", "de"))
+    // code-point semantics: the surrogate pair stays whole, matching
+    // DuckDB string_split(w, '') — never a lone-surrogate string
+    val astral = spark.sql("SELECT char_pairs(array('a😀b')) AS s").collect()(0)
+      .getSeq[String](0)
+    assert(astral === Seq("a😀", "😀b"))
   }
 
   private def ph2(s: String): Long =
