@@ -305,35 +305,63 @@ object Reconcile {
     // The slot watermark is 3/4 of the global max key — and the global
     // max is exactly max(completion_lsn) over the (≤10-row) ledger, so
     // derive it with a window over the aggregate instead of a third
-    // full scan of orders.
-    val ledger = CdcOps.batchLedger(spark, dir)
-      .select(col("batch_id"), col("row_count"), col("completion_lsn"))
-    ledger.withColumn("slot_lsn",
-      floor(max(col("completion_lsn")).over(Window.partitionBy(lit(1))) * 3 / 4).cast("long"))
+    // full scan of orders. completion_ts (the batch's newest order
+    // date) carries the reference ledger's completion_timestamp.
+    val o = Tables.orders(spark, dir)
+    val maxKey = o.agg(max(col("o_orderkey")).as("mx"))
+    val ledger = o.crossJoin(broadcast(maxKey))
+      .withColumn("batch_id", floor(col("o_orderkey") * 10 / (col("mx") + 1)).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("row_count"),
+        max(col("o_orderkey")).as("completion_lsn"),
+        max(col("o_orderdate")).cast("timestamp").as("completion_ts"))
+    val w = Window.partitionBy(lit(1))
+    ledger
+      .withColumn("max_lsn", max(col("completion_lsn")).over(w))
+      .withColumn("slot_lsn", floor(col("max_lsn") * 3 / 4).cast("long"))
+      .withColumn("now_ts", max(col("completion_ts")).over(w))
   }
 
   private val ledgerWithSlotSql =
     """SELECT CAST(FLOOR(o_orderkey * 10 / ((SELECT MAX(o_orderkey) FROM orders) + 1)) AS BIGINT) AS batch_id,
       |  COUNT(*) AS row_count,
       |  MAX(o_orderkey) AS completion_lsn,
-      |  (SELECT CAST(FLOOR(MAX(o_orderkey) * 3 / 4) AS BIGINT) FROM orders) AS slot_lsn
+      |  MAX(o_orderdate) AS completion_ts,
+      |  (SELECT MAX(o_orderkey) FROM orders) AS max_lsn,
+      |  (SELECT CAST(FLOOR(MAX(o_orderkey) * 3 / 4) AS BIGINT) FROM orders) AS slot_lsn,
+      |  (SELECT MAX(o_orderdate) FROM orders) AS now_ts
       |FROM orders GROUP BY 1""".stripMargin
 
   /** batch_status — per-batch replication_complete + lag vs the slot
     * watermark (check_batch_replication_status.sql). Lag is in key units
-    * (the LSN analog of pg_wal_lsn_diff bytes). */
+    * (the LSN analog of pg_wal_lsn_diff bytes). Mirrors the reference's
+    * slot_info CTE columns: `slot_active` (an attached consumer still
+    * has WAL outstanding — slot watermark strictly behind the ledger
+    * head) and the 24-hour recency discipline
+    * (check_batch_replication_status.sql's completion_timestamp >=
+    * NOW() - INTERVAL '24 hours'), with "now" pinned deterministically
+    * to the newest completion in the data — the same discipline as the
+    * slot watermark itself. */
   def batchStatus(spark: SparkSession, dir: String): DataFrame =
     ledgerWithSlot(spark, dir)
       .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
       .withColumn("lag_bytes",
         when(col("slot_lsn") < col("completion_lsn"),
              col("completion_lsn") - col("slot_lsn")).otherwise(0L))
+      .withColumn("slot_active", col("slot_lsn") < col("max_lsn"))
+      .withColumn("minutes_since_completion",
+        ((unix_timestamp(col("now_ts")) - unix_timestamp(col("completion_ts"))) / 60L).cast("long"))
+      .withColumn("recent_24h", col("minutes_since_completion") <= 1440L)
+      .drop("max_lsn", "now_ts")
       .orderBy(col("batch_id").desc)
 
   val batchStatusSql: String =
-    s"""SELECT batch_id, row_count, completion_lsn, slot_lsn,
+    s"""SELECT batch_id, row_count, completion_lsn, completion_ts, slot_lsn,
       |  slot_lsn >= completion_lsn AS replication_complete,
-      |  CASE WHEN slot_lsn < completion_lsn THEN completion_lsn - slot_lsn ELSE 0 END AS lag_bytes
+      |  CASE WHEN slot_lsn < completion_lsn THEN completion_lsn - slot_lsn ELSE 0 END AS lag_bytes,
+      |  slot_lsn < max_lsn AS slot_active,
+      |  date_diff('minute', completion_ts, now_ts) AS minutes_since_completion,
+      |  date_diff('minute', completion_ts, now_ts) <= 1440 AS recent_24h
       |FROM ($ledgerWithSlotSql)
       |ORDER BY batch_id DESC""".stripMargin
 
@@ -357,13 +385,21 @@ object Reconcile {
       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY batch_id DESC) AS rn FROM ($ledgerWithSlotSql))
       |WHERE rn = 1""".stripMargin
 
-  /** multi_table_health — health classification across tables
-    * (check_multiple_tables_replication_status.sql:129-147): READY when
-    * complete, else STUCK / SLOW / REPLICATING by staleness, priority-
-    * ordered STUCK < SLOW < REPLICATING < READY. Two logical tables:
-    * `orders` (key deciles) and `lineitem` (l_orderkey deciles). */
-  def multiTableHealth(spark: SparkSession, dir: String): DataFrame = {
-    def side(df: DataFrame, key: String, name: String): DataFrame = {
+  /** multi_table_health — health classification across an ARBITRARY
+    * list of monitored tables, like the reference's `TEXT[]` parameter
+    * (check_multiple_tables_replication_status.sql:1-2,34-37): READY
+    * when complete, else STUCK / SLOW / REPLICATING by staleness,
+    * priority-ordered STUCK < SLOW < REPLICATING < READY.
+    *
+    * Each spec is (tableName, relation, monotonicKeyCol) — the key is
+    * the table's LSN analog. Per table: one scan for the max key
+    * (broadcast back), one decile rollup; tables evaluate
+    * independently, so N tables = N cheap aggregations unioned into a
+    * ≤N-row health report — the monitoring query a fleet dashboard
+    * polls. */
+  def multiTableHealthOf(tables: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(tables.nonEmpty, "multiTableHealthOf: need at least one (name, df, key) spec")
+    def side(name: String, df: DataFrame, key: String): DataFrame = {
       val mx = df.agg(max(col(key)).as("mx"))
       df.crossJoin(broadcast(mx))
         .withColumn("batch_id", floor(col(key) * 10 / (col("mx") + 1)).cast("long"))
@@ -372,10 +408,9 @@ object Reconcile {
              max(col("mx")).as("max_lsn"))
         .withColumn("table_name", lit(name))
     }
-    val o = side(Tables.orders(spark, dir).select(col("o_orderkey")), "o_orderkey", "orders")
-    val l = side(Tables.lineitem(spark, dir).select(col("l_orderkey")), "l_orderkey", "lineitem")
     val w = Window.partitionBy(col("table_name")).orderBy(col("batch_id").desc)
-    o.unionByName(l)
+    tables.map { case (name, df, key) => side(name, df, key) }
+      .reduce(_ unionByName _)
       .withColumn("slot_lsn", floor(col("max_lsn") * 3 / 4).cast("long"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
@@ -394,6 +429,14 @@ object Reconcile {
               col("replication_complete"), col("health_status"), col("health_rank"))
       .orderBy(col("health_rank"), col("table_name"))
   }
+
+  /** The oracle-checked default: the reference demo's two monitored
+    * tables (`orders` by o_orderkey, `lineitem` by l_orderkey), driven
+    * through the generic [[multiTableHealthOf]]. */
+  def multiTableHealth(spark: SparkSession, dir: String): DataFrame =
+    multiTableHealthOf(Seq(
+      ("orders", Tables.orders(spark, dir).select(col("o_orderkey")), "o_orderkey"),
+      ("lineitem", Tables.lineitem(spark, dir).select(col("l_orderkey")), "l_orderkey")))
 
   val multiTableHealthSql: String =
     """WITH sides AS (

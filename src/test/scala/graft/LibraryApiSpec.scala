@@ -84,6 +84,31 @@ class LibraryApiSpec extends SparkSpec {
     assert(h((2L, 1)) === ((5L, None, true)))
   }
 
+  test("multiTableHealthOf: arbitrary table list, one health row per table") {
+    import spark.implicits._
+    // N monitored tables → N health rows, like the reference's TEXT[]
+    // parameter; mixes synthetic relations with a real loaded table.
+    // (Under the synthetic 3/4-of-max slot watermark the latest batch
+    // always completes AT the max key, so staleness = max/4 > max/5 —
+    // every table reads STUCK; the reference's variety comes from live
+    // slot positions, not the deterministic replay.)
+    val specs = Seq(
+      ("t_a", (1L to 100L).map(i => (i, i)).toDF("k", "x"), "k"),
+      ("t_b", (1L to 500L).map(i => (i, i)).toDF("k", "x"), "k"),
+      ("customer", graft.core.Tables.customer(spark, sf).select(col("c_custkey")), "c_custkey"))
+    val res = Reconcile.multiTableHealthOf(specs).collect()
+    assert(res.length === 3)
+    assert(res.map(_.getAs[String]("table_name")).toSet === Set("t_a", "t_b", "customer"))
+    val byName = res.map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(byName("t_a").getAs[Long]("completion_lsn") === 100L)
+    assert(byName("t_a").getAs[Long]("slot_lsn") === 75L)
+    assert(!byName("t_a").getAs[Boolean]("replication_complete"))
+    assert(byName("t_a").getAs[String]("health_status") === "STUCK")
+    assert(byName("t_b").getAs[Long]("slot_lsn") === 375L)
+    // the oracle-checked two-table default is the same generic form
+    assert(Reconcile.multiTableHealth(spark, sf).collect().length === 2)
+  }
+
   test("sampledDiffOf: counts equal the full diff restricted to the sample") {
     import spark.implicits._
     val src = (1L to 2000L).map(i => (i, i * 1.5)).toDF("id", "amt")
