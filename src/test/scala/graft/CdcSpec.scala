@@ -195,4 +195,25 @@ class CdcSpec extends SparkSpec {
         held.getOrElse(r.getAs[Long]("user_id"), 0L))
     }
   }
+
+  test("Poll.waitFor: completes when the probe flips, times out on a fake clock") {
+    import graft.cdc.Poll
+    var t = 0L
+    val clock = () => t
+    val sleep = (ms: Long) => t += ms
+    var probes = 0
+    val ok = Poll.waitFor(() => { probes += 1; if (probes >= 3) Some("done") else None },
+      timeoutMs = 10000, intervalMs = 1000, clock = clock, sleep = sleep)
+    assert(ok === Poll.Complete("done", 3))
+    // deadline checked before each sleep: polls at t=0..5000 → 6 probes
+    val t0 = t
+    val timedOut = Poll.waitFor(() => None, 5000, 1000, clock, sleep)
+    assert(timedOut === Poll.TimedOut(6) && t - t0 === 5000L)
+    // the monitoring-query loop: under the deterministic 3/4 watermark
+    // the latest batch never completes, so the loop must time out (2
+    // polls: the fake sleep jumps straight past the deadline)
+    val r = Poll.waitForLatestBatch(spark, sf, timeoutMs = 1, intervalMs = 10,
+      clock = clock, sleep = sleep)
+    assert(!r.isComplete)
+  }
 }

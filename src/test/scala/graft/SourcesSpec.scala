@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.{DebeziumJson, FeedSource, KafkaSource}
+import graft.sources.{DebeziumJson, FeedSink, FeedSource, KafkaSource}
 import graft.cdc.CdcOps
 
 class SourcesSpec extends SparkSpec {
@@ -98,6 +98,27 @@ class SourcesSpec extends SparkSpec {
     assert(ledger(1L) === ((2L, 0L, "COMPLETED")))
     assert(ledger(2L)._2 >= 1L)
     assert(ledger(2L)._3 === "FAILED")
+  }
+
+  test("FeedSink: generated batches round-trip through FeedSource with a clean ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-feedsink").toString
+    val b1 = FeedSink.genBatch(spark, 1L, 100)
+    val b2 = FeedSink.genBatch(spark, 2L, 50)
+    val p1 = FeedSink.writeBatch(b1, dir, 1L)
+    FeedSink.writeBatch(b2, dir, 2L)
+    assert(p1.endsWith("orders_batch_1.csv"))
+    // determinism: regenerating and republishing is byte-identical
+    FeedSink.writeBatch(FeedSink.genBatch(spark, 1L, 100), dir, 1L)
+    val ledger = FeedSource.feedLedger(FeedSource.readFeeds(spark, dir)).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("row_count"), r.getAs[Long]("corrupt_rows"), r.getAs[String]("status")))).toMap
+    assert(ledger(1L) === ((100L, 0L, "COMPLETED")))
+    assert(ledger(2L) === ((50L, 0L, "COMPLETED")))
+    // generated values honor the reference generator's domains
+    val rng = b1.agg(min(col("customer_id")), max(col("customer_id")),
+      min(col("amount")), max(col("amount"))).collect()(0)
+    assert(rng.getLong(0) >= 1L && rng.getLong(1) <= 1000L)
+    assert(rng.getDouble(2) >= 10.0 && rng.getDouble(3) <= 1000.0)
   }
 
   test("KafkaSource: option assembly + binary frame decode feeds the Debezium parse") {
