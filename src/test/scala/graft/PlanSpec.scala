@@ -269,12 +269,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("shard_pack: prefix offsets broadcast back — the doc stream only range+hash shuffles") {
+  test("shard_pack: prefix offsets broadcast back — one hash shuffle on the doc stream") {
     val p = plan(TextAnalysis.shardPack(spark, sf))
-    // the document stream crosses exactly two full-data exchanges (the
-    // prefix range slicing and the per-slice window's hash shuffle);
-    // the offset table comes back as a broadcast, never a shuffle join
-    assert(p.contains("rangepartitioning"))
+    // the document stream crosses one full-data exchange (the per-slice
+    // window's hash shuffle); the only range partitioning left is the
+    // final presentation sort, and the offset table comes back as a
+    // broadcast, never a shuffle join
+    assert("Exchange rangepartitioning".r.findAllIn(p).size === 1)
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("SortMergeJoin") && !p.contains("SinglePartition"))
   }

@@ -28,7 +28,10 @@ class PrefixSpec extends SparkSpec {
 
   test("runningSum global with mixed-direction order ≡ global window cumsum") {
     val ord = Seq(col("v").desc, col("id"))
-    val got = Prefix.runningSum(df, Seq.empty, ord, col("v"), "cum", ranges = 16)
+    // the primary order is DESC, so the ascending-monotone slice key is
+    // its negation
+    val got = Prefix.runningSum(df, Seq.empty, ord, col("v"), "cum", ranges = 16,
+        sliceKey = Some(-col("v")))
       .orderBy(col("v").desc, col("id")).select("id", "cum").collect()
     val w = Window.orderBy(col("v").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
