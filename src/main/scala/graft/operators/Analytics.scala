@@ -1384,4 +1384,84 @@ object Analytics {
       |FROM purchases p ASOF LEFT JOIN quotes q
       |  ON p.user_id = q.user_id AND q.ts <= p.ts
       |ORDER BY p.user_id, purchase_event_id""".stripMargin
+
+  /** events_attribution — first-touch / last-touch conversion
+    * attribution: every purchase credits the user's FIRST prior
+    * non-purchase event (the acquiring channel) and the LAST one (the
+    * converting channel), 'DIRECT' when the purchase has no prior
+    * touch; the rollup is the (first_touch, last_touch) attribution
+    * matrix with conversion counts, reached users, and exact-cent
+    * attributed revenue — the marketing-attribution query every event
+    * warehouse runs.
+    *
+    * Determinism: touches order by event_id (the log's LSN analog —
+    * total and gap-free per user), and each touch rides the prior-rows
+    * frame as the single long `event_id * 8 + channel_code`, so
+    * min/max ARE first/last and the channel decodes back with one mod —
+    * no ts ties, no struct-ordering dependence on the oracle engine.
+    *
+    * Scale shape: one per-user window (frames bounded by a user's
+    * history — never corpus-wide), one shuffle on user_id, then a
+    * rollup with map-side combine whose output is ∝ channels². */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val channelCode = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "signup", 2L)
+      .when(col("event_type") === "error", 3L)
+      .when(col("event_type") === "view", 4L)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("tcode",
+        when(col("event_type") =!= "purchase", col("event_id") * 8L + channelCode))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def channel(c: Column): Column =
+      when(c.isNull, "DIRECT")
+        .when(pmod(c, lit(8L)) === 1L, "click")
+        .when(pmod(c, lit(8L)) === 2L, "signup")
+        .when(pmod(c, lit(8L)) === 3L, "error")
+        .otherwise("view")
+    ev
+      .withColumn("first_code", min(col("tcode")).over(w))
+      .withColumn("last_code", max(col("tcode")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(channel(col("first_code")).as("first_touch"),
+        channel(col("last_code")).as("last_touch"),
+        col("user_id"), col("value"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col("user_id")).as("n_users"),
+        moneySum(col("value")).as("attributed_value"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
+  val eventsAttributionSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    CASE WHEN event_type <> 'purchase' THEN event_id * 8 +
+      |      CASE event_type WHEN 'click' THEN 1 WHEN 'signup' THEN 2
+      |           WHEN 'error' THEN 3 ELSE 4 END
+      |    END AS tcode
+      |  FROM events
+      |), framed AS (
+      |  SELECT *,
+      |    MIN(tcode) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_code,
+      |    MAX(tcode) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_code
+      |  FROM ev
+      |)
+      |SELECT
+      |  CASE WHEN first_code IS NULL THEN 'DIRECT'
+      |       WHEN first_code % 8 = 1 THEN 'click' WHEN first_code % 8 = 2 THEN 'signup'
+      |       WHEN first_code % 8 = 3 THEN 'error' ELSE 'view' END AS first_touch,
+      |  CASE WHEN last_code IS NULL THEN 'DIRECT'
+      |       WHEN last_code % 8 = 1 THEN 'click' WHEN last_code % 8 = 2 THEN 'signup'
+      |       WHEN last_code % 8 = 3 THEN 'error' ELSE 'view' END AS last_touch,
+      |  COUNT(*) AS n_conversions,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) / 100.0 AS attributed_value
+      |FROM framed
+      |WHERE event_type = 'purchase'
+      |GROUP BY 1, 2
+      |ORDER BY first_touch, last_touch""".stripMargin
 }

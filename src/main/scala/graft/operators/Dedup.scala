@@ -682,4 +682,87 @@ object Dedup {
       |FROM sh JOIN dfreq USING (h)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** Generic incremental dedup: classify each `delta` doc against a
+    * registered `index` corpus by exact normalized-text fingerprint —
+    * DUP_OF_INDEX (fingerprint already registered), DUP_IN_DELTA (new
+    * fingerprint, but an earlier delta doc claims it first), or NEW,
+    * with `dup_of` naming the claiming doc. This is the production
+    * dedup shape at 100 TB: the standing corpus is deduped ONCE and
+    * registered as a fingerprint index; every new crawl deduplicates
+    * its delta against the index and itself, never re-scanning corpus
+    * text. Index side reduces to (fp, min id) before the join — ∝
+    * distinct fingerprints, not corpus bytes (a deployed index would be
+    * a bucketed table on fp, making the join co-located); delta work is
+    * ∝ delta size. */
+  def incrementalOf(index: DataFrame, delta: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def fps(df: DataFrame) = df.select(col(idCol),
+      md5(normText(col(textCol)).cast("binary")).as("fp"))
+    val registered = fps(index).groupBy(col("fp"))
+      .agg(min(col(idCol)).as("index_doc"))
+    val d = fps(delta)
+    val firstInDelta = d.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("first_delta_doc"))
+    d.join(registered, Seq("fp"), "left")
+      .join(firstInDelta, Seq("fp"))
+      .select(col(idCol),
+        when(col("index_doc").isNotNull, "DUP_OF_INDEX")
+          .when(col(idCol) > col("first_delta_doc"), "DUP_IN_DELTA")
+          .otherwise("NEW").as("status"),
+        when(col("index_doc").isNotNull, col("index_doc"))
+          .when(col(idCol) > col("first_delta_doc"), col("first_delta_doc"))
+          .as("dup_of"))
+  }
+
+  /** dedup_incremental — the planted incremental scenario: the index is
+    * the base documents table; the arriving delta carries exact copies
+    * of every 17th doc (+1M → DUP_OF_INDEX), a modified version of
+    * every 10th doc (+2M, every 7th word dropped → NEW text), and a
+    * second copy of that modification for every 20th doc (+3M →
+    * DUP_IN_DELTA, claimed by the +2M doc). One scan builds the delta
+    * via conditional-array explode, as in [[corpus]]. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val modified = array_join(
+      filter(split(col("text"), " "), (_, i) => (i + 1) % 7 =!= 0), " ")
+    val delta = base
+      .select(explode(array_compact(array(
+        when(col("doc_id") % 17 === 0,
+          struct((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
+        when(col("doc_id") % 10 === 0,
+          struct((col("doc_id") + 2000000L).as("doc_id"), modified.as("text"))),
+        when(col("doc_id") % 20 === 0,
+          struct((col("doc_id") + 3000000L).as("doc_id"), modified.as("text")))))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    incrementalOf(base, delta, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH delta AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000,
+      |    array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
+      |  FROM documents WHERE doc_id % 20 = 0
+      |),
+      |registered AS (
+      |  SELECT md5(${normTextSql("text")}) AS fp, MIN(doc_id) AS index_doc
+      |  FROM documents GROUP BY 1
+      |),
+      |d AS (SELECT doc_id, md5(${normTextSql("text")}) AS fp FROM delta),
+      |first_d AS (SELECT fp, MIN(doc_id) AS first_delta_doc FROM d GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN r.index_doc IS NOT NULL THEN 'DUP_OF_INDEX'
+      |       WHEN d.doc_id > f.first_delta_doc THEN 'DUP_IN_DELTA'
+      |       ELSE 'NEW' END AS status,
+      |  CASE WHEN r.index_doc IS NOT NULL THEN r.index_doc
+      |       WHEN d.doc_id > f.first_delta_doc THEN f.first_delta_doc END AS dup_of
+      |FROM d LEFT JOIN registered r USING (fp) JOIN first_d f USING (fp)
+      |ORDER BY doc_id""".stripMargin
 }

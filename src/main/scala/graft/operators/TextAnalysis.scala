@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Prefix, Tables}
@@ -799,4 +800,83 @@ object TextAnalysis {
       |    len(regexp_extract_all(text, '$PhoneRe')) > 0 AS pii_found
       |FROM corpus
       |ORDER BY doc_id""".stripMargin
+
+  /** Minimum corpus-wide document frequency for a word to be ranked —
+    * drops hapax/typo noise from the distinctive-terms profile. */
+  val DistinctiveMinDf = 5
+  val DistinctiveTopK = 5
+
+  /** text_distinctive_terms — the per-source distinctive vocabulary:
+    * for each source, the top-5 words by domain lift
+    * = (df_source / n_docs_source) / (df_global / n_docs_total),
+    * the "what is this domain about" profile used to audit corpus
+    * mixes and spot crawl contamination. Document frequencies (docs
+    * containing the word, not token counts) make the lift robust to
+    * repetitive docs.
+    *
+    * Determinism: the lift is ONE IEEE divide of two exact long
+    * products (df_s·N over N_s·df_g — both < 2^53 for corpora up to
+    * ~90M docs; a larger deployment moves the carriers to
+    * DECIMAL(38)), so ranking and values replay exactly in the oracle.
+    *
+    * Scale shape: distinct (doc, word) explode → one (source, word)
+    * aggregation with map-side combine (shuffle ∝ per-source
+    * vocabulary, not tokens); the global df and per-source doc counts
+    * broadcast back; the top-k window partitions by source over its
+    * vocabulary — bounded by distinct words, never corpus volume. */
+  def textDistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docWords = docs
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(words(col("text")))).as("w"))
+    val bySource = docWords.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("df_source"))
+    val global = bySource.groupBy(col("w"))
+      .agg(sum(col("df_source")).as("df_global"))
+      .filter(col("df_global") >= DistinctiveMinDf)
+    val srcDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs_source"))
+    val total = docs.agg(count(lit(1)).as("n_docs_total"))
+    val scored = bySource
+      .join(global, Seq("w"))
+      .join(broadcast(srcDocs), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("df_source") * col("n_docs_total")).cast("double") /
+          (col("n_docs_source") * col("df_global")).cast("double"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift").desc, col("w"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= DistinctiveTopK)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("w").as("word"),
+        col("df_source"), col("df_global"), col("lift"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val textDistinctiveTermsSql: String =
+    s"""WITH dw AS (
+      |  SELECT DISTINCT doc_id, source, w FROM (
+      |    SELECT doc_id, source, unnest(${wordsSql("text")}) AS w FROM documents)
+      |), by_source AS (
+      |  SELECT source, w, COUNT(*) AS df_source FROM dw GROUP BY 1, 2
+      |), global AS (
+      |  SELECT w, CAST(SUM(df_source) AS BIGINT) AS df_global FROM by_source
+      |  GROUP BY 1 HAVING SUM(df_source) >= $DistinctiveMinDf
+      |), src_docs AS (
+      |  SELECT source, COUNT(*) AS n_docs_source FROM documents GROUP BY 1
+      |), total AS (SELECT COUNT(*) AS n_docs_total FROM documents),
+      |scored AS (
+      |  SELECT b.source, b.w, b.df_source, g.df_global,
+      |    CAST(b.df_source * t.n_docs_total AS DOUBLE)
+      |      / CAST(s.n_docs_source * g.df_global AS DOUBLE) AS lift
+      |  FROM by_source b JOIN global g USING (w)
+      |    JOIN src_docs s USING (source) CROSS JOIN total t
+      |)
+      |SELECT source, rank, w AS word, df_source, df_global, lift FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY lift DESC, w) AS rank
+      |  FROM scored
+      |)
+      |WHERE rank <= $DistinctiveTopK
+      |ORDER BY source, rank""".stripMargin
 }

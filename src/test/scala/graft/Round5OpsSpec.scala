@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, TextAnalysis}
+
+/** Semantic checks for the round-5 operators (the DuckDB oracle covers
+  * exact replay; these assert the operator-level invariants). */
+class Round5OpsSpec extends SparkSpec {
+
+  test("dedup_incremental: every delta doc classified, planted statuses recovered") {
+    val res = Dedup.dedupIncremental(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docs.count(_ % 17 == 0) + docs.count(_ % 10 == 0) + docs.count(_ % 20 == 0)
+    assert(res.length === expected)
+    val byId = res.map(r => r.getLong(0) ->
+      ((r.getAs[String]("status"), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    // exact copies always hit the index, claimed by their original
+    byId.filter(_._1 < 2000000L).foreach { case (id, (status, dupOf)) =>
+      assert(status === "DUP_OF_INDEX" && dupOf === Some(id - 1000000L))
+    }
+    // second copies of modifications: claimed inside the delta by the
+    // +2M doc — unless the modification degenerated to the original
+    // text (docs shorter than 7 words), which the index then claims
+    byId.filter(_._1 >= 3000000L).foreach { case (id, (status, dupOf)) =>
+      if (status == "DUP_IN_DELTA") assert(dupOf === Some(id - 1000000L))
+      else assert(status === "DUP_OF_INDEX" && dupOf === Some(id - 3000000L))
+    }
+    assert(res.exists(_.getAs[String]("status") == "NEW"))
+    assert(res.exists(_.getAs[String]("status") == "DUP_IN_DELTA"))
+  }
+
+  test("events_attribution: conversions and revenue fully accounted, DIRECT is paired") {
+    val res = Analytics.eventsAttribution(spark, sf).collect()
+    val purchases = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val nPurch = purchases.count()
+    assert(res.map(_.getAs[Long]("n_conversions")).sum === nPurch)
+    val totalCents = purchases
+      .agg(sum(floor(col("value") * 100d + 0.5d).cast("long"))).collect()(0).getLong(0)
+    val attributedCents = res.map(r =>
+      math.round(r.getAs[Double]("attributed_value") * 100)).sum
+    assert(attributedCents === totalCents)
+    // no prior touch means BOTH codes are null: DIRECT only pairs with DIRECT
+    res.foreach { r =>
+      val (f, l) = (r.getAs[String]("first_touch"), r.getAs[String]("last_touch"))
+      assert((f == "DIRECT") === (l == "DIRECT"))
+      assert(f != "purchase" && l != "purchase")
+    }
+  }
+
+  test("text_distinctive_terms: contiguous ranks, descending lift, min support") {
+    val res = TextAnalysis.textDistinctiveTerms(spark, sf).collect()
+    val bySource = res.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (_, rows) =>
+      val ranked = rows.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq === (1L to ranked.length).toSeq)
+      assert(ranked.length <= TextAnalysis.DistinctiveTopK)
+      val lifts = ranked.map(_.getAs[Double]("lift")).toSeq
+      assert(lifts === lifts.sorted.reverse)
+      rows.foreach(r => assert(r.getAs[Long]("df_global") >= TextAnalysis.DistinctiveMinDf))
+    }
+    // lift formula spot-check on one row
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count().toDouble
+    val r0 = res.head
+    val src = r0.getAs[String]("source")
+    val nSrc = docs.filter(col("source") === src).count().toDouble
+    val expect = r0.getAs[Long]("df_source") * n / (nSrc * r0.getAs[Long]("df_global"))
+    assert(math.abs(r0.getAs[Double]("lift") - expect) < 1e-12)
+  }
+}
