@@ -683,6 +683,82 @@ object Dedup {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Words per synthetic line for [[textLineDedup]] — the corpus is
+    * flat word soup, so the C4-style "line" is a fixed word window. */
+  val LineWords = 10
+
+  /** Generic line-level dedup accounting (the C4/RefinedWeb
+    * repeated-line removal step, one granularity below doc-level
+    * dedup): each doc's word stream splits into fixed `lineWords`
+    * lines, a line is duplicated when it appears in ≥2 distinct docs,
+    * and the per-doc report carries the duplicated-line count plus the
+    * md5 fingerprint of the doc with its duplicated lines REMOVED —
+    * the verifiable artifact of the cleaning step.
+    *
+    * Scale shape: lines explode ∝ corpus words / lineWords; the
+    * distinct-doc frequency is one groupBy on the 128-bit line
+    * fingerprint (map-side combined), joined back and rolled up per
+    * doc. Only fingerprints shuffle twice; line text shuffles once
+    * into the per-doc rollup (and a production variant would carry
+    * line hashes + reconstruct from the source). */
+  def lineDedupOf(docs: DataFrame, lineWords: Int = LineWords): DataFrame = {
+    val ws = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("nl",
+        ceil(size(col("w")).cast("double") / lineWords).cast("int"))
+    val lines = ws.filter(col("nl") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nl") - 1),
+          i => array_join(slice(col("w"), i * lineWords + 1, lit(lineWords)), " ")))
+          .as(Seq("l", "line")))
+      .withColumn("fp", md5(col("line").cast("binary")))
+    val dfreq = lines.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+    lines.join(dfreq, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_lines"),
+        array_join(transform(
+          array_sort(collect_list(when(col("ndocs") < 2,
+            struct(col("l"), col("line"))))),
+          s => s.getField("line")), " ").as("clean_text"))
+      .withColumn("dup_line_frac",
+        col("n_dup_lines").cast("double") / col("n_lines"))
+      .withColumn("clean_fp", md5(col("clean_text").cast("binary")))
+      .drop("clean_text")
+  }
+
+  /** text_line_dedup — line-level dedup over the planted corpus: exact
+    * copies (+1M) share every line with their original, near copies
+    * (+2M) share almost none (the dropped 7th words shift every
+    * subsequent line boundary), so the report separates wholesale
+    * copying from incidental line reuse. */
+  def textLineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOf(corpus(spark, dir)).orderBy(col("doc_id"))
+
+  val textLineDedupSql: String =
+    s"""WITH corpus AS ($corpusSql),
+      |ws AS (SELECT doc_id, ${wordsSql("text")} AS w FROM corpus),
+      |lines AS (
+      |  SELECT doc_id, i AS l,
+      |    array_to_string(w[i*$LineWords+1 : i*$LineWords+$LineWords], ' ') AS line
+      |  FROM ws, LATERAL (SELECT unnest(range(0,
+      |    CAST(CEIL(len(w) / $LineWords.0) AS BIGINT))) AS i)
+      |),
+      |lf AS (SELECT doc_id, l, line, md5(line) AS fp FROM lines),
+      |dfreq AS (
+      |  SELECT fp, COUNT(*) AS ndocs FROM (SELECT DISTINCT fp, doc_id FROM lf)
+      |  GROUP BY 1
+      |)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS dup_line_frac,
+      |  md5(COALESCE(string_agg(CASE WHEN ndocs < 2 THEN line END, ' ' ORDER BY l), ''))
+      |    AS clean_fp
+      |FROM lf JOIN dfreq USING (fp)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Generic incremental dedup: classify each `delta` doc against a
     * registered `index` corpus by exact normalized-text fingerprint —
     * DUP_OF_INDEX (fingerprint already registered), DUP_IN_DELTA (new

@@ -798,4 +798,45 @@ object Similarity {
       |GROUP BY 1, 2
       |ORDER BY source, label""".stripMargin
 
+  /** knn_recall_audit — recall@K of the approximate ANN paths against
+    * exact brute force, per method: the eval every ANN deployment runs
+    * before trusting an index (FAISS's own benchmark discipline). Hits
+    * are (query, neighbor) pairs the approximate method shares with the
+    * exact top-K; recall is one IEEE divide of exact counts. Audited
+    * here: the two serving shapes — LSH buckets and IVF+PQ — whose
+    * recall bounds the others'. The audit recomputes both pipelines
+    * (the contract is one self-contained DataFrame per query key);
+    * shapes and costs are those of the audited operators plus two
+    * count-only joins on (query, neighbor) keys. */
+  def knnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    def methodRow(name: String, approx: DataFrame): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_pairs"))))
+        .select(lit(name).as("method"), col("n_pairs"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_pairs")).as("recall_at_k"))
+    methodRow("knn_ivfpq", knnIvfPq(spark, dir))
+      .unionByName(methodRow("knn_lsh", knnLsh(spark, dir)))
+      .orderBy(col("method"))
+  }
+
+  lazy val knnRecallAuditSql: String = {
+    def methodSql(name: String, sql: String): String =
+      s"""SELECT '$name' AS method,
+        |  (SELECT COUNT(*) FROM brute) AS n_pairs,
+        |  (SELECT COUNT(*) FROM (SELECT query_id, neighbor_id FROM ($sql)) a
+        |     JOIN brute b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
+        |    AS n_hits""".stripMargin
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($knnBruteSql))
+      |SELECT method, n_pairs, n_hits,
+      |  CAST(n_hits AS DOUBLE) / n_pairs AS recall_at_k
+      |FROM (
+      |${methodSql("knn_ivfpq", knnIvfPqSql)}
+      |UNION ALL
+      |${methodSql("knn_lsh", knnLshSql)}
+      |)
+      |ORDER BY method""".stripMargin
+  }
 }

@@ -49,6 +49,39 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("text_line_dedup: exact copies fully line-duplicated, line counts exact") {
+    val res = Dedup.textLineDedup(spark, sf).collect()
+    val byId = res.map(r => r.getLong(0) -> r).toMap
+    // every +1M doc is an exact copy: all of its lines occur in the
+    // original too, so the whole doc is duplicated lines
+    val copies = res.filter(r => r.getLong(0) >= 1000000L && r.getLong(0) < 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      assert(r.getAs[Long]("n_dup_lines") === r.getAs[Long]("n_lines"))
+      assert(r.getAs[Double]("dup_line_frac") === 1.0)
+      // and its original reports the mirror overlap
+      assert(byId(r.getLong(0) - 1000000L).getAs[Double]("dup_line_frac") === 1.0)
+    }
+    // line count = ceil(words / LineWords), spot-checked against the raw text
+    val doc0 = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 1L).select("text").collect()(0).getString(0)
+    val words0 = doc0.trim.toLowerCase.split("\\s+").length
+    assert(byId(1L).getAs[Long]("n_lines") ===
+      math.ceil(words0 / Dedup.LineWords.toDouble).toLong)
+  }
+
+  test("knn_recall_audit: counts consistent, recall within bounds") {
+    val res = graft.operators.Similarity.knnRecallAudit(spark, sf).collect()
+    assert(res.map(_.getAs[String]("method")).toSeq === Seq("knn_ivfpq", "knn_lsh"))
+    val nBrute = graft.operators.Similarity.knnBrute(spark, sf).count()
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") === nBrute)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= nBrute)
+      assert(r.getAs[Double]("recall_at_k") === hits.toDouble / nBrute)
+    }
+  }
+
   test("text_distinctive_terms: contiguous ranks, descending lift, min support") {
     val res = TextAnalysis.textDistinctiveTerms(spark, sf).collect()
     val bySource = res.groupBy(_.getAs[String]("source"))
