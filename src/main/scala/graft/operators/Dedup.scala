@@ -798,11 +798,15 @@ object Dedup {
     * second copy of that modification for every 20th doc (+3M →
     * DUP_IN_DELTA, claimed by the +2M doc). One scan builds the delta
     * via conditional-array explode, as in [[corpus]]. */
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+  /** The arriving-crawl delta planted against the base documents table
+    * (shared by dedup_incremental and the drift audit): exact copies of
+    * every 17th doc (+1M), a modified version of every 10th (+2M,
+    * every 7th word dropped), and a second copy of that modification
+    * for every 20th (+3M). One scan via conditional-array explode. */
+  private[graft] def incrementalDelta(base: DataFrame): DataFrame = {
     val modified = array_join(
       filter(split(col("text"), " "), (_, i) => (i + 1) % 7 =!= 0), " ")
-    val delta = base
+    base
       .select(explode(array_compact(array(
         when(col("doc_id") % 17 === 0,
           struct((col("doc_id") + 1000000L).as("doc_id"), col("text"))),
@@ -811,21 +815,28 @@ object Dedup {
         when(col("doc_id") % 20 === 0,
           struct((col("doc_id") + 3000000L).as("doc_id"), modified.as("text")))))).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
-    incrementalOf(base, delta, "doc_id", "text")
+  }
+
+  private[graft] val incrementalDeltaSql: String =
+    """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000,
+      |  array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
+      |FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 3000000,
+      |  array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
+      |FROM documents WHERE doc_id % 20 = 0""".stripMargin
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    incrementalOf(base, incrementalDelta(base), "doc_id", "text")
       .orderBy(col("doc_id"))
   }
 
   val dedupIncrementalSql: String =
     s"""WITH delta AS (
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 2000000,
-      |    array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
-      |  FROM documents WHERE doc_id % 10 = 0
-      |  UNION ALL
-      |  SELECT doc_id + 3000000,
-      |    array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
-      |  FROM documents WHERE doc_id % 20 = 0
+      |$incrementalDeltaSql
       |),
       |registered AS (
       |  SELECT md5(${normTextSql("text")}) AS fp, MIN(doc_id) AS index_doc

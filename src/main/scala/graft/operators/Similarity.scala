@@ -798,6 +798,87 @@ object Similarity {
       |GROUP BY 1, 2
       |ORDER BY source, label""".stripMargin
 
+  /** embed_outliers — embedding-space quality gate per label: every
+    * vector's quantized squared L2 to its OWN label centroid (‖v‖² +
+    * ‖c‖² − 2⟨v,c⟩, exact longs on the 1e-9 product grid), flagged an
+    * outlier when dist² exceeds 4× the label mean dist² (beyond 2× the
+    * RMS radius) — the "corrupt/mislabeled embedding" filter run before
+    * training on an embedding corpus. The outlier rule compares exact
+    * integers cross-multiplied (dist_q · n > 4 · Σdist_q — no float
+    * threshold; carriers stay under 2^63 through ~1e9 vectors per
+    * label, then DECIMAL(38)), so membership and every output replay
+    * exactly.
+    *
+    * Scale shape: centroids are K×D longs broadcast back onto one
+    * equi-join by label (map-side), the label rollup aggregates with
+    * partial combine, and the flagging pass re-joins the ≤K-row stats
+    * broadcast — two scans of the vector table, no shuffle of vectors
+    * beyond the label rollup. Output ∝ labels. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroidMeans(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_q")))),
+        s => s.getField("mean_q").cast("double") * lit(1e-9)).as("cv"))
+      .withColumn("cn", qdot(col("cv"), col("cv")))
+    val scored = vecs(spark, dir)
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("dist_q",
+        col("nrm") + col("cn") - lit(2L) * qdot(col("v"), col("cv")))
+      .select(col("label"), col("vec_id"), col("dist_q"))
+    val stats = scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist_q")).as("sum_dist_q"),
+        max(col("dist_q")).as("max_dist_q"))
+    scored.join(broadcast(stats), Seq("label"))
+      .withColumn("is_outlier",
+        col("dist_q") * col("n_vecs") > lit(4L) * col("sum_dist_q"))
+      .groupBy(col("label"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        max(col("sum_dist_q")).as("sum_dist_q"),
+        max(col("max_dist_q")).as("max_dist_q"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("is_outlier"), col("vec_id"))).as("outlier_id_checksum"))
+      .withColumn("mean_dist_q",
+        col("sum_dist_q").cast("double") / col("n_vecs"))
+      .select(col("label"), col("n_vecs"), col("mean_dist_q"), col("max_dist_q"),
+        col("n_outliers"), col("outlier_id_checksum"))
+      .orderBy(col("label"))
+  }
+
+  lazy val embedOutliersSql: String = {
+    val vcDot = dotSql("e.embedding", "c.cv")
+    s"""WITH $centroidMeansCtes,
+      |cent AS (
+      |  SELECT label, list(CAST(mean_q AS DOUBLE) * 1e-9 ORDER BY pos) AS cv
+      |  FROM m GROUP BY label
+      |),
+      |cent2 AS (
+      |  SELECT label, cv,
+      |    CAST(list_sum(list_transform(cv,
+      |      (x, i) -> CAST(FLOOR(x * cv[i] * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS cn
+      |  FROM cent
+      |),
+      |e AS ($vecsSql),
+      |scored AS (
+      |  SELECT e.label, e.vec_id, e.nrm + c.cn - 2 * $vcDot AS dist_q
+      |  FROM e JOIN cent2 c ON e.label = c.label
+      |),
+      |stats AS (
+      |  SELECT label, COUNT(*) AS n_vecs, CAST(SUM(dist_q) AS BIGINT) AS sum_dist_q,
+      |    MAX(dist_q) AS max_dist_q
+      |  FROM scored GROUP BY label
+      |)
+      |SELECT s.label, MAX(st.n_vecs) AS n_vecs,
+      |  CAST(MAX(st.sum_dist_q) AS DOUBLE) / MAX(st.n_vecs) AS mean_dist_q,
+      |  MAX(st.max_dist_q) AS max_dist_q,
+      |  CAST(SUM(CASE WHEN s.dist_q * st.n_vecs > 4 * st.sum_dist_q
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(SUM(CASE WHEN s.dist_q * st.n_vecs > 4 * st.sum_dist_q
+      |    THEN s.vec_id END) AS BIGINT) AS outlier_id_checksum
+      |FROM scored s JOIN stats st ON s.label = st.label
+      |GROUP BY s.label
+      |ORDER BY s.label""".stripMargin
+  }
+
   /** knn_recall_audit — recall@K of the approximate ANN paths against
     * exact brute force, per method: the eval every ANN deployment runs
     * before trusting an index (FAISS's own benchmark discipline). Hits

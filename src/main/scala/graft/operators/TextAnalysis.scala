@@ -853,6 +853,100 @@ object TextAnalysis {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** text_docstats_drift — distribution drift between the registered
+    * corpus and an arriving crawl delta (the ingestion-gate question:
+    * "does the new crawl look like the corpus we trained on?"): doc
+    * byte lengths histogram into 100-byte buckets (top bucket open) on
+    * both sides, and the drift report carries per-bucket counts,
+    * fractions, and the total-variation / L1 distance. The planted
+    * delta ([[Dedup.incrementalDelta]]) mixes unchanged copies with
+    * shortened docs, so the length distribution genuinely shifts.
+    *
+    * Determinism: fractions and L1 derive from EXACT integer carriers —
+    * the per-bucket term is |c_idx·n_delta − c_delta·n_idx| (a long;
+    * < 2^63 for corpora to ~3e9 docs, then DECIMAL(38)), summed
+    * exactly, with ONE IEEE divide by n_idx·n_delta at the end — so a
+    * float summation order never touches the hash. Row bucket = -1 is
+    * the corpus-level summary; l1_part sums to the total variation
+    * distance × 2.
+    *
+    * Scale shape: two map-only bucketing scans + two ≤20-row
+    * aggregations, a full-outer join of the tiny histograms, totals
+    * broadcast back. Output ∝ buckets. */
+  def textDocstatsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def hist(df: DataFrame, cnt: String) = df
+      .select(least(floor(octet_length(col("text")) / 100L), lit(19L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    val hIdx = hist(base, "n_index")
+    val hDelta = hist(graft.operators.Dedup.incrementalDelta(base), "n_delta")
+    val joined = hIdx.join(hDelta, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+    val totals = joined.agg(sum(col("n_index")).as("t_index"),
+      sum(col("n_delta")).as("t_delta"))
+    val perBucket = joined.crossJoin(broadcast(totals))
+      .withColumn("drift_carrier",
+        abs(col("n_index") * col("t_delta") - col("n_delta") * col("t_index")))
+      .withColumn("frac_index", col("n_index").cast("double") / col("t_index"))
+      .withColumn("frac_delta", col("n_delta").cast("double") / col("t_delta"))
+      .withColumn("l1_part",
+        col("drift_carrier").cast("double") / (col("t_index") * col("t_delta")).cast("double"))
+    val summary = perBucket
+      .groupBy(col("t_index"), col("t_delta"))
+      .agg(sum(col("drift_carrier")).as("drift_carrier"))
+      .select(lit(-1L).as("bucket"), col("t_index").as("n_index"),
+        col("t_delta").as("n_delta"), col("drift_carrier"),
+        lit(1.0d).as("frac_index"), lit(1.0d).as("frac_delta"),
+        (col("drift_carrier").cast("double") /
+          (col("t_index") * col("t_delta")).cast("double")).as("l1_part"))
+    perBucket.drop("t_index", "t_delta")
+      .select(col("bucket"), col("n_index"), col("n_delta"), col("drift_carrier"),
+        col("frac_index"), col("frac_delta"), col("l1_part"))
+      .unionByName(summary)
+      .orderBy(col("bucket"))
+  }
+
+  val textDocstatsDriftSql: String =
+    s"""WITH delta AS (
+      |${graft.operators.Dedup.incrementalDeltaSql}
+      |),
+      |hi AS (
+      |  SELECT LEAST(octet_length(encode(text)) // 100, 19) AS bucket,
+      |    COUNT(*) AS n_index
+      |  FROM documents GROUP BY 1
+      |),
+      |hd AS (
+      |  SELECT LEAST(octet_length(encode(text)) // 100, 19) AS bucket,
+      |    COUNT(*) AS n_delta
+      |  FROM delta GROUP BY 1
+      |),
+      |j AS (
+      |  SELECT COALESCE(hi.bucket, hd.bucket) AS bucket,
+      |    COALESCE(n_index, 0) AS n_index, COALESCE(n_delta, 0) AS n_delta
+      |  FROM hi FULL OUTER JOIN hd ON hi.bucket = hd.bucket
+      |),
+      |t AS (SELECT CAST(SUM(n_index) AS BIGINT) AS t_index,
+      |             CAST(SUM(n_delta) AS BIGINT) AS t_delta FROM j),
+      |pb AS (
+      |  SELECT bucket, n_index, n_delta,
+      |    ABS(n_index * t_delta - n_delta * t_index) AS drift_carrier,
+      |    CAST(n_index AS DOUBLE) / t_index AS frac_index,
+      |    CAST(n_delta AS DOUBLE) / t_delta AS frac_delta,
+      |    CAST(ABS(n_index * t_delta - n_delta * t_index) AS DOUBLE)
+      |      / CAST(t_index * t_delta AS DOUBLE) AS l1_part
+      |  FROM j CROSS JOIN t
+      |)
+      |SELECT bucket, n_index, n_delta, CAST(drift_carrier AS BIGINT) AS drift_carrier,
+      |  frac_index, frac_delta, l1_part FROM pb
+      |UNION ALL
+      |SELECT -1, t_index, t_delta, CAST(SUM(drift_carrier) AS BIGINT),
+      |  1.0, 1.0,
+      |  CAST(SUM(drift_carrier) AS DOUBLE) / CAST(t_index * t_delta AS DOUBLE)
+      |FROM pb CROSS JOIN t GROUP BY t_index, t_delta
+      |ORDER BY bucket""".stripMargin
+
   val textDistinctiveTermsSql: String =
     s"""WITH dw AS (
       |  SELECT DISTINCT doc_id, source, w FROM (

@@ -82,6 +82,41 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("embed_outliers: labels covered, outlier rule consistent with the stats") {
+    val res = graft.operators.Similarity.embedOutliers(spark, sf).collect()
+    val nLabels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label").distinct().count()
+    assert(res.length === nLabels)
+    res.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") > 0L)
+      val mean = r.getAs[Double]("mean_dist_q")
+      val mx = r.getAs[Long]("max_dist_q")
+      assert(mx.toDouble >= mean)
+      val outliers = r.getAs[Long]("n_outliers")
+      assert(outliers >= 0L && outliers < r.getAs[Long]("n_vecs"))
+      // the rule is > 4× mean: if the max itself is within 4× mean, no
+      // vector can be flagged
+      if (mx.toDouble <= 4.0 * mean) assert(outliers === 0L)
+    }
+  }
+
+  test("text_docstats_drift: summary row aggregates bucket carriers exactly") {
+    val res = TextAnalysis.textDocstatsDrift(spark, sf).collect()
+    val (summary, buckets) = res.partition(_.getAs[Long]("bucket") == -1L)
+    assert(summary.length === 1)
+    val s = summary.head
+    assert(buckets.map(_.getAs[Long]("n_index")).sum === s.getAs[Long]("n_index"))
+    assert(buckets.map(_.getAs[Long]("n_delta")).sum === s.getAs[Long]("n_delta"))
+    assert(buckets.map(_.getAs[Long]("drift_carrier")).sum === s.getAs[Long]("drift_carrier"))
+    // planted delta genuinely shifts the length distribution
+    assert(s.getAs[Long]("drift_carrier") > 0L)
+    // l1_part = carrier / (n_index * n_delta), and L1 ≤ 2
+    val l1 = s.getAs[Double]("l1_part")
+    assert(l1 > 0.0 && l1 <= 2.0)
+    assert(l1 === s.getAs[Long]("drift_carrier").toDouble /
+      (s.getAs[Long]("n_index").toDouble * s.getAs[Long]("n_delta")))
+  }
+
   test("text_distinctive_terms: contiguous ranks, descending lift, min support") {
     val res = TextAnalysis.textDistinctiveTerms(spark, sf).collect()
     val bySource = res.groupBy(_.getAs[String]("source"))
