@@ -35,6 +35,25 @@ object FeedSource {
       .withColumn("batch_id",
         regexp_extract(col("feed_file"), "orders_batch_(\\d+)\\.csv", 1).cast("long"))
 
+  /** Streaming twin of [[readFeeds]]: watch the feed directory as a
+    * file-source stream — each newly published `orders_batch_*.csv`
+    * (e.g. from [[FeedSink.writeBatch]]) arrives as a micro-batch with
+    * the same schema, quarantine column, and batch-id tagging, so
+    * [[feedLedger]] over it (complete output mode) IS the live
+    * batch_control view. `maxFilesPerTrigger` bounds a micro-batch the
+    * way maxOffsetsPerTrigger bounds the Kafka source. */
+  def readFeedsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(feedSchema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", "4")
+      .csv(s"$dir/orders_batch_*.csv")
+      .withColumn("feed_file", input_file_name())
+      .withColumn("batch_id",
+        regexp_extract(col("feed_file"), "orders_batch_(\\d+)\\.csv", 1).cast("long"))
+
   /** batch_control-shaped ledger from loaded feeds
     * (data_generator.py:72-94: batch_id, row_count, status).
     *

@@ -102,6 +102,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("round-5 operators: broadcast-shaped joins, no single-partition windows") {
+    // embed_outliers: centroids and label stats come back as broadcasts
+    val po = plan(Similarity.embedOutliers(spark, sf))
+    assert(po.contains("BroadcastHashJoin") && !po.contains("SortMergeJoin"))
+    // events_attribution: the touch window partitions by user — never global
+    val pa = plan(Analytics.eventsAttribution(spark, sf))
+    assert(!pa.contains("SinglePartition"))
+    // dedup_incremental: fingerprint equi-joins only, no pair explosion
+    val pd = plan(Dedup.dedupIncremental(spark, sf))
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("prefix-rewritten operators: no single-partition exchange anywhere in the plan") {
     // recon_lsn_gap / q27_interval_sweep / shard_pack ran their running
     // computation through Window.orderBy() (Exchange SinglePartition =

@@ -121,6 +121,26 @@ class SourcesSpec extends SparkSpec {
     assert(rng.getDouble(2) >= 10.0 && rng.getDouble(3) <= 1000.0)
   }
 
+  test("readFeedsStream: streamed feed ledger equals the batch ledger") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val dir = java.nio.file.Files.createTempDirectory("graft-feedstream").toString
+    (1L to 3L).foreach(b =>
+      FeedSink.writeBatch(FeedSink.genBatch(spark, b, 40 + 10 * b.toInt), dir, b))
+    val q = FeedSource.feedLedger(FeedSource.readFeedsStream(spark, dir))
+      .writeStream.format("memory").queryName("t_feed_ledger")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_feed_ledger").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("row_count"), r.getAs[String]("status")))).toMap
+    val batch = FeedSource.feedLedger(FeedSource.readFeeds(spark, dir)).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("row_count"), r.getAs[String]("status")))).toMap
+    assert(streamed === batch)
+    assert(streamed(2L) === ((60L, "COMPLETED")))
+  }
+
   test("KafkaSource: option assembly + binary frame decode feeds the Debezium parse") {
     import spark.implicits._
     val opts = KafkaSource.options("broker:9092", "dbserver1\\.public\\..*")
