@@ -28,6 +28,19 @@ class CoverageSpec extends AnyFunSuite {
       .toSet
   }
 
+  test("every SURVEY §2 row is marked DONE") {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val start = text.indexOf("## §2")
+    val end = text.indexOf("## §3", start)
+    val rows = text.substring(start, end).linesIterator
+      .filter(l => l.startsWith("| `") || l.startsWith("| *("))
+      .toSeq
+    assert(rows.nonEmpty)
+    val notDone = rows.filterNot(_.trim.endsWith("| DONE |"))
+    assert(notDone.isEmpty, s"§2 rows not DONE:\n${notDone.mkString("\n")}")
+  }
+
   test("SURVEY §2 checklist ≡ SparkEntry.queries keys") {
     val survey = section2Keys
     val queries = SparkEntry.queries.keySet

@@ -40,6 +40,21 @@ class PrefixSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("runningSum degenerate slice key: constant key collapses to one slice, still exact") {
+    // all boundaries equal → dedupe to one value → every row compares
+    // <= boundary → slice 0 holds everything; ordering falls back to
+    // the secondary key and the result must still be exact
+    val const = (1 to 500).map(i => (1L, i.toLong, (i % 13).toLong)).toDF("k", "id", "v")
+    val got = Prefix.runningSum(const, Seq.empty, Seq(col("k"), col("id")), col("v"),
+        "cum", ranges = 8, sliceKey = Some(col("k")))
+      .orderBy("id").select("id", "cum").collect()
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = const.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("id").select("id", "cum").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("lag1 ≡ global-order lag, robust to empty range slices") {
     // 10 rows over 64 requested ranges: most slices are empty, so the
     // boundary handoff must skip over them
