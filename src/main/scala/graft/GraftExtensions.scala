@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graftvec.{CharPairs, CollectCapped, KmvDistinct, LshSignatures, MinHashBands, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed, SimHash64, SortedPairs, TopBigramCount, WordBigrams}
+import org.apache.spark.sql.graftvec.{CharPairs, CollectCapped, KmvDistinct, LshSignatures, MinHashBands, PolyHash, QuantizedDot, Shingles3, Shingles3Hashed, SimHash64, SortedPairs, TopBigramCount, WordBigrams, WordLines}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so `spark.sql("... qdot(a, b) ...")`
@@ -79,9 +79,15 @@ object GraftExtensions {
       (children: Seq[Expression]) => WordBigrams(children.head)),
     (FunctionIdentifier("char_pairs"),
       new ExpressionInfo(classOf[CharPairs].getName, null, "char_pairs",
-        "char_pairs(words) - adjacent character pairs of every word, concatenated across words (the BPE pair-count fan-out)",
+        "char_pairs(words) - adjacent character pairs of every word, concatenated across words (the BPE pair-count fan-out; code-point boundaries)",
         ""),
       (children: Seq[Expression]) => CharPairs(children.head)),
+    (FunctionIdentifier("word_lines"),
+      new ExpressionInfo(classOf[WordLines].getName, null, "word_lines",
+        "word_lines(words, lineWords) - fixed word-window lines (' '-joined), the line-dedup fan-out; lineWords must be a literal INT",
+        ""),
+      (children: Seq[Expression]) => WordLines(children(0),
+        intArg(children(1), "word_lines.lineWords"))),
     (FunctionIdentifier("top_bigram_count"),
       new ExpressionInfo(classOf[TopBigramCount].getName, null, "top_bigram_count",
         "top_bigram_count(words) - occurrence count of the most frequent adjacent-word bigram",

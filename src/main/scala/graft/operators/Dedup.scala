@@ -702,14 +702,12 @@ object Dedup {
     * into the per-doc rollup (and a production variant would carry
     * line hashes + reconstruct from the source). */
   def lineDedupOf(docs: DataFrame, lineWords: Int = LineWords): DataFrame = {
-    val ws = docs.select(col("doc_id"), words(col("text")).as("w"))
-      .withColumn("nl",
-        ceil(size(col("w")).cast("double") / lineWords).cast("int"))
-    val lines = ws.filter(col("nl") >= 1)
+    // line fan-out runs as the native WordLines kernel — one codegen'd
+    // loop per doc instead of an interpreted lambda + slice per line
+    val lines = docs
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), col("nl") - 1),
-          i => array_join(slice(col("w"), i * lineWords + 1, lit(lineWords)), " ")))
-          .as(Seq("l", "line")))
+        posexplode(org.apache.spark.sql.graftvec.NgramExpressions
+          .wordLines(words(col("text")), lineWords)).as(Seq("l", "line")))
       .withColumn("fp", md5(col("line").cast("binary")))
     val dfreq = lines.select(col("fp"), col("doc_id")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))

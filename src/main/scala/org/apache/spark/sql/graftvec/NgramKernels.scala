@@ -96,6 +96,50 @@ case class CharPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** Fixed word-window "lines" of a words array — the line fan-out stage
+  * of line-level dedup (text_line_dedup):
+  *
+  *   word_lines(ws, w) = [ " ".join(ws[i·w .. min((i+1)·w, n))) | i <- 0..⌈n/w⌉-1 ]
+  *
+  * Equivalent to `transform(sequence(0, nl-1), i -> array_join(
+  * slice(ws, i*w+1, w), ' '))` — but that HOF chain evaluates
+  * interpreted (a lambda dispatch per line, each slice materialized as
+  * its own array) while this is one tight loop per row inside
+  * whole-stage codegen. Nulls are skipped exactly as array_join skips
+  * them; an empty array yields an empty result (non-nullable output —
+  * explode drops those rows). `lineWords` is a plan-time literal. */
+case class WordLines(child: Expression, lineWords: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(lineWords > 0, "word_lines: lineWords must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_lines"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NgramOps.empty
+    else NgramOps.wordLines(v.asInstanceOf[ArrayData], lineWords)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ops = "org.apache.spark.sql.graftvec.NgramOps$.MODULE$"
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $ops.empty() : $ops.wordLines(${c.value}, $lineWords);
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Row-level n-gram kernels (called from generated code). */
 object NgramOps {
   private val Space = UTF8String.fromString(" ")
@@ -142,6 +186,27 @@ object NgramOps {
     }
     if (out.isEmpty) Empty else new GenericArrayData(out.toArray)
   }
+
+  def wordLines(ws: ArrayData, w: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n == 0) return Empty
+    val nl = (n + w - 1) / w
+    val out = new Array[AnyRef](nl)
+    var i = 0
+    while (i < nl) {
+      val start = i * w
+      val end = math.min(start + w, n)
+      val parts = new Array[UTF8String](end - start)
+      var j = start
+      while (j < end) {
+        parts(j - start) = if (ws.isNullAt(j)) null else ws.getUTF8String(j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Column-API surface for the n-gram kernels. */
@@ -151,4 +216,7 @@ object NgramExpressions {
 
   def charPairs(ws: Column): Column =
     ExpressionUtils.column(CharPairs(ExpressionUtils.expression(ws)))
+
+  def wordLines(ws: Column, lineWords: Int): Column =
+    ExpressionUtils.column(WordLines(ExpressionUtils.expression(ws), lineWords))
 }

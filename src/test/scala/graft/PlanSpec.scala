@@ -79,6 +79,28 @@ class PlanSpec extends SparkSpec {
     val astral = spark.sql("SELECT char_pairs(array('a😀b')) AS s").collect()(0)
       .getSeq[String](0)
     assert(astral === Seq("a😀", "😀b"))
+    val wl = spark.sql("SELECT word_lines(array('a','b','c','d','e'), 2) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(wl === Seq("a b", "c d", "e"))
+    assert(spark.sql("SELECT word_lines(CAST(array() AS ARRAY<STRING>), 3) AS s")
+      .collect()(0).getSeq[String](0) === Seq.empty)
+  }
+
+  test("word_lines kernel ≡ the declarative slice/transform form") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val kernel = docs.select(col("doc_id"),
+      posexplode(org.apache.spark.sql.graftvec.NgramExpressions.wordLines(w, 10))
+        .as(Seq("l", "line")))
+    val hof = docs
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("nl", ceil(size(col("w")).cast("double") / 10).cast("int"))
+      .filter(col("nl") >= 1)
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), col("nl") - 1),
+        i => array_join(slice(col("w"), i * 10 + 1, lit(10)), " "))).as(Seq("l", "line")))
+    assert(kernel.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(kernel).count() === 0)
   }
 
   private def ph2(s: String): Long =
