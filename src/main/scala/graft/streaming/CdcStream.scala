@@ -91,7 +91,8 @@ object CdcStream {
     * table. */
   private def replay(spark: SparkSession, dir: String, name: String,
                      outputMode: OutputMode,
-                     transform: DataFrame => DataFrame): DataFrame = {
+                     transform: DataFrame => DataFrame,
+                     normalize: Boolean = true): DataFrame = {
     spark.catalog.dropTempView(name) // allow re-running in one session
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file stream source wants a directory; stage the single parquet
@@ -118,7 +119,7 @@ object CdcStream {
     val ck = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(ckBase), "graft-ck")
     try {
-      val q = transform(toChangeEvents(stream)).writeStream
+      val q = transform(if (normalize) toChangeEvents(stream) else stream).writeStream
         .format("memory").queryName(name).outputMode(outputMode)
         .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow()).start()
@@ -328,4 +329,73 @@ object CdcStream {
     q.awaitTermination()
     spark.read.parquet(path).drop("_bucket")
   }
+
+  /** Per-purchase attribution emitted by the stateful stream. */
+  case class TouchEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+  case class TouchState(first_code: Long, last_code: Long)
+  case class Attribution(user_id: Long, event_id: Long,
+                         first_touch: String, last_touch: String, value: Double)
+
+  private val ChannelCodes =
+    Map("click" -> 1L, "signup" -> 2L, "error" -> 3L, "view" -> 4L)
+  private def decodeChannel(code: Long): String = (code % 8) match {
+    case 0L => "DIRECT"
+    case 1L => "click"
+    case 2L => "signup"
+    case 3L => "error"
+    case _  => "view"
+  }
+
+  /** First/last-touch state per user as a stateful stream transform —
+    * the streaming twin of Analytics.eventsAttribution: each purchase
+    * emits its attribution against the touches seen SO FAR (the live
+    * marketing-attribution feed), non-purchase events only update the
+    * per-user (first_code, last_code) pair. Touch codes are the same
+    * `event_id*8 + channel` longs as the batch op, so min/max ARE
+    * first/last. State is two longs per user — O(live users), far
+    * smaller than applyLatest's payload state. Events sort by event_id
+    * within each micro-batch (the log order); across batches the
+    * offset-ordered source delivers segments in order, the same
+    * discipline as the CDC apply. */
+  def attributeStream(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import spark.implicits._
+    raw.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .as[TouchEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[TouchEvent], state: GroupState[TouchState]) =>
+          val sorted = events.toArray.sortBy(_.event_id)
+          var st = state.getOption.getOrElse(TouchState(0L, 0L))
+          val out = Array.newBuilder[Attribution]
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attribution(key, e.event_id,
+                decodeChannel(st.first_code), decodeChannel(st.last_code), e.value)
+            else {
+              val code = e.event_id * 8L + ChannelCodes(e.event_type)
+              st = TouchState(
+                if (st.first_code == 0L) code else math.min(st.first_code, code),
+                math.max(st.last_code, code))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** stream_attribution — the (first_touch, last_touch) matrix rolled up
+    * from the streamed per-purchase attributions after full replay.
+    * Oracle-checked against the BATCH attribution SQL: the stateful
+    * stream must land on exactly the batch matrix. */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_attribution_sink", OutputMode.Append,
+      df => attributeStream(spark, df), normalize = false)
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        countDistinct(col("user_id")).as("n_users"),
+        (sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")) / lit(100d))
+          .as("attributed_value"))
+      .orderBy(col("first_touch"), col("last_touch"))
 }

@@ -33,6 +33,40 @@ class StreamingSpec extends SparkSpec {
     assert(latest(2L) === ((5L, "D", 0.0)))  // tombstone emitted
   }
 
+  test("attributeStream over MemoryStream: touch state carries across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CdcStream.TouchEvent
+    val input = MemoryStream[TouchEvent]
+    val q = CdcStream.attributeStream(spark, input.toDF())
+      .writeStream.format("memory").queryName("t_attr")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: user 1 clicks then views; user 2 buys cold (DIRECT)
+    input.addData(TouchEvent(1, 1, "click", 0.0), TouchEvent(2, 1, "view", 0.0),
+      TouchEvent(3, 2, "purchase", 9.0))
+    q.processAllAvailable()
+    // batch 2: user 1 buys — first touch is batch-1's click, last is
+    // batch-1's view (state crossed the batch boundary)
+    input.addData(TouchEvent(4, 1, "purchase", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_attr").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("first_touch"), r.getAs[String]("last_touch")))).toMap
+    assert(rows(3L) === (("DIRECT", "DIRECT")))
+    assert(rows(4L) === (("click", "view")))
+  }
+
+  test("stream_attribution replay matches the batch attribution matrix") {
+    val streamed = CdcStream.streamAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Double]("attributed_value")))).toMap
+    val batch = graft.operators.Analytics.eventsAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_conversions"), r.getAs[Double]("attributed_value")))).toMap
+    assert(streamed === batch)
+  }
+
   test("stream_cdc_apply replay matches batch latest-state") {
     val streamed = CdcStream.streamCdcApply(spark, sf)
       .select("user_id", "last_event_id").collect()
