@@ -43,14 +43,11 @@ for name in sorted(oracles):
         print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fails += 1; continue
     if len(g) != len(e):
         print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
-    # The driver's hash is dtype-sensitive (round-4 lesson: DuckDB's
-    # windowed SUM promotes to HUGEINT → float64 in pandas while Spark
-    # writes int64, identical values, red row). Flag dtype drift here
-    # so it never survives to the driver run.
-    # int-vs-float is the one drift the driver's hash is known to
-    # reject (r4: DuckDB HUGEINT → float64 vs Spark int64); int widths
-    # and date/datetime representation differences have always hashed
-    # equal, so only flag a numeric-kind flip.
+    # int-vs-float is the one dtype drift the driver's hash is known to
+    # reject (round-4 lesson: DuckDB's windowed SUM promotes to HUGEINT,
+    # fetched as float64, vs Spark's int64 — identical values, red row);
+    # int widths and date/datetime representation differences have
+    # always hashed equal, so only flag a numeric-kind flip.
     def kind(d):
         k = d.kind
         return "int" if k in "iu" else ("float" if k == "f" else "other")

@@ -123,6 +123,7 @@ object CdcOps {
         count(lit(1)).as("row_count"),
         min(col("o_orderkey")).as("start_lsn"),
         max(col("o_orderkey")).as("completion_lsn"),
+        max(col("o_orderdate")).cast("timestamp").as("completion_ts"),
         (sum(floor(col("o_totalprice") * 100d + 0.5d).cast("long")) / 100d).as("batch_amount"),
         lit("COMPLETED").as("status"))
       .orderBy(col("batch_id"))
@@ -133,6 +134,7 @@ object CdcOps {
       |  COUNT(*) AS row_count,
       |  MIN(o_orderkey) AS start_lsn,
       |  MAX(o_orderkey) AS completion_lsn,
+      |  MAX(o_orderdate) AS completion_ts,
       |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS batch_amount,
       |  'COMPLETED' AS status
       |FROM orders

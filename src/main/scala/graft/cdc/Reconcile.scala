@@ -305,16 +305,12 @@ object Reconcile {
     // The slot watermark is 3/4 of the global max key — and the global
     // max is exactly max(completion_lsn) over the (≤10-row) ledger, so
     // derive it with a window over the aggregate instead of a third
-    // full scan of orders. completion_ts (the batch's newest order
-    // date) carries the reference ledger's completion_timestamp.
-    val o = Tables.orders(spark, dir)
-    val maxKey = o.agg(max(col("o_orderkey")).as("mx"))
-    val ledger = o.crossJoin(broadcast(maxKey))
-      .withColumn("batch_id", floor(col("o_orderkey") * 10 / (col("mx") + 1)).cast("long"))
-      .groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("row_count"),
-        max(col("o_orderkey")).as("completion_lsn"),
-        max(col("o_orderdate")).cast("timestamp").as("completion_ts"))
+    // full scan of orders. The ledger (incl. completion_ts, the
+    // batch_control completion_timestamp analog) comes straight from
+    // CdcOps.batchLedger — one definition of batch membership.
+    val ledger = CdcOps.batchLedger(spark, dir)
+      .select(col("batch_id"), col("row_count"), col("completion_lsn"),
+        col("completion_ts"))
     val w = Window.partitionBy(lit(1))
     ledger
       .withColumn("max_lsn", max(col("completion_lsn")).over(w))
@@ -323,14 +319,11 @@ object Reconcile {
   }
 
   private val ledgerWithSlotSql =
-    """SELECT CAST(FLOOR(o_orderkey * 10 / ((SELECT MAX(o_orderkey) FROM orders) + 1)) AS BIGINT) AS batch_id,
-      |  COUNT(*) AS row_count,
-      |  MAX(o_orderkey) AS completion_lsn,
-      |  MAX(o_orderdate) AS completion_ts,
+    s"""SELECT batch_id, row_count, completion_lsn, completion_ts,
       |  (SELECT MAX(o_orderkey) FROM orders) AS max_lsn,
       |  (SELECT CAST(FLOOR(MAX(o_orderkey) * 3 / 4) AS BIGINT) FROM orders) AS slot_lsn,
       |  (SELECT MAX(o_orderdate) FROM orders) AS now_ts
-      |FROM orders GROUP BY 1""".stripMargin
+      |FROM (${CdcOps.batchLedgerSql})""".stripMargin
 
   /** batch_status — per-batch replication_complete + lag vs the slot
     * watermark (check_batch_replication_status.sql). Lag is in key units

@@ -79,21 +79,34 @@ object Prefix {
     val sliceKeys = groupCols.map(col) :+ col("_ps_slice")
     val wLocal = Window.partitionBy(sliceKeys: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = sliced.withColumn("_ps_local", sum(col("_ps_v")).over(wLocal))
+    // null discipline mirrors the window ground truth exactly: sum-over-
+    // window skips nulls but stays null until the first non-null value.
+    // The local pass therefore carries a null-coalesced running sum AND
+    // a running non-null count; the composed result reverts to null
+    // when no non-null value precedes the row in the whole group.
+    val local = sliced
+      .withColumn("_ps_local", sum(coalesce(col("_ps_v"), lit(0L))).over(wLocal))
+      .withColumn("_ps_seen", count(col("_ps_v")).over(wLocal))
     // per-slice totals (≤ ranges rows per group): slice offset = sum of
     // all strictly-earlier slices' totals within the group
-    val totals = sliced.groupBy(sliceKeys: _*).agg(sum(col("_ps_v")).as("_ps_total"))
+    val totals = sliced.groupBy(sliceKeys: _*)
+      .agg(sum(coalesce(col("_ps_v"), lit(0L))).as("_ps_total"),
+        count(col("_ps_v")).as("_ps_n"))
     val prior = totals.select(
       groupCols.map(c => col(c).as(s"${c}_ps_r")) ++
-        Seq(col("_ps_slice").as("_ps_slice_r"), col("_ps_total").as("_ps_total_r")): _*)
+        Seq(col("_ps_slice").as("_ps_slice_r"), col("_ps_total").as("_ps_total_r"),
+          col("_ps_n").as("_ps_n_r")): _*)
     val cond = groupCols.map(c => col(c) === col(s"${c}_ps_r"))
       .foldLeft(col("_ps_slice_r") < col("_ps_slice"))(_ && _)
     val offsets = totals.join(prior, cond, "left")
       .groupBy(sliceKeys: _*)
-      .agg(sum(col("_ps_total_r")).as("_ps_off"))
+      .agg(sum(col("_ps_total_r")).as("_ps_off"),
+        sum(col("_ps_n_r")).as("_ps_n_off"))
     local.join(broadcast(offsets), groupCols :+ "_ps_slice")
-      .withColumn(out, col("_ps_local") + coalesce(col("_ps_off"), lit(0L)))
-      .drop("_ps_v", "_ps_slice", "_ps_local", "_ps_off")
+      .withColumn(out,
+        when(col("_ps_seen") + coalesce(col("_ps_n_off"), lit(0L)) > 0L,
+          col("_ps_local") + coalesce(col("_ps_off"), lit(0L))))
+      .drop("_ps_v", "_ps_slice", "_ps_local", "_ps_seen", "_ps_off", "_ps_n_off")
   }
 
   /** Previous value of `orderCol` in the global `orderCol` order,

@@ -1437,10 +1437,11 @@ object Analytics {
   val eventsAttributionSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, value,
-      |    CASE WHEN event_type <> 'purchase' THEN event_id * 8 +
+      |    -- no ELSE: an unknown event_type yields NULL (not a touch),
+      |    -- matching the Spark channel when-chain
+      |    event_id * 8 +
       |      CASE event_type WHEN 'click' THEN 1 WHEN 'signup' THEN 2
-      |           WHEN 'error' THEN 3 ELSE 4 END
-      |    END AS tcode
+      |           WHEN 'error' THEN 3 WHEN 'view' THEN 4 END AS tcode
       |  FROM events
       |), framed AS (
       |  SELECT *,

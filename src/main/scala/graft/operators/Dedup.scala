@@ -789,18 +789,12 @@ object Dedup {
           .as("dup_of"))
   }
 
-  /** dedup_incremental — the planted incremental scenario: the index is
-    * the base documents table; the arriving delta carries exact copies
-    * of every 17th doc (+1M → DUP_OF_INDEX), a modified version of
-    * every 10th doc (+2M, every 7th word dropped → NEW text), and a
-    * second copy of that modification for every 20th doc (+3M →
-    * DUP_IN_DELTA, claimed by the +2M doc). One scan builds the delta
-    * via conditional-array explode, as in [[corpus]]. */
   /** The arriving-crawl delta planted against the base documents table
     * (shared by dedup_incremental and the drift audit): exact copies of
     * every 17th doc (+1M), a modified version of every 10th (+2M,
     * every 7th word dropped), and a second copy of that modification
-    * for every 20th (+3M). One scan via conditional-array explode. */
+    * for every 20th (+3M). One scan via conditional-array explode, as
+    * in [[corpus]]. */
   private[graft] def incrementalDelta(base: DataFrame): DataFrame = {
     val modified = array_join(
       filter(split(col("text"), " "), (_, i) => (i + 1) % 7 =!= 0), " ")
@@ -826,6 +820,10 @@ object Dedup {
       |  array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 7 <> 0), ' ')
       |FROM documents WHERE doc_id % 20 = 0""".stripMargin
 
+  /** dedup_incremental — the planted incremental scenario: the index is
+    * the base documents table; the [[incrementalDelta]] classifies as
+    * DUP_OF_INDEX (+1M exact copies), NEW (+2M modifications), and
+    * DUP_IN_DELTA (+3M second copies, claimed by the +2M doc). */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     incrementalOf(base, incrementalDelta(base), "doc_id", "text")

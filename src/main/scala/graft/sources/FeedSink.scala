@@ -45,17 +45,26 @@ object FeedSink {
   def writeBatch(df: DataFrame, dir: String, batchId: Long): String = {
     val spark = df.sparkSession
     val scratch = s"$dir/_scratch_batch_$batchId"
-    df.select(col("customer_id"), col("amount"), col("timestamp"))
-      .coalesce(1)
-      .write.mode("overwrite").option("header", "true").csv(scratch)
     val conf = spark.sparkContext.hadoopConfiguration
     val scratchPath = new Path(scratch)
     val fs = scratchPath.getFileSystem(conf)
-    val part = fs.globStatus(new Path(scratch, "part-*.csv"))(0).getPath
-    val dest = new Path(dir, s"orders_batch_$batchId.csv")
-    if (fs.exists(dest)) fs.delete(dest, false)
-    fs.rename(part, dest)
-    fs.delete(scratchPath, true)
-    dest.toString
+    try {
+      df.select(col("customer_id"), col("amount"), col("timestamp"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(scratch)
+      val dest = new Path(dir, s"orders_batch_$batchId.csv")
+      if (fs.exists(dest)) fs.delete(dest, false)
+      // an empty batch writes no part file — publish the header-only
+      // CSV the reference generator would (csv.DictWriter.writeheader
+      // runs before writerows even for zero orders)
+      val parts = Option(fs.globStatus(new Path(scratch, "part-*.csv")))
+        .getOrElse(Array.empty)
+      if (parts.isEmpty) {
+        val out = fs.create(dest, true)
+        try out.write("customer_id,amount,timestamp\n".getBytes("UTF-8"))
+        finally out.close()
+      } else fs.rename(parts(0).getPath, dest)
+      dest.toString
+    } finally fs.delete(scratchPath, true)
   }
 }

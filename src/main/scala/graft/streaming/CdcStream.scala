@@ -372,8 +372,11 @@ object CdcStream {
             if (e.event_type == "purchase")
               out += Attribution(key, e.event_id,
                 decodeChannel(st.first_code), decodeChannel(st.last_code), e.value)
-            else {
-              val code = e.event_id * 8L + ChannelCodes(e.event_type)
+            else ChannelCodes.get(e.event_type).foreach { ch =>
+              // unknown event types are not touches — same as the batch
+              // op, whose channel CASE yields null and the window min/max
+              // skip it
+              val code = e.event_id * 8L + ch
               st = TouchState(
                 if (st.first_code == 0L) code else math.min(st.first_code, code),
                 math.max(st.last_code, code))

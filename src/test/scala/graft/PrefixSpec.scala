@@ -55,6 +55,22 @@ class PrefixSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("runningSum with nullable values ≡ window semantics (null until first non-null)") {
+    // window sum skips nulls but stays null until the first non-null —
+    // including across slice boundaries (a leading slice of only nulls
+    // must not turn the next slice's prefix into 0)
+    val nv = (1 to 400).map { i =>
+      (i.toLong, if (i <= 50 || i % 3 == 0) None else Some(i.toLong))
+    }.toDF("id", "v")
+    val got = Prefix.runningSum(nv, Seq.empty, Seq(col("id")), col("v"), "cum", ranges = 8)
+      .orderBy("id").select("id", "cum").collect()
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = nv.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("id").select("id", "cum").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("lag1 ≡ global-order lag, robust to empty range slices") {
     // 10 rows over 64 requested ranges: most slices are empty, so the
     // boundary handoff must skip over them

@@ -119,6 +119,16 @@ class SourcesSpec extends SparkSpec {
       min(col("amount")), max(col("amount"))).collect()(0)
     assert(rng.getLong(0) >= 1L && rng.getLong(1) <= 1000L)
     assert(rng.getDouble(2) >= 10.0 && rng.getDouble(3) <= 1000.0)
+    // an empty batch publishes the header-only file (not a crash); the
+    // row-derived ledger reads zero rows from it, so the batch simply
+    // contributes nothing — and the other ledgers stay intact
+    val p3 = FeedSink.writeBatch(FeedSink.genBatch(spark, 3L, 0), dir, 3L)
+    assert(p3.endsWith("orders_batch_3.csv"))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(p3))
+      === "customer_id,amount,timestamp\n")
+    val after = FeedSource.feedLedger(FeedSource.readFeeds(spark, dir)).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("row_count")).toMap
+    assert(after === Map(1L -> 100L, 2L -> 50L))
   }
 
   test("readFeedsStream: streamed feed ledger equals the batch ledger") {
