@@ -82,6 +82,37 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("text_line_dedup: a doc with zero duplicated lines keeps its full text fingerprint") {
+    import spark.implicits._
+    val res = Dedup.textLineDedup(spark, sf).collect()
+    val noDups = res.filter(_.getAs[Long]("n_dup_lines") == 0L)
+    assert(noDups.nonEmpty)
+    // removing zero lines must reproduce the normalized text exactly:
+    // clean_fp == md5(normText) for every fully-unique doc
+    val ids = noDups.map(_.getLong(0)).toSet
+    val expect = Dedup.corpus(spark, sf)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"),
+        md5(graft.functions.TextFunctions.normText(col("text")).cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    noDups.foreach(r => assert(r.getAs[String]("clean_fp") === expect(r.getLong(0))))
+  }
+
+  test("incrementalOf: statuses partition the delta, dup_of always names an earlier doc") {
+    import spark.implicits._
+    val index = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val delta = Seq((10L, "alpha beta"), (11L, "delta"), (12L, "delta"), (13L, "epsilon"))
+      .toDF("doc_id", "text")
+    val res = Dedup.incrementalOf(index, delta, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[String]("status"), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(res === Map(
+      10L -> (("DUP_OF_INDEX", Some(1L))),
+      11L -> (("NEW", None)),
+      12L -> (("DUP_IN_DELTA", Some(11L))),
+      13L -> (("NEW", None))))
+  }
+
   test("embed_outliers: labels covered, outlier rule consistent with the stats") {
     val res = graft.operators.Similarity.embedOutliers(spark, sf).collect()
     val nLabels = spark.read.parquet(s"$sf/embeddings.parquet")
