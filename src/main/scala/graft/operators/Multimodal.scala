@@ -120,7 +120,11 @@ object Multimodal {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("n_bytes"))
       .withColumn("n_frames", ceil(col("n_bytes").cast("double") / FrameChars).cast("long"))
-    d.select(col("doc_id"), col("text"), col("n_frames"),
+    // n_frames >= 1 guard: sequence(0, -1) auto-reverses into [0, -1]
+    // for an empty payload, which would fabricate a phantom frame 0
+    // (the oracle's range(0, 0) correctly emits none)
+    d.filter(col("n_frames") >= 1L)
+      .select(col("doc_id"), col("text"), col("n_frames"),
       posexplode(sequence(lit(0L), col("n_frames") - 1L)).as(Seq("pos", "frame_i")))
       .filter(col("frame_i") % Stride === 0)
       .withColumn("frame_fp",

@@ -71,6 +71,15 @@ class MultimodalSpec extends SparkSpec {
     assert(res.exists(_.getAs[Long]("max_chunk_refs") > 1))
   }
 
+  test("mmFrames semantics hold on a corpus containing an empty payload") {
+    // mm_frames runs on the documents table (no empties there), but the
+    // frame fan-out must not fabricate a phantom frame 0 for an empty
+    // payload the way unguarded sequence(0, -1) would
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = Multimodal.mmFrames(spark, sf).count()
+    assert(n === docs.count()) // every (non-empty) doc reports
+  }
+
   test("chunkDedupOf: empty payloads emit no chunks; bytes counted, not characters") {
     import spark.implicits._
     // "" must contribute nothing (sequence(0,-1) would have emitted two
