@@ -210,4 +210,33 @@ class PropertySpec extends SparkSpec {
         s"seed $seed")
     }
   }
+
+  test("Prefix.runningSum/lag1 ≡ window ground truth on random skewed data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Prefix
+    val rowGen = Gen.nonEmptyListOf(for {
+      g <- Gen.oneOf("a", "b", "hot", "hot", "hot") // skewed groups
+      id <- Gen.chooseNum(1L, 100000L)
+      v <- Gen.option(Gen.chooseNum(-50L, 50L))     // nullable values
+    } yield (g, id, v))
+    for ((seed, ranges) <- Seq((1, 2), (2, 7), (3, 33))) {
+      val uniq = sample(rowGen, seed).groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = uniq.toDF("g", "id", "v")
+      val got = Prefix.runningSum(df, Seq("g"), Seq(col("id")), col("v"), "cum", ranges)
+        .orderBy("g", "id").select("g", "id", "cum").collect()
+      val w = Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .orderBy("g", "id").select("g", "id", "cum").collect()
+      assert(got.toSeq === want.toSeq, s"seed $seed ranges $ranges")
+
+      val ids = df.select("id").distinct()
+      val gotLag = Prefix.lag1(ids, "id", "prev", ranges)
+        .orderBy("id").select("prev").collect()
+      val wantLag = ids.withColumn("prev", lag(col("id"), 1).over(Window.orderBy("id")))
+        .orderBy("id").select("prev").collect()
+      assert(gotLag.toSeq === wantLag.toSeq, s"lag seed $seed ranges $ranges")
+    }
+  }
 }
