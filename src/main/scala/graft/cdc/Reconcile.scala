@@ -921,6 +921,70 @@ object Reconcile {
       |  src_count = tgt_count AND src_digest = tgt_digest AS tables_match
       |FROM srcd CROSS JOIN tgtd""".stripMargin
 
+  /** slot_pub_match — the reference's slot↔publication matching
+    * convention (sql.sql:48-71, slot_info CTE): a logical replication
+    * slot pairs with a publication when either name contains the other
+    * (after stripping the slot's `_slot` suffix) — bidirectional LIKE,
+    * first match in publication order. Replayed over a deterministic
+    * slot/publication roster that plants all three cases: slot-contains-
+    * pub, pub-contains-stripped-slot, and no match.
+    *
+    * Scale shape: the roster is metadata (rows ∝ slots × publications,
+    * both tiny) — a broadcast nested-loop over literals, nothing data-
+    * sized. */
+  def slotPubMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slots = Seq("cdc_orders_pub_slot", "lineitem_slot", "misc_slot")
+      .toDF("slot_name")
+    val pubs = Seq("orders_pub", "lineitem_pub").toDF("pubname")
+    slots.crossJoin(broadcast(pubs))
+      .withColumn("matched",
+        expr("slot_name LIKE '%' || pubname || '%' " +
+          "OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'"))
+      .groupBy(col("slot_name"))
+      .agg(min(when(col("matched"), col("pubname"))).as("matched_publication"))
+      .withColumn("is_matched", col("matched_publication").isNotNull)
+      .orderBy(col("slot_name"))
+  }
+
+  val slotPubMatchSql: String =
+    """WITH slots AS (
+      |  SELECT * FROM (VALUES ('cdc_orders_pub_slot'), ('lineitem_slot'), ('misc_slot'))
+      |    AS t(slot_name)
+      |), pubs AS (
+      |  SELECT * FROM (VALUES ('orders_pub'), ('lineitem_pub')) AS t(pubname)
+      |)
+      |SELECT slot_name,
+      |  MIN(CASE WHEN slot_name LIKE '%' || pubname || '%'
+      |        OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'
+      |      THEN pubname END) AS matched_publication,
+      |  MIN(CASE WHEN slot_name LIKE '%' || pubname || '%'
+      |        OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'
+      |      THEN pubname END) IS NOT NULL AS is_matched
+      |FROM slots CROSS JOIN pubs
+      |GROUP BY slot_name
+      |ORDER BY slot_name""".stripMargin
+
+  /** batch_settle_ready — the reference's settle-time consumption gate
+    * (sql.sql:288-300): batches whose replication is complete AND whose
+    * completion has settled for at least the settle window are safe to
+    * consume downstream, stalest first. Deterministic "now" = newest
+    * completion, settle = 24 h — the latest batch never qualifies, the
+    * settled tail does. */
+  def batchSettleReady(spark: SparkSession, dir: String): DataFrame =
+    batchStatus(spark, dir)
+      .filter(col("replication_complete") &&
+        col("minutes_since_completion") >= 1440L)
+      .select(col("batch_id"), col("completion_lsn"), col("completion_ts"),
+        col("minutes_since_completion"))
+      .orderBy(col("minutes_since_completion").desc, col("batch_id"))
+
+  val batchSettleReadySql: String =
+    s"""SELECT batch_id, completion_lsn, completion_ts, minutes_since_completion
+      |FROM ($batchStatusSql)
+      |WHERE replication_complete AND minutes_since_completion >= 1440
+      |ORDER BY minutes_since_completion DESC, batch_id""".stripMargin
+
   /** recon_lsn_gap — offset-continuity check of the change log: holes in
     * the LSN sequence are the failure the two-sided compare ladder can
     * NOT see, because a slot that silently skipped records leaves both
