@@ -24,6 +24,14 @@ import graft.core.{Prefix, Tables}
   */
 object Reconcile {
 
+  /** The demo replication topology, shared by slot_pub_match and
+    * latest_batch_status so the reported slot/publication can never
+    * drift from what the matcher derives. (Declared first: object vals
+    * initialize in source order, and the SQL strings below interpolate
+    * these.) */
+  val DemoSlot = "cdc_orders_pub_slot"
+  val DemoPublication = "orders_pub"
+
   /** The deterministic drifted copy of `orders` standing in for the target
     * database table. */
   def driftedTarget(spark: SparkSession, dir: String): DataFrame = {
@@ -374,14 +382,14 @@ object Reconcile {
       // publication and its slot under the slot_pub_match naming rule
       .select(col("batch_id").as("latest_batch_id"), col("row_count"),
               col("completion_lsn"), col("slot_lsn"), col("replication_complete"),
-              lit("cdc_orders_pub_slot").as("slot_name"),
-              lit("orders_pub").as("publication_name"))
+              lit(DemoSlot).as("slot_name"),
+              lit(DemoPublication).as("publication_name"))
   }
 
   val latestBatchStatusSql: String =
     s"""SELECT batch_id AS latest_batch_id, row_count, completion_lsn, slot_lsn,
       |  slot_lsn >= completion_lsn AS replication_complete,
-      |  'cdc_orders_pub_slot' AS slot_name, 'orders_pub' AS publication_name
+      |  '$DemoSlot' AS slot_name, '$DemoPublication' AS publication_name
       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY batch_id DESC) AS rn FROM ($ledgerWithSlotSql))
       |WHERE rn = 1""".stripMargin
 
@@ -941,35 +949,42 @@ object Reconcile {
     * sized. */
   def slotPubMatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val slots = Seq("cdc_orders_pub_slot", "lineitem_slot", "misc_slot")
-      .toDF("slot_name")
-    val pubs = Seq("orders_pub", "lineitem_pub").toDF("pubname")
-    slots.crossJoin(broadcast(pubs))
+    val slots = Seq(DemoSlot, "lineitem_slot", "misc_slot").toDF("slot_name")
+    // pub_order = declaration order: the reference takes the FIRST
+    // matching publication (LIMIT 1 over the publication list), which
+    // need not be alphabetical — carry the order explicitly
+    val pubs = Seq((1L, DemoPublication), (2L, "lineitem_pub"))
+      .toDF("pub_order", "pubname")
+    val firstMatch = slots.crossJoin(broadcast(pubs))
       .withColumn("matched",
         expr("slot_name LIKE '%' || pubname || '%' " +
           "OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'"))
       .groupBy(col("slot_name"))
-      .agg(min(when(col("matched"), col("pubname"))).as("matched_publication"))
-      .withColumn("is_matched", col("matched_publication").isNotNull)
+      .agg(min(when(col("matched"), col("pub_order"))).as("pub_order"))
+    firstMatch.join(broadcast(pubs), Seq("pub_order"), "left")
+      .select(col("slot_name"), col("pubname").as("matched_publication"),
+        col("pubname").isNotNull.as("is_matched"))
       .orderBy(col("slot_name"))
   }
 
   val slotPubMatchSql: String =
-    """WITH slots AS (
-      |  SELECT * FROM (VALUES ('cdc_orders_pub_slot'), ('lineitem_slot'), ('misc_slot'))
+    s"""WITH slots AS (
+      |  SELECT * FROM (VALUES ('$DemoSlot'), ('lineitem_slot'), ('misc_slot'))
       |    AS t(slot_name)
       |), pubs AS (
-      |  SELECT * FROM (VALUES ('orders_pub'), ('lineitem_pub')) AS t(pubname)
+      |  SELECT * FROM (VALUES (1, '$DemoPublication'), (2, 'lineitem_pub'))
+      |    AS t(pub_order, pubname)
+      |), fm AS (
+      |  SELECT slot_name,
+      |    MIN(CASE WHEN slot_name LIKE '%' || pubname || '%'
+      |          OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'
+      |        THEN pub_order END) AS pub_order
+      |  FROM slots CROSS JOIN pubs
+      |  GROUP BY slot_name
       |)
-      |SELECT slot_name,
-      |  MIN(CASE WHEN slot_name LIKE '%' || pubname || '%'
-      |        OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'
-      |      THEN pubname END) AS matched_publication,
-      |  MIN(CASE WHEN slot_name LIKE '%' || pubname || '%'
-      |        OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'
-      |      THEN pubname END) IS NOT NULL AS is_matched
-      |FROM slots CROSS JOIN pubs
-      |GROUP BY slot_name
+      |SELECT fm.slot_name, p.pubname AS matched_publication,
+      |  p.pubname IS NOT NULL AS is_matched
+      |FROM fm LEFT JOIN pubs p ON fm.pub_order = p.pub_order
       |ORDER BY slot_name""".stripMargin
 
   /** batch_settle_ready — the reference's settle-time consumption gate

@@ -114,30 +114,36 @@ object Multimodal {
     * frame row carries one 256-byte slice of the already-read payload;
     * the rollup re-aggregates on doc_id with map-side combine. A real
     * decoder would sit where md5 sits, batched per partition. */
-  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
-    val FrameChars = 256
-    val Stride = 4
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n_bytes"))
-      .withColumn("n_frames", ceil(col("n_bytes").cast("double") / FrameChars).cast("long"))
+  /** Generic frame fan-out over any (id, payload) relation — the
+    * testable core of mm_frames. */
+  def mmFramesOf(df: DataFrame, idCol: String,
+                 payload: org.apache.spark.sql.Column,
+                 frameChars: Int, stride: Int): DataFrame = {
+    val d = df
+      .select(col(idCol), payload.as("p"), length(payload).as("n_bytes"))
+      .withColumn("n_frames", ceil(col("n_bytes").cast("double") / frameChars).cast("long"))
     // n_frames >= 1 guard: sequence(0, -1) auto-reverses into [0, -1]
     // for an empty payload, which would fabricate a phantom frame 0
     // (the oracle's range(0, 0) correctly emits none)
     d.filter(col("n_frames") >= 1L)
-      .select(col("doc_id"), col("text"), col("n_frames"),
-      posexplode(sequence(lit(0L), col("n_frames") - 1L)).as(Seq("pos", "frame_i")))
-      .filter(col("frame_i") % Stride === 0)
+      .select(col(idCol), col("p"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1L)).as(Seq("pos", "frame_i")))
+      .filter(col("frame_i") % stride === 0)
       .withColumn("frame_fp",
-        md5(substring(col("text"), (col("frame_i") * FrameChars + 1).cast("int"),
-          lit(FrameChars)).cast("binary")))
-      .groupBy(col("doc_id"))
+        md5(substring(col("p"), (col("frame_i") * frameChars + 1).cast("int"),
+          lit(frameChars)).cast("binary")))
+      .groupBy(col(idCol))
       .agg(max(col("n_frames")).as("n_frames"),
         count(lit(1)).as("n_sampled"),
         count_distinct(col("frame_fp")).as("n_distinct_sampled"),
         min(col("frame_fp")).as("first_fp"),
         max(col("frame_fp")).as("last_fp"))
-      .orderBy(col("doc_id"))
   }
+
+  def mmFrames(spark: SparkSession, dir: String): DataFrame =
+    mmFramesOf(Tables.documents(spark, dir), "doc_id", col("text"),
+        frameChars = 256, stride = 4)
+      .orderBy(col("doc_id"))
 
   /** DuckDB oracle for mm_frames: the payload is the (ASCII) text
     * bytes, so frame slicing is substring arithmetic — generate frame

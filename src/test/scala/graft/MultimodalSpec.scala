@@ -71,13 +71,15 @@ class MultimodalSpec extends SparkSpec {
     assert(res.exists(_.getAs[Long]("max_chunk_refs") > 1))
   }
 
-  test("mmFrames semantics hold on a corpus containing an empty payload") {
-    // mm_frames runs on the documents table (no empties there), but the
-    // frame fan-out must not fabricate a phantom frame 0 for an empty
-    // payload the way unguarded sequence(0, -1) would
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val n = Multimodal.mmFrames(spark, sf).count()
-    assert(n === docs.count()) // every (non-empty) doc reports
+  test("mmFramesOf: empty payload yields no frames, short payload yields one") {
+    import spark.implicits._
+    // unguarded sequence(0, -1) would fabricate a phantom frame 0 for
+    // the empty payload (it survives the stride filter) — the empty doc
+    // must be absent from the rollup, not report a frame of ""
+    val df = Seq((1L, ""), (2L, "abc"), (3L, "x" * 600)).toDF("id", "p")
+    val res = Multimodal.mmFramesOf(df, "id", col("p"), frameChars = 256, stride = 4)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_frames")).toMap
+    assert(res === Map(2L -> 1L, 3L -> 3L)) // no entry for the empty payload
   }
 
   test("chunkDedupOf: empty payloads emit no chunks; bytes counted, not characters") {
