@@ -757,6 +757,53 @@ object Dedup {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** sample_dedup_aware — duplicate-weighted downsampling: instead of
+    * hard-dropping duplicates (dedup_canonical), each doc keeps with
+    * probability 1/cluster_size of its exact-duplicate cluster, so
+    * every cluster contributes ~1 doc in expectation while unique docs
+    * always survive — the soft dedup-aware mixture discipline for
+    * training sets where duplicate counts should stop influencing the
+    * data distribution but hard canonicalization is too aggressive.
+    * Realized deterministically: keep iff affine-hash(doc_id) mod
+    * cluster_size == 0 (size-1 clusters always keep). Output is the
+    * per-cluster-size audit: clusters, docs, kept docs, kept-id
+    * checksum.
+    *
+    * Scale shape: one fingerprint aggregation (map-side combined,
+    * shuffle ∝ distinct fingerprints), sizes broadcast-joined back on
+    * fp, a map-only keep filter, and a rollup whose output is ∝
+    * distinct cluster sizes. */
+  def sampleDedupAware(spark: SparkSession, dir: String): DataFrame = {
+    val docs = corpus(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+    val sizes = docs.groupBy(col("fp")).agg(count(lit(1)).as("cluster_size"))
+    docs.join(sizes, Seq("fp"))
+      .withColumn("kept",
+        (col("doc_id") * 2654435761L % 1000000007L) % col("cluster_size") === 0L)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("fp")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_checksum"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val sampleDedupAwareSql: String =
+    s"""WITH corpus AS ($corpusSql),
+      |fps AS (SELECT doc_id, md5(${normTextSql("text")}) AS fp FROM corpus),
+      |sizes AS (SELECT fp, COUNT(*) AS cluster_size FROM fps GROUP BY 1),
+      |k AS (
+      |  SELECT f.doc_id, f.fp, s.cluster_size,
+      |    (f.doc_id * 2654435761 % 1000000007) % s.cluster_size = 0 AS kept
+      |  FROM fps f JOIN sizes s USING (fp)
+      |)
+      |SELECT cluster_size, COUNT(DISTINCT fp) AS n_clusters,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN doc_id END) AS BIGINT) AS kept_id_checksum
+      |FROM k GROUP BY 1
+      |ORDER BY cluster_size""".stripMargin
+
   /** Generic incremental dedup: classify each `delta` doc against a
     * registered `index` corpus by exact normalized-text fingerprint —
     * DUP_OF_INDEX (fingerprint already registered), DUP_IN_DELTA (new

@@ -113,6 +113,22 @@ class Round5OpsSpec extends SparkSpec {
       13L -> (("NEW", None))))
   }
 
+  test("sample_dedup_aware: unique docs always survive, dup clusters downsample") {
+    val res = Dedup.sampleDedupAware(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept")))).toMap
+    // size-1 clusters: hash mod 1 == 0 for every doc → all kept
+    val (c1, d1, k1) = res(1L)
+    assert(k1 === d1 && c1 === d1)
+    // the planted exact-dup clusters (size 2) keep fewer than all docs
+    // but at least... each cluster keeps 0, 1, or 2 (expectation ~1)
+    res.filterNot(_._1 == 1L).foreach { case (size, (nc, nd, nk)) =>
+      assert(nd === nc * size)
+      assert(nk <= nd)
+    }
+    assert(res.keySet.exists(_ > 1L)) // the corpus genuinely has dup clusters
+  }
+
   test("embed_outliers: labels covered, outlier rule consistent with the stats") {
     val res = graft.operators.Similarity.embedOutliers(spark, sf).collect()
     val nLabels = spark.read.parquet(s"$sf/embeddings.parquet")
