@@ -40,24 +40,66 @@ import org.apache.spark.sql.functions._
   */
 object Prefix {
 
+  /** Sentinel: resolve `ranges` from session configuration at call
+    * time — `spark.graft.prefix.ranges` if set, else
+    * `spark.sql.shuffle.partitions`. This is the default, so the slice
+    * count tracks cluster scale instead of freezing at a constant: a
+    * 1000-executor session with 2000 shuffle partitions gets 2000-way
+    * prefix parallelism, not 32-way (~3 TB/slice at 100 TB). */
+  val AutoRanges: Int = 0
+
+  /** Conf key overriding the auto-resolved slice count. */
+  val RangesConf = "spark.graft.prefix.ranges"
+
+  /** Explicit `ranges` wins; otherwise [[RangesConf]], otherwise the
+    * session's `spark.sql.shuffle.partitions` (floored at 2 — the
+    * slicing degenerates gracefully but requires ≥ 2 requested). */
+  private[graft] def resolveRanges(df: DataFrame, ranges: Int): Int =
+    if (ranges > 0) ranges
+    else {
+      val conf = df.sparkSession.conf.get(RangesConf, "").trim
+      val n = if (conf.nonEmpty) conf.toInt
+              else df.sparkSession.sessionState.conf.numShufflePartitions
+      math.max(2, n)
+    }
+
   /** Slice boundaries for `key` (cast to double): the 1/n .. (n-1)/n
-    * approximate quantiles, deduplicated. Rows compare with `>` against
+    * approximate quantiles, deduplicated. Rows compare strictly against
     * each boundary, so a row equal to a boundary lands in the lower
-    * slice — on every branch, because the comparison is pure. */
+    * slice — on every branch, because the comparison is pure.
+    *
+    * The quantile error tightens with `ranges` (¼ of a slice width) so
+    * cluster-sized slice counts don't collapse adjacent boundaries;
+    * GK-sketch memory grows only as 1/err.
+    *
+    * Keys beyond 2⁵³ (e.g. full-width 64-bit LSNs) lose precision in
+    * the double cast, but long→double rounding is monotone
+    * NON-DECREASING, and slice membership is a pure function of the
+    * cast value — so slice assignment stays deterministic and
+    * order-consistent (near-boundary keys merge into one slice), and
+    * results stay exact because the in-slice window orders by the TRUE
+    * uncast columns. Only slice balance degrades. PrefixSpec pins this
+    * with keys near Long.MaxValue. */
   private def sliceBoundaries(df: DataFrame, key: Column, ranges: Int): Array[Double] = {
     require(ranges > 1, "need at least 2 ranges")
     val probs = (1 until ranges).map(_.toDouble / ranges).toArray
     df.select(key.cast("double").as("_ps_k"))
       .na.drop("all", Seq("_ps_k"))
-      .stat.approxQuantile("_ps_k", probs, 0.01)
+      .stat.approxQuantile("_ps_k", probs, math.min(0.01, 1.0 / (4.0 * ranges)))
       .distinct.sorted
   }
 
-  /** slice id = number of boundaries strictly below the row's key. */
+  /** slice id = number of boundaries strictly below the row's key —
+    * one O(log B) binary search per row (native codegen
+    * [[org.apache.spark.sql.graftvec.SearchSortedDouble]]), not the
+    * O(B) `when`-chain a fold would build; B is now cluster-sized.
+    * A null key lands in slice 0 (nulls sort first in every consumer's
+    * order). */
   private def sliceOf(key: Column, bounds: Array[Double]): Column =
-    bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(key.cast("double") > lit(b), 1).otherwise(0)
-    }.cast("long")
+    coalesce(
+      org.apache.spark.sql.graftvec.SearchSortedExpressions
+        .searchSorted(key.cast("double"), bounds),
+      lit(0L))
 
   /** Running sum of `value` over `order` within each `groupCols` group
     * (global when `groupCols` is empty), appended as column `out`.
@@ -68,14 +110,30 @@ object Prefix {
     * `sliceKey` must be ascending-monotone in the total order (default:
     * the first `order` column) and castable to double; ties on it stay
     * within one slice, which is always order-correct. Note the helper
-    * runs the quantile action at call time. */
+    * runs the quantile action at call time.
+    *
+    * `value` must be an integral or decimal type (REQUIRED at plan
+    * time): the two-pass composition reassociates the addition
+    * (per-slice partials, then offsets), which is exact for integers
+    * and decimals but changes float/double results vs the
+    * left-to-right window ground truth. Callers that accept
+    * approximate sums may cast to double AFTER summing, or scale to
+    * fixed-point before. */
   def runningSum(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
-                 value: Column, out: String, ranges: Int = 32,
+                 value: Column, out: String, ranges: Int = AutoRanges,
                  sliceKey: Option[Column] = None): DataFrame = {
     val k = sliceKey.getOrElse(order.head)
-    val bounds = sliceBoundaries(df, k, ranges)
-    val sliced = df.withColumn("_ps_v", value)
-      .withColumn("_ps_slice", sliceOf(k, bounds))
+    val valued = df.withColumn("_ps_v", value)
+    import org.apache.spark.sql.types._
+    valued.schema("_ps_v").dataType match {
+      case ByteType | ShortType | IntegerType | LongType | _: DecimalType => ()
+      case t => throw new IllegalArgumentException(
+        s"Prefix.runningSum value must be integral or decimal (got $t): " +
+          "slice composition reassociates the addition, which is only " +
+          "exact for carry-free types")
+    }
+    val bounds = sliceBoundaries(df, k, resolveRanges(df, ranges))
+    val sliced = valued.withColumn("_ps_slice", sliceOf(k, bounds))
     val sliceKeys = groupCols.map(col) :+ col("_ps_slice")
     val wLocal = Window.partitionBy(sliceKeys: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -115,8 +173,8 @@ object Prefix {
     * with the same slicing: a per-slice lag plus a boundary handoff —
     * each slice's first row takes the max of all earlier slices (= the
     * previous non-empty slice's max, robust to empty slices). */
-  def lag1(df: DataFrame, orderCol: String, out: String, ranges: Int = 32): DataFrame = {
-    val bounds = sliceBoundaries(df, col(orderCol), ranges)
+  def lag1(df: DataFrame, orderCol: String, out: String, ranges: Int = AutoRanges): DataFrame = {
+    val bounds = sliceBoundaries(df, col(orderCol), resolveRanges(df, ranges))
     val sliced = df.withColumn("_ps_slice", sliceOf(col(orderCol), bounds))
     val wLocal = Window.partitionBy(col("_ps_slice")).orderBy(col(orderCol))
     val local = sliced.withColumn(out, lag(col(orderCol), 1).over(wLocal))

@@ -71,6 +71,92 @@ class PrefixSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("default ranges tracks spark.sql.shuffle.partitions and the graft conf") {
+    // explicit argument wins
+    assert(Prefix.resolveRanges(df, 16) === 16)
+    // AutoRanges falls back to the session's shuffle partitions
+    assert(Prefix.resolveRanges(df, Prefix.AutoRanges)
+      === spark.sessionState.conf.numShufflePartitions)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "48")
+      assert(Prefix.resolveRanges(df, Prefix.AutoRanges) === 48)
+      // dedicated conf overrides shuffle partitions
+      spark.conf.set(Prefix.RangesConf, "7")
+      assert(Prefix.resolveRanges(df, Prefix.AutoRanges) === 7)
+      // and a full run under the overridden conf is still exact
+      val got = Prefix.runningSum(df, Seq("g"), Seq(col("id")), col("v"), "cum")
+        .orderBy("g", "id").select("g", "id", "cum").collect()
+      val w = Window.partitionBy("g").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .orderBy("g", "id").select("g", "id", "cum").collect()
+      assert(got.toSeq === want.toSeq)
+    } finally {
+      spark.conf.unset(Prefix.RangesConf)
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+    }
+  }
+
+  test("cluster-sized ranges (512 ≫ 32) and ranges > distinct keys stay exact") {
+    // 512 requested boundaries over 4001 ids exercises the binary-search
+    // slice kernel; 512 boundaries over 9 distinct keys exercises the
+    // boundary-dedup degeneracy (most slices empty or merged)
+    val got = Prefix.runningSum(df, Seq("g"), Seq(col("id")), col("v"), "cum",
+        ranges = 512)
+      .orderBy("g", "id").select("g", "id", "cum").collect()
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("g", "id").select("g", "id", "cum").collect()
+    assert(got.toSeq === want.toSeq)
+
+    val nine = (1 to 9).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val gotNine = Prefix.runningSum(nine, Seq.empty, Seq(col("id")), col("v"), "cum",
+        ranges = 512)
+      .orderBy("id").select("id", "cum").collect()
+    val wNine = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wantNine = nine.withColumn("cum", sum(col("v")).over(wNine))
+      .orderBy("id").select("id", "cum").collect()
+    assert(gotNine.toSeq === wantNine.toSeq)
+  }
+
+  test("runningSum rejects float/double values (reassociation is not exact)") {
+    val fl = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Prefix.runningSum(fl, Seq.empty, Seq(col("id")), col("v"), "cum", ranges = 2)
+    }
+    assert(ex.getMessage.contains("integral or decimal"))
+    // decimal is carry-free and accepted
+    val dec = fl.withColumn("v", col("v").cast("decimal(10,2)"))
+    val got = Prefix.runningSum(dec, Seq.empty, Seq(col("id")), col("v"), "cum", ranges = 2)
+      .orderBy("id").select("cum").collect().map(_.getDecimal(0).doubleValue())
+    assert(got.toSeq === Seq(1.5, 4.0))
+  }
+
+  test("order keys beyond 2^53 (64-bit LSNs): double cast merges slices, results exact") {
+    // adjacent longs near Long.MaxValue collapse to the same double, so
+    // slice assignment cannot separate them — correctness must come from
+    // the in-slice window ordering by the true long column
+    val base = Long.MaxValue - 4096
+    val big = (0 until 300).map(i => (base + i * 3L, 1L)).toDF("id", "v")
+    val got = Prefix.runningSum(big, Seq.empty, Seq(col("id")), col("v"), "cum", ranges = 8)
+      .orderBy("id").select("id", "cum").collect()
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = big.withColumn("cum", sum(col("v")).over(w))
+      .orderBy("id").select("id", "cum").collect()
+    assert(got.toSeq === want.toSeq)
+
+    val ids = big.select("id")
+    val gotLag = Prefix.lag1(ids, "id", "prev", ranges = 8)
+      .orderBy("id").select("id", "prev").collect()
+    val wantLag = ids.withColumn("prev", lag(col("id"), 1).over(Window.orderBy("id")))
+      .orderBy("id").select("id", "prev").collect()
+    assert(gotLag.toSeq === wantLag.toSeq)
+  }
+
   test("lag1 ≡ global-order lag, robust to empty range slices") {
     // 10 rows over 64 requested ranges: most slices are empty, so the
     // boundary handoff must skip over them
