@@ -141,6 +141,79 @@ object CdcOps {
       |GROUP BY 1
       |ORDER BY batch_id""".stripMargin
 
+  /** cdc_control_ledger — the `batch_control` table with its FULL status
+    * domain. The reference constrains `status IN ('IN_PROGRESS',
+    * 'COMPLETED', 'FAILED')` and carries `error_message`
+    * (init-scripts/source/01-init.sql:16,21); the generator INSERTs a
+    * batch as IN_PROGRESS and only flips it to COMPLETED with LSN +
+    * timestamp once the COPY lands (data_generator.py:72-94). A live
+    * control table therefore always holds open and failed batches, and
+    * every monitoring function filters them out
+    * (check_latest_batch_replication_status.sql:31 `bc.status =
+    * 'COMPLETED'`).
+    *
+    * The derived ledger is COMPLETED by construction, which would make
+    * that filter vacuous — so this op plants a deterministic
+    * non-COMPLETED roster (the slot_pub_match roster technique): batch
+    * 10 open (IN_PROGRESS, row_count known, no completion LSN/ts yet)
+    * and batch 11 failed mid-COPY (FAILED + error_message). Their ids
+    * sit ABOVE the data-derived deciles 0-9, so any downstream latest-
+    * batch pick that forgets the status filter selects a planted row
+    * and hash-mismatches its oracle — the filter is now provably
+    * exercised. Roster rows are metadata literals: nothing data-sized. */
+  def controlLedger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = Seq(
+      (10L, 1234L, Option.empty[Long], Option.empty[Long],
+        Option.empty[java.sql.Timestamp], Option.empty[Double],
+        "IN_PROGRESS", Option.empty[String]),
+      (11L, 567L, Option.empty[Long], Option.empty[Long],
+        Option.empty[java.sql.Timestamp], Option.empty[Double],
+        "FAILED", Some("ERROR: deadlock detected during COPY (planted)")))
+      .toDF("batch_id", "row_count", "start_lsn", "completion_lsn",
+        "completion_ts", "batch_amount", "status", "error_message")
+    batchLedger(spark, dir)
+      .withColumn("error_message", lit(null).cast("string"))
+      .unionByName(planted)
+      .orderBy(col("batch_id"))
+  }
+
+  val controlLedgerSql: String =
+    s"""SELECT batch_id, row_count, start_lsn, completion_lsn, completion_ts,
+      |  batch_amount, status, CAST(NULL AS VARCHAR) AS error_message
+      |FROM ($batchLedgerSql)
+      |UNION ALL
+      |SELECT * FROM (VALUES
+      |  (CAST(10 AS BIGINT), CAST(1234 AS BIGINT), CAST(NULL AS BIGINT),
+      |   CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+      |   'IN_PROGRESS', CAST(NULL AS VARCHAR)),
+      |  (CAST(11 AS BIGINT), CAST(567 AS BIGINT), CAST(NULL AS BIGINT),
+      |   CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+      |   'FAILED', 'ERROR: deadlock detected during COPY (planted)'))
+      |  AS t(batch_id, row_count, start_lsn, completion_lsn, completion_ts,
+      |       batch_amount, status, error_message)
+      |ORDER BY batch_id""".stripMargin
+
+  /** batch_failed_audit — the failure-surfacing view of the control
+    * ledger: every non-COMPLETED batch with its status and
+    * error_message (init-scripts/source/01-init.sql:21), oldest first.
+    * This is the operator's daily page: open batches that should have
+    * settled and failed batches carrying their COPY error. Output is
+    * ∝ incidents, never data-sized. */
+  def batchFailedAudit(spark: SparkSession, dir: String): DataFrame =
+    controlLedger(spark, dir)
+      .filter(col("status") =!= "COMPLETED")
+      .select(col("batch_id"), col("status"), col("row_count"),
+        col("error_message"), col("error_message").isNotNull.as("has_error"))
+      .orderBy(col("batch_id"))
+
+  val batchFailedAuditSql: String =
+    s"""SELECT batch_id, status, row_count, error_message,
+      |  error_message IS NOT NULL AS has_error
+      |FROM ($controlLedgerSql)
+      |WHERE status <> 'COMPLETED'
+      |ORDER BY batch_id""".stripMargin
+
   /** cdc_log_compaction — Kafka-style log compaction, windowed: within
     * each 12-hour epoch-aligned window keep only the latest record per
     * key, and report the per-window compaction audit (records in,

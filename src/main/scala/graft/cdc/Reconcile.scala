@@ -314,9 +314,15 @@ object Reconcile {
     // max is exactly max(completion_lsn) over the (≤10-row) ledger, so
     // derive it with a window over the aggregate instead of a third
     // full scan of orders. The ledger (incl. completion_ts, the
-    // batch_control completion_timestamp analog) comes straight from
-    // CdcOps.batchLedger — one definition of batch membership.
-    val ledger = CdcOps.batchLedger(spark, dir)
+    // batch_control completion_timestamp analog) comes from
+    // CdcOps.controlLedger — the FULL status-domain control table —
+    // restricted to COMPLETED exactly like every reference monitoring
+    // function (check_latest_batch_replication_status.sql:31). The
+    // planted IN_PROGRESS/FAILED batches (ids 10/11, above every real
+    // decile) make this filter non-vacuous: drop it and the latest-
+    // batch pick downstream selects a planted row.
+    val ledger = CdcOps.controlLedger(spark, dir)
+      .filter(col("status") === "COMPLETED")
       .select(col("batch_id"), col("row_count"), col("completion_lsn"),
         col("completion_ts"))
     val w = Window.partitionBy(lit(1))
@@ -331,7 +337,8 @@ object Reconcile {
       |  (SELECT MAX(o_orderkey) FROM orders) AS max_lsn,
       |  (SELECT CAST(FLOOR(MAX(o_orderkey) * 3 / 4) AS BIGINT) FROM orders) AS slot_lsn,
       |  (SELECT MAX(o_orderdate) FROM orders) AS now_ts
-      |FROM (${CdcOps.batchLedgerSql})""".stripMargin
+      |FROM (${CdcOps.controlLedgerSql})
+      |WHERE status = 'COMPLETED'""".stripMargin
 
   /** batch_status — per-batch replication_complete + lag vs the slot
     * watermark (check_batch_replication_status.sql). Lag is in key units
@@ -405,7 +412,8 @@ object Reconcile {
     * independently, so N tables = N cheap aggregations unioned into a
     * ≤N-row health report — the monitoring query a fleet dashboard
     * polls. */
-  def multiTableHealthOf(tables: Seq[(String, DataFrame, String)]): DataFrame = {
+  def multiTableHealthOf(tables: Seq[(String, DataFrame, String)],
+                         control: Option[DataFrame] = None): DataFrame = {
     require(tables.nonEmpty, "multiTableHealthOf: need at least one (name, df, key) spec")
     def side(name: String, df: DataFrame, key: String): DataFrame = {
       val mx = df.agg(max(col(key)).as("mx"))
@@ -415,10 +423,19 @@ object Reconcile {
         .agg(count(lit(1)).as("row_count"), max(col(key)).as("completion_lsn"),
              max(col("mx")).as("max_lsn"))
         .withColumn("table_name", lit(name))
+        .withColumn("status", lit("COMPLETED"))
     }
     val w = Window.partitionBy(col("table_name")).orderBy(col("batch_id").desc)
-    tables.map { case (name, df, key) => side(name, df, key) }
+    val sides = tables.map { case (name, df, key) => side(name, df, key) }
       .reduce(_ unionByName _)
+    // Extra control-ledger rows (schema: table_name, batch_id, row_count,
+    // completion_lsn, max_lsn, status). The reference inner function only
+    // returns COMPLETED batches (check_latest_batch_replication_status
+    // .sql:31), so a monitored table whose batches are all open/failed
+    // contributes NO row to the fleet report — the filter below mirrors
+    // that, and the oracle checks it against a planted all-FAILED table.
+    control.fold(sides)(c => sides.unionByName(c))
+      .filter(col("status") === "COMPLETED")
       .withColumn("slot_lsn", floor(col("max_lsn") * 3 / 4).cast("long"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
@@ -441,25 +458,44 @@ object Reconcile {
   /** The oracle-checked default: the reference demo's two monitored
     * tables (`orders` by o_orderkey, `lineitem` by l_orderkey), driven
     * through the generic [[multiTableHealthOf]]. */
-  def multiTableHealth(spark: SparkSession, dir: String): DataFrame =
+  def multiTableHealth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // a monitored table with NO completed batches (both stuck mid-load):
+    // must be absent from the health report, like the reference's loop
+    // over check_latest_batch_replication_status (which yields no row
+    // for it) — not shown as READY/STUCK with stale numbers
+    val planted = Seq(
+      ("shipments", 0L, 99L, 0L, 0L, "IN_PROGRESS"),
+      ("shipments", 1L, 42L, 0L, 0L, "FAILED"))
+      .toDF("table_name", "batch_id", "row_count", "completion_lsn",
+        "max_lsn", "status")
     multiTableHealthOf(Seq(
       ("orders", Tables.orders(spark, dir).select(col("o_orderkey")), "o_orderkey"),
-      ("lineitem", Tables.lineitem(spark, dir).select(col("l_orderkey")), "l_orderkey")))
+      ("lineitem", Tables.lineitem(spark, dir).select(col("l_orderkey")), "l_orderkey")),
+      control = Some(planted))
+  }
 
   val multiTableHealthSql: String =
     """WITH sides AS (
       |  SELECT 'orders' AS table_name, CAST(FLOOR(o_orderkey * 10 / ((SELECT MAX(o_orderkey) FROM orders) + 1)) AS BIGINT) AS batch_id,
       |    COUNT(*) AS row_count, MAX(o_orderkey) AS completion_lsn,
-      |    (SELECT MAX(o_orderkey) FROM orders) AS max_lsn
+      |    (SELECT MAX(o_orderkey) FROM orders) AS max_lsn,
+      |    'COMPLETED' AS status
       |  FROM orders GROUP BY 2
       |  UNION ALL
       |  SELECT 'lineitem', CAST(FLOOR(l_orderkey * 10 / ((SELECT MAX(l_orderkey) FROM lineitem) + 1)) AS BIGINT),
-      |    COUNT(*), MAX(l_orderkey), (SELECT MAX(l_orderkey) FROM lineitem)
+      |    COUNT(*), MAX(l_orderkey), (SELECT MAX(l_orderkey) FROM lineitem), 'COMPLETED'
       |  FROM lineitem GROUP BY 2
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    ('shipments', CAST(0 AS BIGINT), CAST(99 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'IN_PROGRESS'),
+      |    ('shipments', CAST(1 AS BIGINT), CAST(42 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'FAILED'))
+      |    AS t(table_name, batch_id, row_count, completion_lsn, max_lsn, status)
       |), latest AS (
       |  SELECT *, CAST(FLOOR(max_lsn * 3 / 4) AS BIGINT) AS slot_lsn,
       |    ROW_NUMBER() OVER (PARTITION BY table_name ORDER BY batch_id DESC) AS rn
       |  FROM sides
+      |  WHERE status = 'COMPLETED'
       |), h AS (
       |  SELECT table_name, batch_id AS latest_batch_id, row_count, completion_lsn, slot_lsn,
       |    slot_lsn >= completion_lsn AS replication_complete,

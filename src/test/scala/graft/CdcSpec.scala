@@ -89,9 +89,48 @@ class CdcSpec extends SparkSpec {
 
   test("multi_table_health: one row per table with a valid status") {
     val res = Reconcile.multiTableHealth(spark, sf).collect()
+    // the planted 'shipments' table has NO completed batch, so — like the
+    // reference loop over check_latest_batch_replication_status — it
+    // contributes no health row at all
     assert(res.map(_.getAs[String]("table_name")).toSet === Set("orders", "lineitem"))
     val valid = Set("READY", "REPLICATING", "SLOW", "STUCK")
     assert(res.forall(r => valid.contains(r.getAs[String]("health_status"))))
+  }
+
+  test("cdc_control_ledger: full batch_control status domain with planted non-COMPLETED rows") {
+    val led = CdcOps.controlLedger(spark, sf).collect()
+    val byStatus = led.groupBy(_.getAs[String]("status"))
+    // derived deciles are COMPLETED with LSN + ts and no error
+    val done = byStatus("COMPLETED")
+    assert(done.length === 10)
+    assert(done.forall(r => !r.isNullAt(r.fieldIndex("completion_lsn"))
+      && !r.isNullAt(r.fieldIndex("completion_ts"))
+      && r.isNullAt(r.fieldIndex("error_message"))))
+    // planted: one open batch (no completion yet), one failed with message
+    val open = byStatus("IN_PROGRESS")
+    assert(open.map(_.getAs[Long]("batch_id")).toSeq === Seq(10L))
+    assert(open.forall(r => r.isNullAt(r.fieldIndex("completion_lsn"))
+      && r.isNullAt(r.fieldIndex("error_message"))))
+    val failed = byStatus("FAILED")
+    assert(failed.map(_.getAs[Long]("batch_id")).toSeq === Seq(11L))
+    assert(failed.head.getAs[String]("error_message").contains("deadlock"))
+  }
+
+  test("batch_failed_audit surfaces exactly the non-COMPLETED batches") {
+    val audit = CdcOps.batchFailedAudit(spark, sf).collect()
+    assert(audit.map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("status"),
+      r.getAs[Boolean]("has_error"))).toSeq ===
+      Seq((10L, "IN_PROGRESS", false), (11L, "FAILED", true)))
+  }
+
+  test("monitoring filters status='COMPLETED': planted batches never become the latest") {
+    // planted ids 10/11 sit above every real decile — if the status
+    // filter were dropped, ROW_NUMBER ... DESC would pick them
+    val latest = Reconcile.latestBatchStatus(spark, sf).collect()
+    assert(latest.length === 1)
+    assert(latest.head.getAs[Long]("latest_batch_id") === 9L)
+    val status = Reconcile.batchStatus(spark, sf).collect()
+    assert(status.map(_.getAs[Long]("batch_id")).toSet === (0L to 9L).toSet)
   }
   test("cdc_scd2: full history, one current version per key, contiguous validity") {
     val h = CdcOps.scd2History(spark, sf)
