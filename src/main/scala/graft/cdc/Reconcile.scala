@@ -384,21 +384,79 @@ object Reconcile {
       .filter(col("rn") === 1)
       .withColumn("replication_complete", col("slot_lsn") >= col("completion_lsn"))
       // the reference function also reports WHICH slot/publication serves
-      // the table (check_latest_batch_replication_status.sql returns
-      // slot_name + publication_name); the demo topology is the orders
-      // publication and its slot under the slot_pub_match naming rule
+      // the table (check_latest_batch_replication_status.sql:139-171):
+      // the table's first publication, then the best-ranked matching
+      // slot — DERIVED through the naming convention over the demo
+      // roster (one metadata row, broadcast), not hardcoded
+      .crossJoin(broadcast(relevantSlot(spark, "orders")))
       .select(col("batch_id").as("latest_batch_id"), col("row_count"),
               col("completion_lsn"), col("slot_lsn"), col("replication_complete"),
-              lit(DemoSlot).as("slot_name"),
-              lit(DemoPublication).as("publication_name"))
+              col("slot_name"), col("publication_name"))
   }
 
   val latestBatchStatusSql: String =
-    s"""SELECT batch_id AS latest_batch_id, row_count, completion_lsn, slot_lsn,
+    s"""WITH tp AS (
+      |  SELECT * FROM (VALUES (1, '$DemoPublication', 'orders'), (2, 'lineitem_pub', 'lineitem'))
+      |    AS t(pub_order, pubname, tablename)
+      |  WHERE tablename = 'orders' ORDER BY pub_order LIMIT 1
+      |), rs AS (
+      |  SELECT slot_name, pubname AS publication_name,
+      |    CASE WHEN slot_name LIKE '%' || pubname || '%' THEN 1
+      |         WHEN slot_name LIKE '%' || tablename || '%' THEN 2
+      |         WHEN pubname LIKE '%' || replace(slot_name, '_slot', '') || '%' THEN 3
+      |    END AS match_rank
+      |  FROM (VALUES ('$DemoSlot'), ('lineitem_slot'), ('misc_slot')) AS s(slot_name)
+      |  CROSS JOIN tp
+      |  WHERE slot_name LIKE '%' || pubname || '%'
+      |     OR slot_name LIKE '%' || tablename || '%'
+      |     OR pubname LIKE '%' || replace(slot_name, '_slot', '') || '%'
+      |  ORDER BY match_rank, slot_name LIMIT 1
+      |)
+      |SELECT batch_id AS latest_batch_id, row_count, completion_lsn, slot_lsn,
       |  slot_lsn >= completion_lsn AS replication_complete,
-      |  '$DemoSlot' AS slot_name, '$DemoPublication' AS publication_name
+      |  rs.slot_name, rs.publication_name
       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY batch_id DESC) AS rn FROM ($ledgerWithSlotSql))
+      |CROSS JOIN rs
       |WHERE rn = 1""".stripMargin
+
+  /** The slot serving a monitored table, derived through the
+    * reference's naming convention
+    * (check_latest_batch_replication_status.sql:139-171): take the
+    * table's FIRST publication (pg_publication_tables ... LIMIT 1),
+    * then rank candidate slots — slot-name-contains-publication (1)
+    * beats slot-name-contains-table (2) beats
+    * publication-contains-stripped-slot (3) — and keep the best,
+    * breaking rank ties by slot_name for determinism (the reference's
+    * bare LIMIT 1 is underdetermined on ties). Generic over the
+    * roster: `slots` is one `slot_name` column,
+    * `pubs` is (pub_order, pubname, tablename) — publication
+    * membership in declaration order. Both are metadata-sized; the
+    * result is ONE row, broadcast wherever it joins. */
+  def relevantSlotOf(slots: DataFrame, pubs: DataFrame, tableName: String): DataFrame = {
+    val tp = pubs.filter(col("tablename") === tableName)
+      .orderBy(col("pub_order")).limit(1)
+    slots.crossJoin(broadcast(tp))
+      .withColumn("match_rank",
+        when(col("slot_name").contains(col("pubname")), 1)
+          .when(col("slot_name").contains(lit(tableName)), 2)
+          .when(col("pubname").contains(
+            regexp_replace(col("slot_name"), lit("_slot"), lit(""))), 3))
+      .filter(col("match_rank").isNotNull)
+      .orderBy(col("match_rank"), col("slot_name"))
+      .limit(1)
+      .select(col("slot_name"), col("pubname").as("publication_name"))
+  }
+
+  /** [[relevantSlotOf]] over the demo roster (the slot_pub_match
+    * slots and publications, annotated with table membership under
+    * the `<table>_pub` convention). */
+  def relevantSlot(spark: SparkSession, tableName: String): DataFrame = {
+    import spark.implicits._
+    val slots = Seq(DemoSlot, "lineitem_slot", "misc_slot").toDF("slot_name")
+    val pubs = Seq((1L, DemoPublication, "orders"), (2L, "lineitem_pub", "lineitem"))
+      .toDF("pub_order", "pubname", "tablename")
+    relevantSlotOf(slots, pubs, tableName)
+  }
 
   /** multi_table_health — health classification across an ARBITRARY
     * list of monitored tables, like the reference's `TEXT[]` parameter

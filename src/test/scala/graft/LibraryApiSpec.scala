@@ -109,6 +109,36 @@ class LibraryApiSpec extends SparkSpec {
     assert(Reconcile.multiTableHealth(spark, sf).collect().length === 2)
   }
 
+  test("relevantSlotOf: slot derivation follows the reference ranking, not a constant") {
+    import spark.implicits._
+    // demo roster, monitored table 'orders': DemoSlot contains the
+    // publication name → rank 1
+    val o = Reconcile.relevantSlot(spark, "orders").collect()
+    assert(o.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("cdc_orders_pub_slot", "orders_pub")))
+    // 'lineitem' resolves through the NON-first publication (pub_order
+    // 2) via rank 2 (slot contains the table name)
+    val l = Reconcile.relevantSlot(spark, "lineitem").collect()
+    assert(l.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("lineitem_slot", "lineitem_pub")))
+    // custom roster hitting rank 3: the publication contains the
+    // stripped slot name while the slot contains neither pub nor table
+    val slots = Seq("misc_slot", "unrelated_slot").toDF("slot_name")
+    val pubs = Seq((1L, "all_misc_data", "blob")).toDF("pub_order", "pubname", "tablename")
+    val b = Reconcile.relevantSlotOf(slots, pubs, "blob").collect()
+    assert(b.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("misc_slot", "all_misc_data")))
+    // rank 1 beats rank 2 when both match
+    val slots2 = Seq("orders_tbl_slot", "cdc_orders_pub_slot").toDF("slot_name")
+    val pubs2 = Seq((1L, "orders_pub", "orders")).toDF("pub_order", "pubname", "tablename")
+    val r12 = Reconcile.relevantSlotOf(slots2, pubs2, "orders").collect()
+    assert(r12.head.getString(0) === "cdc_orders_pub_slot")
+    // and latest_batch_status carries the DERIVED pair
+    val latest = Reconcile.latestBatchStatus(spark, sf).collect().head
+    assert(latest.getAs[String]("slot_name") === "cdc_orders_pub_slot")
+    assert(latest.getAs[String]("publication_name") === "orders_pub")
+  }
+
   test("sampledDiffOf: counts equal the full diff restricted to the sample") {
     import spark.implicits._
     val src = (1L to 2000L).map(i => (i, i * 1.5)).toDF("id", "amt")
