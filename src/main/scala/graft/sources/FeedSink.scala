@@ -63,7 +63,12 @@ object FeedSink {
         val out = fs.create(dest, true)
         try out.write("customer_id,amount,timestamp\n".getBytes("UTF-8"))
         finally out.close()
-      } else fs.rename(parts(0).getPath, dest)
+      } else if (!fs.rename(parts(0).getPath, dest)) {
+        // HDFS-style filesystems report failure via the boolean, not an
+        // exception — swallowing it would silently lose the batch
+        throw new java.io.IOException(
+          s"FeedSink.writeBatch: rename ${parts(0).getPath} -> $dest failed")
+      }
       dest.toString
     } finally fs.delete(scratchPath, true)
   }

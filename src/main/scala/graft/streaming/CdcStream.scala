@@ -356,7 +356,14 @@ object CdcStream {
     * smaller than applyLatest's payload state. Events sort by event_id
     * within each micro-batch (the log order); across batches the
     * offset-ordered source delivers segments in order, the same
-    * discipline as the CDC apply. */
+    * discipline as the CDC apply.
+    *
+    * Order contract (StreamingSpec pins both sides): disorder WITHIN a
+    * micro-batch is fully repaired by the sort; a touch that crosses a
+    * batch boundary late updates state for FUTURE purchases only —
+    * emissions are append-only and never rewritten (seen-so-far
+    * semantics, matching the batch op's running window, not a
+    * retroactive recompute). */
   def attributeStream(spark: SparkSession, raw: DataFrame): DataFrame = {
     import spark.implicits._
     raw.select(col("event_id"), col("user_id"), col("event_type"), col("value"))

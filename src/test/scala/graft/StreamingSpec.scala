@@ -57,6 +57,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows(4L) === (("click", "view")))
   }
 
+  test("attributeStream out-of-order delivery: in-batch disorder repaired, cross-batch is seen-so-far") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CdcStream.TouchEvent
+    val input = MemoryStream[TouchEvent]
+    val q = CdcStream.attributeStream(spark, input.toDF())
+      .writeStream.format("memory").queryName("t_attr_ooo")
+      .outputMode(OutputMode.Append).start()
+    // batch 1 arrives SCRAMBLED (purchase first): the per-batch sort by
+    // event_id must repair it — the purchase (id 7) attributes against
+    // the click (2) and view (5) delivered after it in the same batch
+    input.addData(TouchEvent(7, 1, "purchase", 5.0), TouchEvent(5, 1, "view", 0.0),
+      TouchEvent(2, 1, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: a LATE touch (id 1, lower than everything already seen)
+    // crosses the batch boundary out of order
+    input.addData(TouchEvent(1, 1, "signup", 0.0))
+    q.processAllAvailable()
+    // batch 3: the next purchase sees the late touch as first-touch
+    input.addData(TouchEvent(9, 1, "purchase", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_attr_ooo").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("first_touch"), r.getAs[String]("last_touch")))).toMap
+    // in-batch disorder repaired by the sort
+    assert(rows(7L) === (("click", "view")))
+    // emissions are append-only: the late touch does NOT rewrite the
+    // already-emitted attribution (seen-so-far semantics, same as the
+    // CDC apply discipline) ...
+    assert(rows.size === 2)
+    // ... but it DOES update state for future purchases: min over touch
+    // codes makes the late signup the first touch from here on
+    assert(rows(9L) === (("signup", "view")))
+  }
+
   test("stream_attribution replay matches the batch attribution matrix") {
     val streamed = CdcStream.streamAttribution(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
