@@ -115,29 +115,28 @@ object Multimodal {
     * the rollup re-aggregates on doc_id with map-side combine. A real
     * decoder would sit where md5 sits, batched per partition. */
   /** Generic frame fan-out over any (id, payload) relation — the
-    * testable core of mm_frames. */
+    * testable core of mm_frames. Frame slicing + sampling + hashing is
+    * the same ChunkHashes codegen kernel as chunk dedup, with the
+    * stride applied INSIDE the kernel — skipped frames are never
+    * materialized, and the exploded stream carries fingerprints, not
+    * payload copies. Slicing is byte-true (payload cast to binary);
+    * on the ASCII corpus this is identical to the oracle's character
+    * slicing, and an empty payload contributes no frames. */
   def mmFramesOf(df: DataFrame, idCol: String,
                  payload: org.apache.spark.sql.Column,
                  frameChars: Int, stride: Int): DataFrame = {
-    val d = df
-      .select(col(idCol), payload.as("p"), length(payload).as("n_bytes"))
-      .withColumn("n_frames", ceil(col("n_bytes").cast("double") / frameChars).cast("long"))
-    // n_frames >= 1 guard: sequence(0, -1) auto-reverses into [0, -1]
-    // for an empty payload, which would fabricate a phantom frame 0
-    // (the oracle's range(0, 0) correctly emits none)
-    d.filter(col("n_frames") >= 1L)
-      .select(col(idCol), col("p"), col("n_frames"),
-        posexplode(sequence(lit(0L), col("n_frames") - 1L)).as(Seq("pos", "frame_i")))
-      .filter(col("frame_i") % stride === 0)
-      .withColumn("frame_fp",
-        md5(substring(col("p"), (col("frame_i") * frameChars + 1).cast("int"),
-          lit(frameChars)).cast("binary")))
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    df.select(col(idCol), payload.cast("binary").as("p"))
+      .withColumn("n_frames",
+        ceil(octet_length(col("p")).cast("double") / frameChars).cast("long"))
+      .select(col(idCol), col("n_frames"),
+        explode(chunkHashes(col("p"), frameChars, stride)).as("c"))
       .groupBy(col(idCol))
       .agg(max(col("n_frames")).as("n_frames"),
         count(lit(1)).as("n_sampled"),
-        count_distinct(col("frame_fp")).as("n_distinct_sampled"),
-        min(col("frame_fp")).as("first_fp"),
-        max(col("frame_fp")).as("last_fp"))
+        count_distinct(col("c.chunk_fp")).as("n_distinct_sampled"),
+        min(col("c.chunk_fp")).as("first_fp"),
+        max(col("c.chunk_fp")).as("last_fp"))
   }
 
   def mmFrames(spark: SparkSession, dir: String): DataFrame =
@@ -191,23 +190,22 @@ object Multimodal {
     * real byte boundaries, same as any opaque blob. (The DuckDB oracle
     * slices VARCHAR — its 1.0 build has no BLOB substring — which is
     * byte-identical on the ASCII test corpus.) Empty payloads carry no
-    * chunks: without the n_chunks >= 1 guard, sequence(0, -1) would
-    * auto-reverse into [0, -1] and emit two phantom chunks per empty
-    * row (and an all-empty group would 0/0 the ratio). */
+    * chunks.
+    *
+    * Chunking + hashing is ONE native codegen node
+    * (graftvec.ChunkHashes, SketchKernelSpec asserts ≡ the declarative
+    * explode→substring→md5 it replaced): the payload is scanned once
+    * and only 32-char fingerprints enter the exploded stream — the
+    * declarative shape duplicated the full payload per chunk row
+    * between the Generate and the projection. */
   def chunkDedupOf(df: DataFrame, groupCol: String,
                    payload: org.apache.spark.sql.Column, chunkBytes: Int): DataFrame = {
-    val d = df
-      .select(col(groupCol), payload.cast("binary").as("p"),
-        octet_length(payload).as("nb"))
-      .withColumn("n_chunks", ceil(col("nb").cast("double") / chunkBytes).cast("long"))
-    val perChunk = d
-      .filter(col("n_chunks") >= 1)
-      .select(col(groupCol), col("p"),
-        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("ci"))
-      .withColumn("chunk", substring(col("p"),
-        (col("ci") * chunkBytes + 1).cast("int"), lit(chunkBytes)))
-      .select(col(groupCol), md5(col("chunk")).as("chunk_fp"),
-        length(col("chunk")).as("chunk_bytes"))
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    val perChunk = df
+      .select(col(groupCol),
+        explode(chunkHashes(payload.cast("binary"), chunkBytes)).as("c"))
+      .select(col(groupCol), col("c.chunk_fp").as("chunk_fp"),
+        col("c.chunk_bytes").as("chunk_bytes"))
       .groupBy(col(groupCol), col("chunk_fp"))
       .agg(count(lit(1)).as("n_refs"), max(col("chunk_bytes")).as("chunk_bytes"))
     perChunk.groupBy(col(groupCol))

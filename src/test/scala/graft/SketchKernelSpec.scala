@@ -140,6 +140,37 @@ class SketchKernelSpec extends SparkSpec {
     assert(hof.exceptAll(kernel).count() === 0)
   }
 
+  test("chunk_hashes equals the explode(sequence) + substring + md5 form, any stride") {
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    import spark.implicits._
+    // parquet-backed edge corpus: empty, shorter-than-chunk, exact
+    // multiple, long, and multi-byte UTF-8 that a byte-true chunker
+    // must split mid-codepoint
+    val tmp = java.nio.file.Files.createTempDirectory("chunkkernel").toString
+    (Seq((1L, ""), (2L, "short"), (3L, "x" * 128), (4L, "y" * 1000),
+      (5L, "é😀é" * 40), (6L, "z" * 129)).toDF("id", "p")
+      .write.mode("overwrite").parquet(tmp))
+    val d = spark.read.parquet(tmp).select(col("id"), col("p").cast("binary").as("p"))
+    for (stride <- Seq(1, 4)) {
+      val kernel = d.select(col("id"),
+          explode(chunkHashes(col("p"), 128, stride)).as("c"))
+        .select(col("id"), col("c.chunk_i"), col("c.chunk_fp"), col("c.chunk_bytes"))
+      val declarative = d
+        .withColumn("n_chunks",
+          ceil(octet_length(col("p")).cast("double") / 128).cast("long"))
+        .filter(col("n_chunks") >= 1)
+        .select(col("id"), col("p"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_i"))
+        .filter(col("chunk_i") % stride === 0)
+        .withColumn("chunk", substring(col("p"),
+          (col("chunk_i") * 128 + 1).cast("int"), lit(128)))
+        .select(col("id"), col("chunk_i"), md5(col("chunk")).as("chunk_fp"),
+          length(col("chunk")).as("chunk_bytes"))
+      assert(kernel.exceptAll(declarative).count() === 0, s"stride $stride")
+      assert(declarative.exceptAll(kernel).count() === 0, s"stride $stride")
+    }
+  }
+
   test("marker_hits equals the size(filter(isin)) HOF form for every set") {
     import org.apache.spark.sql.graftvec.MarkerHitsExpressions
     val sets = Seq(Seq("the", "a", "of"), Seq("el", "la", "de"), Seq("und", "ist"))
