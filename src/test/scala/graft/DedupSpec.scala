@@ -105,4 +105,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsOf(empty).count() === 0)
   }
 
+  test("connectedComponentsOf: 256-node path converges in O(log n) rounds, not diameter") {
+    import spark.implicits._
+    // worst case for min-label propagation: a path needs diameter
+    // rounds (255 here); star contraction must stay logarithmic
+    val path = (0L until 255L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val lab = Dedup.connectedComponentsOf(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.size === 256 && lab.values.forall(_ === 0L))
+    val rounds = Dedup.ccLastRounds.get()
+    assert(rounds <= 16, s"expected O(log 256) star rounds, got $rounds")
+  }
+
+  test("connectedComponentsOf: random graphs match driver-side union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 120).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find with min-root labels
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponentsOf(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
 }
