@@ -112,7 +112,7 @@ object Reconcile {
     * modular arithmetic over (key, exact cents). The library-facing variant
     * would use xxhash64; the oracle needs a hash both engines compute
     * identically. */
-  private def rowDigest(key: Column, amount: Column): Column =
+  private[graft] def rowDigest(key: Column, amount: Column): Column =
     (key * 2654435761L % 1000000007L +
       floor(amount * 100d + 0.5d).cast("long") % 1000000007L) % 1000000007L
 
@@ -126,20 +126,29 @@ object Reconcile {
     * order-independent exact value (long). Near scan-speed via map-side
     * combine; the shuffle is `buckets` rows per side. */
   def hashBucketDiffOf(src: DataFrame, tgt: DataFrame, keyCol: String,
-                       digestOf: Column, buckets: Int): DataFrame = {
-    def digest(df: DataFrame, cnt: String, dig: String): DataFrame =
-      df.withColumn("bucket", pmod(col(keyCol), lit(buckets.toLong)))
-        .withColumn("rd", digestOf)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dig))
-    digest(src, "src_count", "src_digest")
-      .join(digest(tgt, "tgt_count", "tgt_digest"), Seq("bucket"), "full_outer")
+                       digestOf: Column, buckets: Int): DataFrame =
+    digestJoin(
+      bucketDigestsOf(src, keyCol, digestOf, buckets, "src_count", "src_digest"),
+      bucketDigestsOf(tgt, keyCol, digestOf, buckets, "tgt_count", "tgt_digest"))
+
+  /** One side's per-bucket (count, sum-of-row-digests) rollup — the
+    * additive digest state streaming maintenance folds into
+    * (CdcStream.streamReconDigest). */
+  private[graft] def bucketDigestsOf(df: DataFrame, keyCol: String, digestOf: Column,
+                                     buckets: Int, cnt: String, dig: String): DataFrame =
+    df.withColumn("bucket", pmod(col(keyCol), lit(buckets.toLong)))
+      .withColumn("rd", digestOf)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dig))
+
+  /** Full-outer digest compare of two per-bucket rollups. */
+  private[graft] def digestJoin(srcd: DataFrame, tgtd: DataFrame): DataFrame =
+    srcd.join(tgtd, Seq("bucket"), "full_outer")
       .withColumn("bucket_match",
         coalesce(col("src_count"), lit(-1L)) === coalesce(col("tgt_count"), lit(-2L)) &&
         coalesce(col("src_digest"), lit(-1L)) === coalesce(col("tgt_digest"), lit(-2L)))
       .select(col("bucket"), col("src_count"), col("tgt_count"),
               col("src_digest"), col("tgt_digest"), col("bucket_match"))
-  }
 
   /** The rows whose buckets mismatched, ready for row-level drill-down —
     * phase 2 of the two-phase compare: row_diff cost is paid only on the

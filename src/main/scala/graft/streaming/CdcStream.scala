@@ -330,6 +330,75 @@ object CdcStream {
     spark.read.parquet(path).drop("_bucket")
   }
 
+  /** stream_recon_digest — the reconciliation digest maintained
+    * INCREMENTALLY under streaming ingest (recon_incremental's
+    * foreachBatch twin): the orders feed replays as a multi-file
+    * stream (maxFilesPerTrigger=1 forces several micro-batches), and
+    * each micro-batch folds its per-bucket (row count, digest sum)
+    * partial into a 64-row persistent state table. Per-batch cost is
+    * ∝ the batch's rows — the table is never re-scanned — because the
+    * row digest is an order-independent additive sum, the same
+    * additivity recon_merkle's ladder exploits: digest(all rows) =
+    * Σ digest(batch).
+    *
+    * State is versioned-swap parquet (read v(b-1), write v(b), drop
+    * the old): a retried micro-batch re-reads its predecessor and
+    * rewrites the same successor — idempotent under foreachBatch's
+    * at-least-once contract, the same discipline as
+    * streamApplyToLake's bucket overwrite, and never reads the path
+    * it is writing. State rows ∝ buckets (metadata-sized), shuffled
+    * once per batch with map-side combine.
+    *
+    * After replay the final state joins the target's digests into
+    * exactly recon_hash_bucket's output shape — and recon_hash_bucket
+    * IS the oracle: the incrementally maintained digest must equal
+    * the full-table batch compare bit-for-bit. */
+  def streamReconDigest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Reconcile
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-recon-stream")
+    // stage the feed as several files so AvailableNow actually runs
+    // multiple incremental batches (a single file would be one batch)
+    src.repartition(8).write.mode("overwrite").parquet(s"$stage/feed")
+    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-state")
+    def statePath(v: Long) = s"$stateBase/state_v$v"
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/feed")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = Reconcile.bucketDigestsOf(batch.toDF(), "o_orderkey",
+          Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice")), 64,
+          "src_count", "src_digest")
+        val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev = new org.apache.hadoop.fs.Path(statePath(batchId - 1))
+        val merged =
+          if (!fs.exists(prev)) partial
+          else spark.read.parquet(prev.toString).unionByName(partial)
+            .groupBy(col("bucket"))
+            .agg(sum(col("src_count")).as("src_count"),
+              sum(col("src_digest")).as("src_digest"))
+        merged.write.mode("overwrite").parquet(statePath(batchId))
+        if (fs.exists(prev)) fs.delete(prev, true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalState = fs.listStatus(new org.apache.hadoop.fs.Path(stateBase.toString))
+      .map(_.getPath.toString).filter(_.contains("state_v"))
+      .maxBy(p => p.substring(p.lastIndexOf("_v") + 2).toLong)
+    Reconcile.digestJoin(
+      spark.read.parquet(finalState),
+      Reconcile.bucketDigestsOf(Reconcile.driftedTarget(spark, dir), "o_orderkey",
+        Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice")), 64,
+        "tgt_count", "tgt_digest"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-purchase attribution emitted by the stateful stream. */
   case class TouchEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
   case class TouchState(first_code: Long, last_code: Long)

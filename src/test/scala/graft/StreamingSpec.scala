@@ -103,6 +103,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream_recon_digest: incrementally maintained digest equals batch full-table compare") {
+    val streamed = CdcStream.streamReconDigest(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("src_count"), r.getAs[Long]("src_digest"),
+        r.getAs[Boolean]("bucket_match")))).toMap
+    val batch = graft.cdc.Reconcile.reconHashBucket(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("src_count"), r.getAs[Long]("src_digest"),
+        r.getAs[Boolean]("bucket_match")))).toMap
+    assert(streamed === batch)
+    // the planted drift is visible through the streamed state too
+    assert(streamed.values.exists(!_._3))
+  }
+
   test("stream_cdc_apply replay matches batch latest-state") {
     val streamed = CdcStream.streamCdcApply(spark, sf)
       .select("user_id", "last_event_id").collect()
