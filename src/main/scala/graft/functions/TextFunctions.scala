@@ -51,6 +51,12 @@ object TextFunctions {
   def shingles3HashedFromWords(ws: Column): Column =
     org.apache.spark.sql.graftvec.StringExpressions.shingles3Hashed(ws)
 
+  /** POSITIONAL shingle polyhashes (duplicates kept, start-position
+    * order) — posexplode yields the (pos, hash) stream the
+    * duplicated-span detector consumes (graftvec.Shingles3HashedSeq). */
+  def shingles3HashedSeqFromWords(ws: Column): Column =
+    org.apache.spark.sql.graftvec.StringExpressions.shingles3HashedSeq(ws)
+
   /** Word 3-gram shingles of normalized text. (With the native
     * expression the words array is evaluated once per row either way —
     * pre-materializing it with withColumn is no longer required.) */

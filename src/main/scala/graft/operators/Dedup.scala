@@ -716,6 +716,94 @@ object Dedup {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Minimum consecutive duplicated shingles for a reportable span
+    * (8 shingles = a 10-word copied substring). */
+  val MinSpanShingles = 8
+
+  /** Longest-span threshold (in words) above which a doc is a drop
+    * candidate — the Lee et al. exact-substring signal scaled to the
+    * test corpus (the paper drops 50-token spans). */
+  val DropSpanWords = 30
+
+  /** text_dup_spans — duplicated SUBSTRING spans per document: runs of
+    * consecutive position-ordered shingles whose hash occurs ≥2 times
+    * corpus-wide. This is the suffix-array dedup signal (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * exact duplicated substrings of ≥ k tokens) made shingle-granular
+    * and distributed: a run of R consecutive duplicated 3-gram
+    * shingles pins a copied substring of R+2 words, where
+    * text_dup_coverage only says what FRACTION of a doc is duplicated
+    * — spans say WHERE and HOW LONG, the actual drop/trim signal.
+    *
+    * Scale shape: positional shingle hashes come from ONE codegen
+    * kernel pass (graftvec.Shingles3HashedSeq — duplicates kept, so
+    * runs are detectable); the document-frequency rollup is the same
+    * groupBy(h) shuffle the dedup family pays (counts travel, never
+    * doc lists); islands form with a per-doc window (partitioned by
+    * doc_id — no global sort); output rows ∝ offending spans, never
+    * corpus size. */
+  def dupSpansOf(docs: DataFrame, minSpanShingles: Int = MinSpanShingles,
+                 dropSpanWords: Int = DropSpanWords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val psh = docs
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"),
+        posexplode(shingles3HashedSeqFromWords(col("ws"))).as(Seq("pos", "h")))
+      .withColumn("pos", col("pos").cast("long"))
+    val dfreq = psh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = psh.join(dfreq, Seq("h"))
+      .filter(col("df") >= 2)
+      .withColumn("grp", col("pos") - row_number().over(wPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("pos")).as("span_start"))
+      .filter(col("run_len") >= minSpanShingles)
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("run_len").desc, col("span_start"))
+    runs.withColumn("rn", row_number().over(wBest))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("run_len")).as("dup_span_shingles"),
+        (max(col("run_len")) + 2L).as("longest_span_words"),
+        min(when(col("rn") === 1, col("span_start"))).as("longest_span_start"),
+        (max(col("run_len")) + 2L >= dropSpanWords.toLong).as("drop_candidate"))
+  }
+
+  def textDupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansOf(corpus(spark, dir)).orderBy(col("doc_id"))
+
+  val textDupSpansSql: String =
+    s"""WITH corpus AS ($corpusSql),
+      |toks AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+      |psh AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    ${baseHashSql.format("ws[i] || '_' || ws[i+1] || '_' || ws[i+2]")} AS h
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - 1, 1))) AS i)
+      |  WHERE len(ws) >= 3
+      |),
+      |dfreq AS (SELECT h, COUNT(*) AS df FROM psh GROUP BY h),
+      |dup AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM psh JOIN dfreq USING (h) WHERE df >= 2
+      |),
+      |runs AS (
+      |  SELECT doc_id, grp, COUNT(*) AS run_len, MIN(pos) AS span_start
+      |  FROM dup GROUP BY 1, 2 HAVING COUNT(*) >= $MinSpanShingles
+      |),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY run_len DESC, span_start) AS rn
+      |  FROM runs
+      |)
+      |SELECT doc_id, COUNT(*) AS n_dup_spans,
+      |  CAST(SUM(run_len) AS BIGINT) AS dup_span_shingles,
+      |  CAST(MAX(run_len) + 2 AS BIGINT) AS longest_span_words,
+      |  CAST(MIN(CASE WHEN rn = 1 THEN span_start END) AS BIGINT) AS longest_span_start,
+      |  MAX(run_len) + 2 >= $DropSpanWords AS drop_candidate
+      |FROM rk GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Words per synthetic line for [[textLineDedup]] — the corpus is
     * flat word soup, so the C4-style "line" is a fixed word window. */
   val LineWords = 10

@@ -161,6 +161,68 @@ object ShingleOps {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
+
+  /** Positional (non-distinct) polyhashes: hash of every 3-gram shingle
+    * in start-position order. */
+  def computeHashedSeq(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    if (n < 3) return Empty
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i <= n - 3) {
+      var acc = 0L
+      var emitted = false
+      var k = 0
+      while (k < 3) {
+        if (!ws.isNullAt(i + k)) {
+          if (emitted) acc = (acc * B + '_') % M
+          acc = hashWord(acc, ws.getUTF8String(i + k))
+          emitted = true
+        }
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** POSITIONAL polyhashes of the 3-gram shingles: one hash per shingle
+  * start position, duplicates KEPT in order (unlike Shingles3Hashed's
+  * distinct set) — posexplode over the result yields (position, hash)
+  * pairs, the input the duplicated-SPAN detector needs (runs of
+  * consecutive duplicated shingles locate copied substrings, which a
+  * distinct set cannot). Same incremental byte hashing, same null-word
+  * skipping as the distinct kernel. */
+case class Shingles3HashedSeq(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingles3_hashed_seq"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleOps.empty else ShingleOps.computeHashedSeq(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ops = "org.apache.spark.sql.graftvec.ShingleOps$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $ops.empty() : $ops.computeHashedSeq(${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Column-API surface for the graft text expressions. */
@@ -170,4 +232,7 @@ object StringExpressions {
 
   def shingles3Hashed(ws: Column): Column =
     ExpressionUtils.column(Shingles3Hashed(ExpressionUtils.expression(ws)))
+
+  def shingles3HashedSeq(ws: Column): Column =
+    ExpressionUtils.column(Shingles3HashedSeq(ExpressionUtils.expression(ws)))
 }

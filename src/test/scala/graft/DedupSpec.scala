@@ -105,6 +105,50 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponentsOf(empty).count() === 0)
   }
 
+  test("dupSpansOf: span length and location pin the copied substring") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"w$i")
+    val full = w.mkString(" ")                    // docs 1,2: identical 40 words
+    val shared = (1 to 12).map(i => s"s$i")       // docs 3,4: a 12-word common run
+    val doc3 = (shared ++ (1 to 20).map(i => s"a$i")).mkString(" ")
+    val doc4 = ((1 to 20).map(i => s"b$i") ++ shared).mkString(" ")
+    val unique = (1 to 30).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, full), (2L, full), (3L, doc3), (4L, doc4), (5L, unique))
+      .toDF("doc_id", "text")
+    val res = Dedup.dupSpansOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("longest_span_words"), r.getAs[Long]("longest_span_start"),
+          r.getAs[Boolean]("drop_candidate")))).toMap
+    // identical docs: the whole 40 words duplicate from position 0 → drop
+    assert(res(1L) === ((40L, 0L, true)))
+    assert(res(2L) === ((40L, 0L, true)))
+    // 12-word shared run: 10 consecutive duplicated shingles → span of
+    // 12 words, located at its true offset in each doc, below the
+    // 30-word drop bar
+    assert(res(3L) === ((12L, 0L, false)))
+    assert(res(4L) === ((12L, 20L, false)))
+    // the unique doc has no qualifying span at all
+    assert(!res.contains(5L))
+  }
+
+  test("text_dup_spans: planted exact copies are drop candidates, spans ≥ minimum") {
+    val res = Dedup.textDupSpans(spark, sf).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getAs[Long]("longest_span_words") >= Dedup.MinSpanShingles + 2L))
+    // planted full copies (base % 17 == 0, copy = base + 1e6) share their
+    // entire text: every long-enough base/copy pair must flag for drop
+    val longDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 17 === 0)
+      .withColumn("nw", size(split(col("text"), " ")))
+      .filter(col("nw") >= 40).select("doc_id")
+      .collect().map(_.getLong(0))
+    val byId = res.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("drop_candidate")).toMap
+    longDocs.foreach { d =>
+      assert(byId.getOrElse(d, false), s"base $d should be a drop candidate")
+      assert(byId.getOrElse(d + 1000000L, false), s"copy of $d should be a drop candidate")
+    }
+  }
+
   test("connectedComponentsOf: 256-node path converges in O(log n) rounds, not diameter") {
     import spark.implicits._
     // worst case for min-label propagation: a path needs diameter
