@@ -149,6 +149,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text_dup_spans: per-doc windows only — no single-partition exchange, no pair join") {
+    val p = plan(Dedup.textDupSpans(spark, sf))
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("new sketch functions are SQL-callable") {
     GraftExtensions.register(spark)
     val tb = spark.sql("SELECT top_bigram_count(array('a','b','a','b','a')) AS t")
