@@ -359,8 +359,10 @@ object CdcStream {
       .select(col("o_orderkey"), col("o_totalprice"))
     val stage = java.nio.file.Files.createTempDirectory("graft-recon-stream")
     // stage the feed as several files so AvailableNow actually runs
-    // multiple incremental batches (a single file would be one batch)
-    src.repartition(8).write.mode("overwrite").parquet(s"$stage/feed")
+    // multiple incremental batches (a single file would be one batch);
+    // 4 batches exercise the fold at half the per-batch replay
+    // overhead of 8 — the incremental semantics don't depend on count
+    src.repartition(4).write.mode("overwrite").parquet(s"$stage/feed")
     val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-state")
     def statePath(v: Long) = s"$stateBase/state_v$v"
     val stream = spark.readStream.schema(src.schema)

@@ -16,6 +16,53 @@ class PropertySpec extends SparkSpec {
   private val vecGen: Gen[List[Double]] =
     Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
 
+  test("search_sorted equals the when-chain fold for random bounds and keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.SearchSortedExpressions.searchSorted
+    val boundsGen = Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+    val keyGen = Gen.listOfN(300, Gen.chooseNum(-1100.0, 1100.0))
+    for (seed <- 1 to 3) {
+      val bounds = sample(boundsGen, seed).distinct.sorted.toArray
+      // keys include every boundary exactly (ties must rank low side)
+      val keys = (sample(keyGen, seed + 50) ++ bounds).zipWithIndex
+        .map { case (k, i) => (i.toLong, k) }
+      val df = keys.toDF("id", "k")
+      val got = df.select(col("id"), searchSorted(col("k"), bounds).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fold = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("k") > lit(b), 1).otherwise(0)
+      }.cast("long")
+      val want = df.select(col("id"), fold.as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"seed $seed (${bounds.length} bounds)")
+    }
+  }
+
+  test("chunk_hashes partitions the payload exactly for random sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    val textGen = Gen.chooseNum(0, 700).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    for ((seed, cb) <- Seq((1, 7), (2, 64), (3, 256))) {
+      val texts = (1 to 30).map(i => (i.toLong, sample(textGen, seed * 100 + i)))
+      val df = texts.toDF("id", "p")
+      val rows = df.select(col("id"),
+          explode(chunkHashes(col("p").cast("binary"), cb)).as("c"))
+        .select(col("id"), col("c.chunk_i"), col("c.chunk_bytes"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val byId = rows.groupBy(_._1)
+      texts.foreach { case (id, t) =>
+        val n = t.getBytes("UTF-8").length
+        val expected = (n + cb - 1) / cb
+        val got = byId.getOrElse(id, Array.empty).sortBy(_._2)
+        assert(got.length === expected, s"id $id n $n cb $cb")
+        // indices contiguous, sizes exact: full chunks then the remainder
+        assert(got.map(_._2).toSeq === (0L until expected.toLong))
+        assert(got.map(_._3).sum === n)
+        got.dropRight(1).foreach(c => assert(c._3 === cb))
+      }
+    }
+  }
+
   test("qdot equals the quantized reference sum for random vectors") {
     import spark.implicits._
     val pairs = (1 to 10).map(i => (sample(vecGen, i), sample(vecGen, i + 1000)))
