@@ -171,6 +171,31 @@ class SketchKernelSpec extends SparkSpec {
     }
   }
 
+  test("new kernels run under CODEGEN_ONLY (no silent interpreted fallback)") {
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    import org.apache.spark.sql.graftvec.SearchSortedExpressions.searchSorted
+    import graft.functions.TextFunctions
+    // fallback=false turns a broken doGenCode into a hard failure
+    // instead of a quiet interpreted path
+    val saved = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val n1 = d.select(explode(chunkHashes(col("text").cast("binary"), 64)).as("c"))
+        .filter(col("c.chunk_bytes") > 0).count()
+      assert(n1 > 0)
+      val n2 = d.select(searchSorted(col("doc_id").cast("double"),
+          Array(10.0, 100.0, 400.0)).as("s"))
+        .groupBy(col("s")).count().count()
+      assert(n2 >= 2)
+      val n3 = d.select(explode(
+          TextFunctions.shingles3HashedSeqFromWords(TextFunctions.words(col("text")))).as("h"))
+        .count()
+      assert(n3 > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", saved)
+  }
+
   test("marker_hits equals the size(filter(isin)) HOF form for every set") {
     import org.apache.spark.sql.graftvec.MarkerHitsExpressions
     val sets = Seq(Seq("the", "a", "of"), Seq("el", "la", "de"), Seq("und", "ist"))
