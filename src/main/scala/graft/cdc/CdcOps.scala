@@ -593,4 +593,49 @@ object CdcOps {
       |       ELSE 'SEVERE' END AS disorder_class
       |FROM rolled
       |ORDER BY user_id""".stripMargin
+
+  /** cdc_key_churn — per-key change-frequency profile of the log: op-mix
+    * counts, first/last offsets, offset span, and a HOT/WARM/COLD churn
+    * class. This is the measurement that sizes log compaction
+    * (`cdc_log_compaction` reclaims space ∝ churn), partial-update
+    * merge batches, and key-salting decisions — a hot key here is the
+    * skew you salt in the apply join at 100 TB. One shuffle on the key
+    * with map-side partial aggregation; output ∝ distinct keys. */
+  def keyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("op", opCode(col("event_type")))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_changes"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+        min(col("event_id")).as("first_offset"),
+        max(col("event_id")).as("last_offset"))
+      .withColumn("offset_span", col("last_offset") - col("first_offset"))
+      .withColumn("churn_class",
+        when(col("n_changes") >= 20, "HOT")
+          .when(col("n_changes") >= 5, "WARM")
+          .otherwise("COLD"))
+      .orderBy(col("user_id"))
+  }
+
+  val keyChurnSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, $opSql AS op FROM events),
+      |r AS (
+      |  SELECT user_id, COUNT(*) AS n_changes,
+      |    CAST(SUM(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+      |    CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+      |    CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |    MIN(event_id) AS first_offset,
+      |    MAX(event_id) AS last_offset
+      |  FROM ev GROUP BY user_id
+      |)
+      |SELECT user_id, n_changes, n_inserts, n_updates, n_deletes,
+      |  first_offset, last_offset,
+      |  last_offset - first_offset AS offset_span,
+      |  CASE WHEN n_changes >= 20 THEN 'HOT'
+      |       WHEN n_changes >= 5 THEN 'WARM'
+      |       ELSE 'COLD' END AS churn_class
+      |FROM r
+      |ORDER BY user_id""".stripMargin
 }

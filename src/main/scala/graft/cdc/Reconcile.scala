@@ -1174,6 +1174,138 @@ object Reconcile {
       .orderBy(col("l_returnflag"))
   }
 
+  /** recon_flush_lag — per-batch replication-lag report: how far the
+    * target's confirmed high-water mark trails the source, per batch
+    * decile (the `pg_stat_replication.confirmed_flush_lsn` distance the
+    * reference's operators watch, made a queryable table). Per batch:
+    * source rows + max LSN, target rows + confirmed (max present) LSN,
+    * the LSN and row lags, and a class separating the two failure
+    * smells — LAGGING (target has not reached the source's high-water
+    * mark) vs HOLES (high-water marks agree but rows are missing
+    * behind them: the silent-skip case a pure lag monitor never sees).
+    * Invented target rows (keys above the source max) are excluded:
+    * they are missing_in_source drift, not replication progress.
+    * Scale: two scans aggregating straight to ≤10 batch rows each
+    * (map-side combine), one broadcast of the 1-row max — no
+    * data-sized shuffle. */
+  def reconFlushLag(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"))
+    val mx = o.agg(max(col("o_orderkey")).as("mx"))
+    def batched(df: DataFrame) = df.crossJoin(broadcast(mx))
+      .withColumn("batch_id",
+        floor(col("o_orderkey") * 10 / (col("mx") + 1)).cast("long"))
+    val src = batched(o).groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("src_rows"), max(col("o_orderkey")).as("src_max_lsn"))
+    val tgt = batched(driftedTarget(spark, dir).select(col("o_orderkey")))
+      .filter(col("o_orderkey") <= col("mx"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("tgt_rows"), max(col("o_orderkey")).as("confirmed_lsn"))
+    src.join(tgt, Seq("batch_id"), "left")
+      .withColumn("lag_lsn", col("src_max_lsn") - col("confirmed_lsn"))
+      .withColumn("lag_rows", col("src_rows") - col("tgt_rows"))
+      .withColumn("lag_status",
+        when(col("lag_lsn") === 0 && col("lag_rows") === 0, "CURRENT")
+          .when(col("lag_lsn") === 0, "HOLES")
+          .otherwise("LAGGING"))
+      .select(col("batch_id"), col("src_rows"), col("tgt_rows"),
+        col("src_max_lsn"), col("confirmed_lsn"),
+        col("lag_lsn"), col("lag_rows"), col("lag_status"))
+      .orderBy(col("batch_id"))
+  }
+
+  val reconFlushLagSql: String =
+    s"""WITH mx AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |src AS (
+      |  SELECT CAST(FLOOR(o_orderkey * 10 / (mx + 1)) AS BIGINT) AS batch_id,
+      |         COUNT(*) AS src_rows, MAX(o_orderkey) AS src_max_lsn
+      |  FROM orders, mx GROUP BY 1
+      |),
+      |tgt AS (
+      |  SELECT CAST(FLOOR(o_orderkey * 10 / (mx + 1)) AS BIGINT) AS batch_id,
+      |         COUNT(*) AS tgt_rows, MAX(o_orderkey) AS confirmed_lsn
+      |  FROM ($driftedTargetSql) t, mx
+      |  WHERE o_orderkey <= mx GROUP BY 1
+      |)
+      |SELECT s.batch_id, s.src_rows, t.tgt_rows, s.src_max_lsn, t.confirmed_lsn,
+      |  s.src_max_lsn - t.confirmed_lsn AS lag_lsn,
+      |  s.src_rows - t.tgt_rows AS lag_rows,
+      |  CASE WHEN s.src_max_lsn - t.confirmed_lsn = 0 AND s.src_rows - t.tgt_rows = 0 THEN 'CURRENT'
+      |       WHEN s.src_max_lsn - t.confirmed_lsn = 0 THEN 'HOLES'
+      |       ELSE 'LAGGING' END AS lag_status
+      |FROM src s LEFT JOIN tgt t ON s.batch_id = t.batch_id
+      |ORDER BY s.batch_id""".stripMargin
+
+  /** stats_moments — exact-carrier distribution-shape profile per group:
+    * population skewness and excess kurtosis of quantity per return
+    * flag. The sufficient statistics (n, Σx, Σx², Σx³, Σx⁴) are exact
+    * integer sums on the unit grid (one scan, map-side combine); the
+    * central moments and shape ratios derive from them by a fixed IEEE
+    * sequence replayed verbatim in the oracle — the stats_corr
+    * discipline extended to 3rd/4th moments. Shape asymmetry is the
+    * drift signal a mean/variance profile misses (two sides can agree
+    * on μ and σ² while one grew a tail). Carrier range: Σx⁴ ≤ 50⁴·n
+    * stays double-exact (< 2^53) past sf10; a larger deployment moves
+    * carriers to DECIMAL(38). */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val xq = floor(col("l_quantity") + 0.5d).cast("long")
+    def d(c: Column) = c.cast("double")
+    val dn   = d(col("n"))
+    val mean = d(col("s1")) / dn
+    val ex2  = d(col("s2")) / dn
+    val ex3  = d(col("s3")) / dn
+    val ex4  = d(col("s4")) / dn
+    val m2 = ex2 - mean * mean
+    val m3 = ex3 - lit(3.0d) * mean * ex2 + lit(2.0d) * mean * mean * mean
+    val m4 = ex4 - lit(4.0d) * mean * ex3 + lit(6.0d) * mean * mean * ex2 -
+      lit(3.0d) * mean * mean * mean * mean
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), xq.as("xq"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("s1"),
+        sum(col("xq") * col("xq")).as("s2"),
+        sum(col("xq") * col("xq") * col("xq")).as("s3"),
+        sum(col("xq") * col("xq") * col("xq") * col("xq")).as("s4"))
+      .withColumn("mean_q", mean)
+      .withColumn("var_q", m2)
+      .withColumn("skew_q", m3 / (m2 * sqrt(m2)))
+      .withColumn("kurt_q", m4 / (m2 * m2) - lit(3.0d))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsMomentsSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag, CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS xq
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(xq) AS BIGINT) AS s1,
+      |    CAST(SUM(xq * xq) AS BIGINT) AS s2,
+      |    CAST(SUM(xq * xq * xq) AS BIGINT) AS s3,
+      |    CAST(SUM(xq * xq * xq * xq) AS BIGINT) AS s4
+      |  FROM q GROUP BY 1
+      |), m AS (
+      |  SELECT l_returnflag, n, s1, s2, s3, s4,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ex2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ex3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS ex4
+      |  FROM s
+      |), c AS (
+      |  SELECT l_returnflag, n, s1, s2, s3, s4, mean,
+      |    ex2 - mean * mean AS m2,
+      |    ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean AS m3,
+      |    ex4 - 4.0 * mean * ex3 + 6.0 * mean * mean * ex2 - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m
+      |)
+      |SELECT l_returnflag, n, s1, s2, s3, s4,
+      |  mean AS mean_q,
+      |  m2 AS var_q,
+      |  m3 / (m2 * sqrt(m2)) AS skew_q,
+      |  m4 / (m2 * m2) - 3.0 AS kurt_q
+      |FROM c
+      |ORDER BY l_returnflag""".stripMargin
+
   val statsCorrSql: String =
     """WITH q AS (
       |  SELECT l_returnflag,

@@ -1434,6 +1434,49 @@ object Analytics {
       .orderBy(col("first_touch"), col("last_touch"))
   }
 
+  /** q35_cube — full CUBE over (order status, order year): all four
+    * grouping-set combinations from ONE Expand+Aggregate pass (the
+    * dashboard "slice by any combination" shape; completes the
+    * rollup / grouping-sets / cube trio). grouping() flags disambiguate
+    * the ALL rows from literal values; money on the exact-cents grid.
+    * Scale: one shuffle on the expanded grouping keys with map-side
+    * partial aggregation — the Expand multiplies rows 4× before the
+    * combine, never materializing four separate scans. */
+  def q35Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .cube(col("o_orderstatus"), col("order_year"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("order_year")).cast("int").as("g_year"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("order_year"), lit(-1)).as("order_year"),
+        col("g_status"), col("g_year"),
+        col("n_orders"), col("n_customers"), col("total_price"))
+      .orderBy(col("g_status"), col("g_year"),
+        col("o_orderstatus"), col("order_year"))
+
+  val q35CubeSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |         o_custkey, o_totalprice
+      |  FROM orders
+      |)
+      |SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  COALESCE(order_year, -1) AS order_year,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(order_year) AS INTEGER) AS g_year,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) / 100.0 AS total_price
+      |FROM o
+      |GROUP BY CUBE (o_orderstatus, order_year)
+      |ORDER BY g_status, g_year, o_orderstatus, order_year""".stripMargin
+
   val eventsAttributionSql: String =
     """WITH ev AS (
       |  SELECT event_id, user_id, event_type, value,

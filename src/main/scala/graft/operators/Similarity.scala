@@ -116,6 +116,83 @@ object Similarity {
       |QUALIFY knn_rank <= $K
       |ORDER BY query_id, knn_rank""".stripMargin
 
+  val RadiusTau = 0.35d
+
+  /** knn_radius — cosine range search: ALL corpus vectors within a
+    * similarity radius of each query (not a fixed k) — the retrieval
+    * shape for "everything this similar", e.g. contamination sweeps
+    * where the match count is the answer and k would truncate it.
+    * Same O(Q×N) broadcast discipline as knn_brute (queries small and
+    * broadcast, corpus streamed, never N×N); output ∝ matches. Also
+    * reports each query's match count windowed over its own result —
+    * the radius-calibration signal (a query with thousands of matches
+    * needs a tighter τ or an ANN pre-filter). */
+  def knnRadius(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .filter(col("cos_sim") >= RadiusTau)
+      .withColumn("n_in_radius",
+        count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("n_in_radius"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  val knnRadiusSql: String =
+    s"""WITH e AS ($vecsSql),
+      |hits AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |  FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+      |  WHERE CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= $RadiusTau
+      |)
+      |SELECT query_id, neighbor_id, cos_sim,
+      |  COUNT(*) OVER (PARTITION BY query_id) AS n_in_radius
+      |FROM hits
+      |ORDER BY query_id, neighbor_id""".stripMargin
+
+  /** embed_norm_profile — per-label norm audit of the embedding corpus:
+    * the pre-indexing quality gate that catches unnormalized, zero, or
+    * exploded vectors BEFORE they poison an ANN index (cosine assumes
+    * comparable norms; a zero vector NaNs every similarity it touches).
+    * Works entirely on the exact quantized squared norms the whole
+    * similarity family shares: min/max are order-free, the mean is ONE
+    * IEEE divide of an exact long sum, and the zero/low-norm count is
+    * integral — nothing in the hash path floats. One scan straight to
+    * ≤#labels rows with map-side combine. */
+  def embedNormProfile(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label"), col("nrm"), size(col("v")).as("dims"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("min_dims"),
+        max(col("dims")).as("max_dims"),
+        min(col("nrm")).as("min_nrm2"),
+        max(col("nrm")).as("max_nrm2"),
+        sum(col("nrm")).as("sum_nrm2"),
+        sum(when(col("nrm") <= 0L, 1L).otherwise(0L)).as("n_degenerate"))
+      .withColumn("avg_nrm2",
+        col("sum_nrm2").cast("double") / col("n_vecs").cast("double"))
+      .orderBy(col("label"))
+
+  val embedNormProfileSql: String =
+    s"""WITH e AS ($vecsSql)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  MIN(len(embedding)) AS min_dims,
+      |  MAX(len(embedding)) AS max_dims,
+      |  MIN(nrm) AS min_nrm2,
+      |  MAX(nrm) AS max_nrm2,
+      |  CAST(SUM(nrm) AS BIGINT) AS sum_nrm2,
+      |  CAST(SUM(CASE WHEN nrm <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+      |  CAST(CAST(SUM(nrm) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nrm2
+      |FROM e GROUP BY label
+      |ORDER BY label""".stripMargin
+
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
   val IvfSampleMod = 50 // centroid "training" sample: vec_id % 50 == 0

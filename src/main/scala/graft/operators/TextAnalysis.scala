@@ -973,4 +973,94 @@ object TextAnalysis {
       |)
       |WHERE rank <= $DistinctiveTopK
       |ORDER BY source, rank""".stripMargin
+
+  /** text_sentences — per-document sentence segmentation stats: segments
+    * split on terminal-punctuation runs ([.!?]+), trimmed, empties
+    * dropped; count, exact char totals, longest sentence, and the mean
+    * sentence length as ONE IEEE divide of exact ints (the readability
+    * signal feeding quality filters — wall-of-text and choppy-fragment
+    * docs both read as anomalous here, invisible to word counts alone).
+    * Map-only builtin HOFs over each doc (no shuffle before the
+    * presentation sort); the regex subset is Java∩RE2 so the oracle
+    * replays the split byte-identically. */
+  def textSentences(spark: SparkSession, dir: String): DataFrame = {
+    val segs = filter(
+      transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => s =!= lit(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), segs.as("segs"))
+      .select(col("doc_id"),
+        size(col("segs")).as("n_sentences"),
+        aggregate(transform(col("segs"), s => length(s).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sent_chars"),
+        array_max(transform(col("segs"), s => length(s))).as("max_sentence_chars"))
+      .withColumn("avg_sentence_chars",
+        when(col("n_sentences") > 0,
+          col("sent_chars").cast("double") / col("n_sentences").cast("double")))
+      .withColumn("shape_class",
+        when(col("n_sentences") === 0, "EMPTY")
+          .when(col("avg_sentence_chars") < 40.0d, "CHOPPY")
+          .when(col("avg_sentence_chars") > 400.0d, "WALL_OF_TEXT")
+          .otherwise("OK"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textSentencesSql: String =
+    """WITH segd AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+      |      s -> trim(s)), s -> s <> '') AS segs
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |    len(segs) AS n_sentences,
+      |    COALESCE(CAST(list_sum(list_transform(segs, s -> length(s))) AS BIGINT), 0) AS sent_chars,
+      |    CAST(list_max(list_transform(segs, s -> length(s))) AS INTEGER) AS max_sentence_chars
+      |  FROM segd
+      |)
+      |SELECT doc_id, n_sentences, sent_chars, max_sentence_chars,
+      |  CASE WHEN n_sentences > 0
+      |       THEN CAST(sent_chars AS DOUBLE) / CAST(n_sentences AS DOUBLE) END AS avg_sentence_chars,
+      |  CASE WHEN n_sentences = 0 THEN 'EMPTY'
+      |       WHEN CAST(sent_chars AS DOUBLE) / CAST(n_sentences AS DOUBLE) < 40.0 THEN 'CHOPPY'
+      |       WHEN CAST(sent_chars AS DOUBLE) / CAST(n_sentences AS DOUBLE) > 400.0 THEN 'WALL_OF_TEXT'
+      |       ELSE 'OK' END AS shape_class
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  /** shard_balance — balance audit of shard_pack's output: per source,
+    * the shard count, exact byte totals, smallest/largest shard, mean
+    * shard fill and fill fraction of the 4096-byte target — each ratio
+    * ONE IEEE divide of exact longs. This is the check that decides
+    * whether packed training shards feed a reader evenly (a tail shard
+    * at 3% fill or one source packing 10× more shards than its data
+    * share both surface here first). Rolls the ≤#shards manifest up to
+    * ≤#sources rows — negligible compute after the pack itself. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame =
+    shardPackOf(Tables.documents(spark, dir), "source", "doc_id",
+      octet_length(col("text")), 4096L)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("shard_bytes")).as("total_bytes"),
+        min(col("shard_bytes")).as("min_shard_bytes"),
+        max(col("shard_bytes")).as("max_shard_bytes"))
+      .withColumn("avg_shard_bytes",
+        col("total_bytes").cast("double") / col("n_shards").cast("double"))
+      .withColumn("fill_frac",
+        col("total_bytes").cast("double") / (col("n_shards") * lit(4096L)).cast("double"))
+      .orderBy(col("source"))
+
+  val shardBalanceSql: String =
+    s"""WITH pack AS ($shardPackSql)
+      |SELECT source, COUNT(*) AS n_shards,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(shard_bytes) AS BIGINT) AS total_bytes,
+      |  MIN(shard_bytes) AS min_shard_bytes,
+      |  MAX(shard_bytes) AS max_shard_bytes,
+      |  CAST(CAST(SUM(shard_bytes) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_shard_bytes,
+      |  CAST(CAST(SUM(shard_bytes) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) * 4096 AS DOUBLE) AS fill_frac
+      |FROM pack GROUP BY source
+      |ORDER BY source""".stripMargin
 }
