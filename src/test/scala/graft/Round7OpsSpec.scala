@@ -134,4 +134,40 @@ class Round7OpsSpec extends SparkSpec {
       col("max_shard_bytes") <= 4096L).isEmpty)
     out.unpersist()
   }
+
+  // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q35_cube: one Expand feeds the aggregate — not four separate scans") {
+    val p = plan(Analytics.q35Cube(spark, sf))
+    assert("Expand".r.findAllIn(p).size == 1)
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+  }
+
+  test("knn_radius: query side broadcast, corpus never shuffles before the filter") {
+    val p = plan(Similarity.knnRadius(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("stats_moments / cdc_key_churn / embed_norm_profile: single-shuffle aggregates") {
+    // partial_agg -> 1 hash exchange -> final agg (+ the presentation
+    // range sort) — no other data-sized exchange
+    for (df <- Seq(Reconcile.statsMoments(spark, sf),
+                   CdcOps.keyChurn(spark, sf),
+                   Similarity.embedNormProfile(spark, sf))) {
+      val p = plan(df)
+      assert("hashpartitioning".r.findAllIn(p).size >= 1)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+      assert(p.contains("partial"), "aggregate must combine map-side")
+    }
+  }
+
+  test("text_sentences is map-only up to the presentation sort") {
+    val p = plan(TextAnalysis.textSentences(spark, sf))
+    assert(!p.contains("hashpartitioning"))
+    assert("Exchange".r.findAllIn(p).size == 1) // the orderBy range exchange
+  }
 }
