@@ -1235,6 +1235,69 @@ object Reconcile {
       |FROM src s LEFT JOIN tgt t ON s.batch_id = t.batch_id
       |ORDER BY s.batch_id""".stripMargin
 
+  /** recon_amount_parity — money-denominated drift per batch: each side
+    * aggregates to exact cent totals per batch decile (one scan, 10
+    * rows), and the report says WHERE the books diverge and by how many
+    * dollars — the first number a financial reconciliation dashboard
+    * shows. Complements recon_flush_lag (row presence) with value
+    * parity: a batch can be row-complete yet dollars off (the planted
+    * %500 perturbation) or row-short with the remainder agreeing.
+    * Exact-cents discipline throughout; the dollar delta is one IEEE
+    * divide of an exact long. Invented target rows (keys above the
+    * source max) are excluded as missing_in_source drift, matching
+    * flush_lag's framing. */
+  def reconAmountParity(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: Column) => floor(c * 100d + 0.5d).cast("long")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val mx = o.agg(max(col("o_orderkey")).as("mx"))
+    def batched(df: DataFrame) = df.crossJoin(broadcast(mx))
+      .withColumn("batch_id",
+        floor(col("o_orderkey") * 10 / (col("mx") + 1)).cast("long"))
+    val src = batched(o).groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("src_rows"),
+        sum(cents(col("o_totalprice"))).as("src_cents"))
+    val tgt = batched(driftedTarget(spark, dir))
+      .filter(col("o_orderkey") <= col("mx"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("tgt_rows"),
+        sum(cents(col("o_totalprice"))).as("tgt_cents"))
+    src.join(tgt, Seq("batch_id"), "left")
+      .withColumn("delta_cents", col("tgt_cents") - col("src_cents"))
+      .withColumn("delta_amount", col("delta_cents").cast("double") / lit(100d))
+      .withColumn("parity_class",
+        when(col("src_rows") === col("tgt_rows") && col("delta_cents") === 0, "MATCH")
+          .when(col("src_rows") === col("tgt_rows"), "AMOUNT_DRIFT")
+          .otherwise("ROW_DRIFT"))
+      .select(col("batch_id"), col("src_rows"), col("tgt_rows"),
+        col("src_cents"), col("tgt_cents"), col("delta_cents"),
+        col("delta_amount"), col("parity_class"))
+      .orderBy(col("batch_id"))
+  }
+
+  val reconAmountParitySql: String =
+    s"""WITH mx AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |src AS (
+      |  SELECT CAST(FLOOR(o_orderkey * 10 / (mx + 1)) AS BIGINT) AS batch_id,
+      |         COUNT(*) AS src_rows,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS src_cents
+      |  FROM orders, mx GROUP BY 1
+      |),
+      |tgt AS (
+      |  SELECT CAST(FLOOR(o_orderkey * 10 / (mx + 1)) AS BIGINT) AS batch_id,
+      |         COUNT(*) AS tgt_rows,
+      |         CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS tgt_cents
+      |  FROM ($driftedTargetSql) t, mx
+      |  WHERE o_orderkey <= mx GROUP BY 1
+      |)
+      |SELECT s.batch_id, s.src_rows, t.tgt_rows, s.src_cents, t.tgt_cents,
+      |  t.tgt_cents - s.src_cents AS delta_cents,
+      |  CAST(t.tgt_cents - s.src_cents AS DOUBLE) / 100.0 AS delta_amount,
+      |  CASE WHEN s.src_rows = t.tgt_rows AND t.tgt_cents - s.src_cents = 0 THEN 'MATCH'
+      |       WHEN s.src_rows = t.tgt_rows THEN 'AMOUNT_DRIFT'
+      |       ELSE 'ROW_DRIFT' END AS parity_class
+      |FROM src s LEFT JOIN tgt t ON s.batch_id = t.batch_id
+      |ORDER BY s.batch_id""".stripMargin
+
   /** stats_moments — exact-carrier distribution-shape profile per group:
     * population skewness and excess kurtosis of quantity per return
     * flag. The sufficient statistics (n, Σx, Σx², Σx³, Σx⁴) are exact

@@ -1434,6 +1434,60 @@ object Analytics {
       .orderBy(col("first_touch"), col("last_touch"))
   }
 
+  /** events_inactivity — per-user inactivity profile: the largest
+    * event-time gap between consecutive events, lifetime span, and mean
+    * inter-event gap — the churn-risk / dormancy signal (retention
+    * says WHETHER a user returned; this says how long they go dark).
+    * Gaps in exact epoch micros (integer subtraction after a per-key
+    * sort); the mean gap is span/(n-1), ONE IEEE divide of exact longs.
+    * Scale: one shuffle on user_id, per-partition sort bounded by a
+    * user's own history — the cdc_out_of_order shape. */
+  def eventsInactivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .withColumn("span_us", col("last_us") - col("first_us"))
+      .withColumn("avg_gap_us",
+        when(col("n_events") > 1,
+          col("span_us").cast("double") / (col("n_events") - 1).cast("double")))
+      .withColumn("activity_class",
+        when(col("n_events") === 1, "SINGLETON")
+          .when(col("max_gap_us") > 7L * 86400000000L, "DORMANT")
+          .otherwise("ACTIVE"))
+      .select(col("user_id"), col("n_events"), col("first_us"), col("last_us"),
+        col("span_us"), col("max_gap_us"), col("avg_gap_us"), col("activity_class"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsInactivitySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+      |), lagged AS (
+      |  SELECT user_id, ts_us,
+      |    ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap_us
+      |  FROM ev
+      |), r AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+      |    MAX(gap_us) AS max_gap_us
+      |  FROM lagged GROUP BY user_id
+      |)
+      |SELECT user_id, n_events, first_us, last_us,
+      |  last_us - first_us AS span_us, max_gap_us,
+      |  CASE WHEN n_events > 1
+      |       THEN CAST(last_us - first_us AS DOUBLE) / CAST(n_events - 1 AS DOUBLE) END AS avg_gap_us,
+      |  CASE WHEN n_events = 1 THEN 'SINGLETON'
+      |       WHEN max_gap_us > 604800000000 THEN 'DORMANT'
+      |       ELSE 'ACTIVE' END AS activity_class
+      |FROM r
+      |ORDER BY user_id""".stripMargin
+
   /** q35_cube — full CUBE over (order status, order year): all four
     * grouping-set combinations from ONE Expand+Aggregate pass (the
     * dashboard "slice by any combination" shape; completes the

@@ -155,6 +155,40 @@ object Similarity {
       |FROM hits
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** embed_sim_hist — within-label pairwise cosine histogram (0.05-wide
+    * buckets): the calibration curve behind every similarity threshold
+    * in this family — knn_radius's τ, dedup_embedding's 0.30 — read off
+    * a distribution instead of guessed. Same blocked-pair discipline as
+    * dedup_embedding (pairs only within the label block, never the N×N
+    * corpus); the exploded pair stream collapses to ≤ labels × 41
+    * bucket rows with map-side combine. Bucket index is floor(cos·20) on
+    * the exact quantized cosine; bucket_lo is ONE IEEE divide of the
+    * exact int. */
+  def embedSimHist(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", qcos(qdot(col("va"), col("vb")), col("na"), col("nb")))
+      .withColumn("bucket", floor(col("cos_sim") * 20d).cast("long"))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("bucket_lo", col("bucket").cast("double") / lit(20d))
+      .orderBy(col("label"), col("bucket"))
+  }
+
+  val embedSimHistSql: String =
+    s"""WITH e AS ($vecsSql),
+      |pairs AS (
+      |  SELECT a.label AS label,
+      |    CAST(FLOOR(CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) * 20) AS BIGINT) AS bucket
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |)
+      |SELECT label, bucket, COUNT(*) AS n_pairs,
+      |  CAST(bucket AS DOUBLE) / 20.0 AS bucket_lo
+      |FROM pairs GROUP BY label, bucket
+      |ORDER BY label, bucket""".stripMargin
+
   /** embed_norm_profile — per-label norm audit of the embedding corpus:
     * the pre-indexing quality gate that catches unnormalized, zero, or
     * exploded vectors BEFORE they poison an ANN index (cosine assumes

@@ -10,6 +10,11 @@ case class ChangeEvent(event_id: Long, user_id: Long, op: String, value: Double,
 /** Latest-state row maintained per key. */
 case class KeyState(user_id: Long, last_event_id: Long, last_op: String, last_value: Double)
 
+/** Per-key churn counters maintained across micro-batches. */
+case class ChurnState(user_id: Long, n_changes: Long, n_inserts: Long,
+                      n_updates: Long, n_deletes: Long,
+                      first_offset: Long, last_offset: Long)
+
 /** Structured-streaming CDC (SURVEY.md §2.A): the reference's
   * Debezium→Kafka→target apply loop, re-expressed as
   * readStream → stateful transform → sink.
@@ -148,6 +153,60 @@ object CdcStream {
       |               WHEN event_type = 'error' THEN 'D' ELSE 'U' END, event_id) AS last_op,
       |  arg_max(value, event_id) AS last_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Per-key churn counters as a stateful stream transform — the LIVE
+    * twin of CdcOps.keyChurn: op-mix counts and offset bounds fold into
+    * GroupState additively (commutative/associative over any batch
+    * split), so the counters are exact under arbitrary micro-batch
+    * boundaries. Emits each touched key's updated counters per batch;
+    * state is O(live keys), partitioned by key hash. */
+  def churnCounters(spark: SparkSession, changeEvents: DataFrame): DataFrame = {
+    import spark.implicits._
+    changeEvents.as[ChangeEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChurnState, ChurnState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[ChangeEvent], state: GroupState[ChurnState]) =>
+          val next = events.foldLeft(state.getOption.orNull) { (s, e) =>
+            val base = if (s == null)
+              ChurnState(key, 0L, 0L, 0L, 0L, e.event_id, e.event_id) else s
+            ChurnState(key,
+              base.n_changes + 1,
+              base.n_inserts + (if (e.op == "I") 1 else 0),
+              base.n_updates + (if (e.op == "U") 1 else 0),
+              base.n_deletes + (if (e.op == "D") 1 else 0),
+              math.min(base.first_offset, e.event_id),
+              math.max(base.last_offset, e.event_id))
+          }
+          if (next == null) Iterator.empty
+          else { state.update(next); Iterator.single(next) }
+      }
+      .toDF()
+  }
+
+  /** stream_key_churn — final churn counters per key after replaying the
+    * full log (defensively deduped by the monotone n_changes), with the
+    * derived span and class columns matching the batch op exactly.
+    * Oracle: CdcOps.keyChurnSql — the stateful stream's final counters
+    * must equal the batch group-by bit-for-bit. */
+  def streamKeyChurn(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "stream_key_churn_sink", OutputMode.Update,
+      df => churnCounters(spark, df))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_changes"), col("n_inserts"), col("n_updates"),
+        col("n_deletes"), col("first_offset"), col("last_offset")),
+        col("n_changes")).as("s"))
+      .select(col("user_id"), col("s.n_changes").as("n_changes"),
+        col("s.n_inserts").as("n_inserts"), col("s.n_updates").as("n_updates"),
+        col("s.n_deletes").as("n_deletes"),
+        col("s.first_offset").as("first_offset"),
+        col("s.last_offset").as("last_offset"))
+      .withColumn("offset_span", col("last_offset") - col("first_offset"))
+      .withColumn("churn_class",
+        when(col("n_changes") >= 20, "HOT")
+          .when(col("n_changes") >= 5, "WARM")
+          .otherwise("COLD"))
+      .orderBy(col("user_id"))
 
   /** stream_window_agg — watermarked sliding-window op counts after full
     * replay (Complete mode: every window emitted). Oracle-checked: Spark

@@ -135,6 +135,77 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("recon_amount_parity: the global dollar delta decomposes into the planted drifts") {
+    val out = Reconcile.reconAmountParity(spark, sf).cache()
+    val cents = floor(col("o_totalprice") * 100d + 0.5d).cast("long")
+    val o = Tables.orders(spark, sf)
+    // +100 cents per perturbed KEPT row, minus the full cents of dropped rows
+    val perturbedKept = o.filter(col("o_orderkey") % 500 === 3 &&
+      col("o_orderkey") % 1000 =!= 7).count()
+    val droppedCents = o.filter(col("o_orderkey") % 1000 === 7)
+      .agg(sum(cents)).head.getLong(0)
+    val totalDelta = out.agg(sum(col("delta_cents"))).head.getLong(0)
+    assert(totalDelta == 100L * perturbedKept - droppedCents)
+    assert(out.filter(col("parity_class") === "MATCH" &&
+      col("delta_cents") =!= 0).isEmpty)
+    out.unpersist()
+  }
+
+  test("events_inactivity: event accounting and class definitions hold") {
+    val out = Analytics.eventsInactivity(spark, sf).cache()
+    assert(out.agg(sum(col("n_events"))).head.getLong(0) ==
+      Tables.events(spark, sf).count())
+    assert(out.filter(col("activity_class") === "SINGLETON" &&
+      col("n_events") =!= 1).isEmpty)
+    // the largest gap can never be smaller than the mean gap
+    assert(out.filter(col("n_events") > 1 &&
+      col("max_gap_us").cast("double") < col("avg_gap_us") - 1e-6).isEmpty)
+    assert(out.filter(col("span_us") =!= col("last_us") - col("first_us")).isEmpty)
+    out.unpersist()
+  }
+
+  test("embed_sim_hist: buckets partition exactly the within-label pair count") {
+    val out = Similarity.embedSimHist(spark, sf).cache()
+    val perLabel = Tables.embeddings(spark, sf).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .select(sum(col("n") * (col("n") - 1) / 2).cast("long")).head.getLong(0)
+    assert(out.agg(sum(col("n_pairs"))).head.getLong(0) == perLabel)
+    assert(out.filter(col("bucket") < -20 || col("bucket") > 20).isEmpty)
+    assert(out.filter(abs(col("bucket_lo") * 20d - col("bucket")) > 1e-12).isEmpty)
+    out.unpersist()
+  }
+
+  test("stream_key_churn: the replayed stateful counters equal the batch group-by exactly") {
+    val stream = graft.streaming.CdcStream.streamKeyChurn(spark, sf)
+    val batch = CdcOps.keyChurn(spark, sf)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("churnCounters over MemoryStream: counters accumulate across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{CdcStream, ChangeEvent}
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChangeEvent]
+    val q = CdcStream.churnCounters(spark, input.toDF())
+      .writeStream.format("memory").queryName("t_churn")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+    input.addData(ChangeEvent(5, 1, "I", 1.0, 0), ChangeEvent(7, 1, "U", 2.0, 1))
+    q.processAllAvailable()
+    // second batch extends the SAME key: counters must fold, not reset
+    input.addData(ChangeEvent(2, 1, "U", 3.0, 2), ChangeEvent(9, 1, "D", 0.0, 3))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("t_churn")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_changes"), col("n_inserts"), col("n_updates"),
+        col("n_deletes"), col("first_offset"), col("last_offset")), col("n_changes")).as("s"))
+      .select(col("s.*")).collect().head
+    assert(fin.getLong(0) == 4L) // n_changes
+    assert(fin.getLong(1) == 1L && fin.getLong(2) == 2L && fin.getLong(3) == 1L)
+    assert(fin.getLong(4) == 2L) // first_offset: min across batches (late low offset)
+    assert(fin.getLong(5) == 9L) // last_offset
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
