@@ -1434,6 +1434,148 @@ object Analytics {
       .orderBy(col("first_touch"), col("last_touch"))
   }
 
+  /** q36_trade_flows — TPC-H Q7-shaped cross-nation revenue matrix:
+    * lineitem ⋈ orders (the fact-fact join — both sides data-sized, so
+    * it SHUFFLES on the join key; every other join in the suite keeps a
+    * broadcastable side, and at 100 TB this is the one you bucket both
+    * tables on o_orderkey to make exchange-free — see Sinks
+    * .writeBucketed) ⋈ customer ⋈ supplier, nations decoded through two
+    * broadcast copies of the same dim, keeping only cross-nation flows.
+    * Revenue on the exact-cents grid. The output is the ≤ N²−N trade
+    * matrix: who ships value to whom. */
+  def q36TradeFlows(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val cn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    val sn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(cn), c("c_nationkey") === cn("cnk"))
+      .join(broadcast(sn), s("s_nationkey") === sn("snk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("trade_value"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
+  val q36TradeFlowsSql: String =
+    """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      |  COUNT(*) AS n_items,
+      |  SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS trade_value
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      |WHERE cn.n_name <> sn.n_name
+      |GROUP BY 1, 2
+      |ORDER BY cust_nation, supp_nation""".stripMargin
+
+  /** events_rfm — RFM segmentation of the user base: recency (days
+    * since last event), frequency (event count), monetary (exact
+    * purchase cents) scored 1-4 against the corpus's own exact
+    * quartiles and rolled into a segment label. The quartile boundaries
+    * are computed ONCE as scalars and broadcast back — NOT a global
+    * ntile, whose single-partition positional sort both bottlenecks at
+    * scale and breaks determinism on ties; threshold scoring gives
+    * every tied user the same score. q17's percentile ≡ quantile_cont
+    * IEEE-interpolation equivalence, applied to integer-valued metrics. */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts_us")).as("last_us"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100d + 0.5d).cast("long")).otherwise(0L)).as("purchase_cents"))
+    val ref = base.agg(max(col("last_us")).as("ref_us"))
+    val metrics = base.crossJoin(broadcast(ref))
+      .withColumn("recency_days", expr("(ref_us - last_us) div 86400000000"))
+    val quartiles = metrics.agg(
+      expr("percentile(recency_days, 0.25)").as("r25"),
+      expr("percentile(recency_days, 0.5)").as("r50"),
+      expr("percentile(recency_days, 0.75)").as("r75"),
+      expr("percentile(n_events, 0.25)").as("f25"),
+      expr("percentile(n_events, 0.5)").as("f50"),
+      expr("percentile(n_events, 0.75)").as("f75"),
+      expr("percentile(purchase_cents, 0.25)").as("m25"),
+      expr("percentile(purchase_cents, 0.5)").as("m50"),
+      expr("percentile(purchase_cents, 0.75)").as("m75"))
+    def up(v: Column, p25: Column, p50: Column, p75: Column): Column =
+      lit(1) + (v > p25).cast("int") + (v > p50).cast("int") + (v > p75).cast("int")
+    metrics.crossJoin(broadcast(quartiles))
+      .withColumn("r_score",
+        lit(5) - up(col("recency_days"), col("r25"), col("r50"), col("r75")))
+      .withColumn("f_score",
+        up(col("n_events"), col("f25"), col("f50"), col("f75")))
+      .withColumn("m_score",
+        up(col("purchase_cents"), col("m25"), col("m50"), col("m75")))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3, "CHAMPION")
+          .when(col("r_score") >= 3 && col("f_score") >= 2, "LOYAL")
+          .when(col("r_score") <= 1 && col("f_score") >= 3, "AT_RISK")
+          .when(col("r_score") <= 1 && col("f_score") <= 1, "LOST")
+          .otherwise("REGULAR"))
+      .select(col("user_id"), col("recency_days"), col("n_events"),
+        col("purchase_cents"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsRfmSql: String =
+    """WITH base AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |         THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+      |  FROM events GROUP BY user_id
+      |), ref AS (SELECT MAX(last_us) AS ref_us FROM base),
+      |metrics AS (
+      |  SELECT user_id, n_events, purchase_cents,
+      |    (ref_us - last_us) // 86400000000 AS recency_days
+      |  FROM base, ref
+      |), q AS (
+      |  SELECT
+      |    quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+      |    quantile_cont(recency_days, 0.75) AS r75,
+      |    quantile_cont(n_events, 0.25) AS f25, quantile_cont(n_events, 0.5) AS f50,
+      |    quantile_cont(n_events, 0.75) AS f75,
+      |    quantile_cont(purchase_cents, 0.25) AS m25, quantile_cont(purchase_cents, 0.5) AS m50,
+      |    quantile_cont(purchase_cents, 0.75) AS m75
+      |  FROM metrics
+      |), scored AS (
+      |  SELECT user_id, recency_days, n_events, purchase_cents,
+      |    5 - (1 + CASE WHEN recency_days > r25 THEN 1 ELSE 0 END
+      |           + CASE WHEN recency_days > r50 THEN 1 ELSE 0 END
+      |           + CASE WHEN recency_days > r75 THEN 1 ELSE 0 END) AS r_score,
+      |    1 + CASE WHEN n_events > f25 THEN 1 ELSE 0 END
+      |      + CASE WHEN n_events > f50 THEN 1 ELSE 0 END
+      |      + CASE WHEN n_events > f75 THEN 1 ELSE 0 END AS f_score,
+      |    1 + CASE WHEN purchase_cents > m25 THEN 1 ELSE 0 END
+      |      + CASE WHEN purchase_cents > m50 THEN 1 ELSE 0 END
+      |      + CASE WHEN purchase_cents > m75 THEN 1 ELSE 0 END AS m_score
+      |  FROM metrics, q
+      |)
+      |SELECT user_id, recency_days, n_events, purchase_cents,
+      |  r_score, f_score, m_score,
+      |  CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'CHAMPION'
+      |       WHEN r_score >= 3 AND f_score >= 2 THEN 'LOYAL'
+      |       WHEN r_score <= 1 AND f_score >= 3 THEN 'AT_RISK'
+      |       WHEN r_score <= 1 AND f_score <= 1 THEN 'LOST'
+      |       ELSE 'REGULAR' END AS segment
+      |FROM scored
+      |ORDER BY user_id""".stripMargin
+
   /** events_inactivity — per-user inactivity profile: the largest
     * event-time gap between consecutive events, lifetime span, and mean
     * inter-event gap — the churn-risk / dormancy signal (retention

@@ -974,6 +974,43 @@ object TextAnalysis {
       |WHERE rank <= $DistinctiveTopK
       |ORDER BY source, rank""".stripMargin
 
+  /** sample_class_balance — equalize class sizes to the smallest class
+    * (the balanced-training-set cut): per language, keep exactly
+    * `quota = min class size` documents, selected in deterministic
+    * hash order (the sample_stratified discipline — md5 of the id is
+    * the reproducible shuffle, id the tiebreak), so re-runs and both
+    * engines pick the SAME docs. The quota is one broadcast scalar;
+    * selection is the per-class ranked cut. Output carries quota and
+    * rank so the audit ("every class at exactly quota") is a group-by
+    * away. */
+  def sampleClassBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val quota = counts.agg(min(col("n")).as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(quota))
+      .filter(col("rk") <= col("quota"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleClassBalanceSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      |q AS (SELECT MIN(n) AS quota FROM c),
+      |r AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, source, rk, quota
+      |FROM r, q WHERE rk <= quota
+      |ORDER BY lang, rk""".stripMargin
+
   /** text_sentences — per-document sentence segmentation stats: segments
     * split on terminal-punctuation runs ([.!?]+), trimmed, empties
     * dropped; count, exact char totals, longest sentence, and the mean

@@ -206,6 +206,64 @@ class Round7OpsSpec extends SparkSpec {
     assert(fin.getLong(5) == 9L) // last_offset
   }
 
+  test("q36_trade_flows: no diagonal, and the matrix total matches an independent recount") {
+    val out = Analytics.q36TradeFlows(spark, sf).cache()
+    assert(out.filter(col("cust_nation") === col("supp_nation")).isEmpty)
+    val l = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val expected = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey"))
+      .filter(c("c_nationkey") =!= s("s_nationkey")).count()
+    assert(out.agg(sum(col("n_items"))).head.getLong(0) == expected)
+    out.unpersist()
+  }
+
+  test("events_rfm: scores stay in 1..4 and the segment ladder is consistent") {
+    val out = Analytics.eventsRfm(spark, sf).cache()
+    assert(out.count() ==
+      Tables.events(spark, sf).select(col("user_id")).distinct().count())
+    for (cName <- Seq("r_score", "f_score", "m_score"))
+      assert(out.filter(col(cName) < 1 || col(cName) > 4).isEmpty)
+    assert(out.filter(col("segment") === "CHAMPION" &&
+      (col("r_score") < 3 || col("f_score") < 3 || col("m_score") < 3)).isEmpty)
+    assert(out.filter(col("segment") === "LOST" &&
+      (col("r_score") > 1 || col("f_score") > 1)).isEmpty)
+    // quartile thresholds put roughly balanced mass in each frequency score
+    val fDist = out.groupBy(col("f_score")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fDist.values.sum == out.count() && fDist.nonEmpty)
+    out.unpersist()
+  }
+
+  test("sample_class_balance: every class lands exactly on the min-class quota") {
+    val out = TextAnalysis.sampleClassBalance(spark, sf).cache()
+    val minClass = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().agg(min(col("count"))).head.getLong(0)
+    val perClass = out.groupBy(col("lang")).count()
+    assert(perClass.filter(col("count") =!= minClass).isEmpty)
+    assert(out.select(max(col("rk"))).head.getInt(0).toLong == minClass)
+    // deterministic: a second run picks the identical docs
+    val again = TextAnalysis.sampleClassBalance(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("q36_trade_flows plan: the fact-fact join shuffles, dimension decodes broadcast") {
+    // at test scale everything fits under the auto-broadcast threshold;
+    // disable it so the plan shows the 100 TB shape the op is designed for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Analytics.q36TradeFlows(spark, sf))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      // the two explicit nation decodes still broadcast
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
