@@ -1576,6 +1576,66 @@ object Analytics {
       |FROM scored
       |ORDER BY user_id""".stripMargin
 
+  /** events_cohort_ltv — cohort lifetime-value curve: users cohorted by
+    * first-activity day, purchase cents accumulated over cohort age,
+    * normalized per cohort member (the LTV companion to
+    * events_retention: retention says who came back, this says what
+    * they were worth by day N). Exact-cents discipline; the cumulative
+    * sum runs over PRE-AGGREGATED (cohort, age) rows — bounded by
+    * days², the events_anomaly precedent — never over raw events; the
+    * per-user normalization is ONE IEEE divide of exact longs. */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"), col("value"))
+    val uw = Window.partitionBy(col("user_id"))
+    val withCohort = ev.withColumn("cohort_day", min(col("d")).over(uw))
+    val daily = withCohort
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("age_days"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100d + 0.5d).cast("long")).otherwise(0L)).as("day_cents"))
+    val sizes = withCohort.select(col("user_id"), col("cohort_day")).distinct()
+      .groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    val cw = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(sizes), Seq("cohort_day"))
+      .withColumn("cum_cents", sum(col("day_cents")).over(cw))
+      .withColumn("ltv_cents_per_user",
+        col("cum_cents").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+        col("age_days"), col("day_cents"), col("cum_cents"),
+        col("cohort_size"), col("ltv_cents_per_user"))
+      .orderBy(col("cohort_day"), col("age_days"))
+  }
+
+  val eventsCohortLtvSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, event_type, value FROM events
+      |), wc AS (
+      |  SELECT user_id, d, event_type, value,
+      |    MIN(d) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM ev
+      |), daily AS (
+      |  SELECT cohort_day, d - cohort_day AS age_days,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |         THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS day_cents
+      |  FROM wc GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT cohort_day, COUNT(*) AS cohort_size
+      |  FROM (SELECT DISTINCT user_id, cohort_day FROM wc) GROUP BY 1
+      |), cum AS (
+      |  SELECT d2.cohort_day, age_days, day_cents, cohort_size,
+      |    CAST(SUM(day_cents) OVER (PARTITION BY d2.cohort_day ORDER BY age_days
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      |  FROM daily d2 JOIN sizes USING (cohort_day)
+      |)
+      |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, age_days, day_cents,
+      |  cum_cents, cohort_size,
+      |  CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS ltv_cents_per_user
+      |FROM cum
+      |ORDER BY cohort_day, age_days""".stripMargin
+
   /** events_inactivity — per-user inactivity profile: the largest
     * event-time gap between consecutive events, lifetime span, and mean
     * inter-event gap — the churn-risk / dormancy signal (retention

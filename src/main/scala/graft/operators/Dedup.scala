@@ -280,10 +280,12 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashPairsOf(corpus(spark, dir))
 
-  /** DuckDB oracle for dedup_minhash: polyhash base → 64 affine-perm
-    * minima (generated literals) → polynomial band keys → bucket-size
-    * cap → self-join requiring ≥2 shared bands. Exact replay. */
-  lazy val dedupMinhashSql: String = {
+  /** MinHash candidate-pair CTEs (build on `shinglesCtes`'s `sh`):
+    * polyhash base → 64 affine-perm minima (generated literals) →
+    * polynomial band keys → bucket-size cap → self-join requiring ≥2
+    * shared bands, as `mh_cand`. Shared by the dedup_minhash oracle and
+    * the dedup_minhash_audit oracle. */
+  private lazy val minhashCandCtes: String = {
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = perm(j)
       s"MIN((h * $a + $b) % $P) AS m$j"
@@ -295,8 +297,7 @@ object Dedup {
         .reduce((acc, m) => s"(($acc) * 1000003 + $m) % $P")
       s"{'band_id': $b, 'band_hash': $combined}"
     }.mkString(",\n      ")
-    s"""WITH $shinglesCtes,
-      |sig AS (
+    s"""sig AS (
       |  SELECT doc_id,
       |    $mins
       |  FROM sh GROUP BY doc_id
@@ -311,13 +312,79 @@ object Dedup {
       |  SELECT doc_id, band_id, band_hash FROM (
       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bs FROM bands)
       |  WHERE bs BETWEEN 2 AND 100
-      |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-      |FROM bounded a JOIN bounded b
-      |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |),
+      |mh_cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      |  FROM bounded a JOIN bounded b
+      |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |)""".stripMargin
   }
+
+  /** DuckDB oracle for dedup_minhash — exact replay via the shared
+    * candidate CTEs. */
+  lazy val dedupMinhashSql: String =
+    s"""WITH $shinglesCtes,
+      |$minhashCandCtes
+      |SELECT doc_a, doc_b, n_shared_bands FROM mh_cand
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup_minhash_audit — index-quality eval of the MinHash+LSH path
+    * against exact rare-shingle Jaccard (the knn_recall_audit loop
+    * closed for text dedup): every true near-dup pair (jaccard ≥ 0.35)
+    * is checked for presence in the banded candidate set, rolled into
+    * 0.1-wide Jaccard buckets with per-bucket recall as ONE IEEE divide
+    * of exact counts. This is the curve that justifies (or indicts) the
+    * band/row tuning: LSH theory says recall should climb steeply with
+    * similarity — a flat bucket here means the banding is mis-tuned for
+    * the corpus. Candidate detection is a count-only left join on the
+    * pair key; nothing heavier than the two ops it audits. */
+  def dedupMinhashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = jaccardPairs(spark, dir)
+    val cand = minhashPairsOf(corpus(spark, dir))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("detected"))
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", floor(col("jaccard") * 10d).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("detected"), lit(0L))).as("n_detected"))
+      .withColumn("recall",
+        col("n_detected").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("bucket_lo", col("bucket").cast("double") / lit(10d))
+      .select(col("bucket"), col("bucket_lo"), col("n_pairs"),
+        col("n_detected"), col("recall"))
+      .orderBy(col("bucket"))
+  }
+
+  lazy val dedupMinhashAuditSql: String =
+    s"""WITH $docShinglesSql,
+      |$minhashCandCtes,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |exact AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.35
+      |),
+      |joined AS (
+      |  SELECT CAST(FLOOR(e.jaccard * 10) AS BIGINT) AS bucket,
+      |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS detected
+      |  FROM exact e LEFT JOIN mh_cand m
+      |    ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+      |)
+      |SELECT bucket, CAST(bucket AS DOUBLE) / 10.0 AS bucket_lo,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(SUM(detected) AS BIGINT) AS n_detected,
+      |  CAST(CAST(SUM(detected) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      |FROM joined GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
 
   // ---- SimHash ------------------------------------------------------------
 

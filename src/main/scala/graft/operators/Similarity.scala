@@ -155,6 +155,43 @@ object Similarity {
       |FROM hits
       |ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** embed_dim_profile — per-dimension distribution profile of the
+    * embedding corpus on the 1e-6 quantized grid: min/max/mean and
+    * exact spread per coordinate — the training input for any scalar
+    * quantizer (embed_quantize_int8 consumes exactly these bounds) and
+    * the per-dim drift gate between embedding-model versions (a
+    * coordinate whose range shifts silently poisons every stored code).
+    * One posexplode (rows ∝ N×D, bytes ∝ the floats already read) →
+    * map-side-combined aggregate to D rows; the mean is ONE IEEE
+    * divide of the exact quantized sum. */
+  def embedDimProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("vq", floor(col("x") * 1e6 + 0.5).cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        min(col("vq")).as("min_q"),
+        max(col("vq")).as("max_q"),
+        sum(col("vq")).as("sum_q"))
+      .withColumn("range_q", col("max_q") - col("min_q"))
+      .withColumn("mean_q", col("sum_q").cast("double") / col("n").cast("double"))
+      .orderBy(col("pos"))
+
+  val embedDimProfileSql: String =
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vq,
+      |         CAST(pos - 1 AS INTEGER) AS pos
+      |  FROM (SELECT unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |)
+      |SELECT pos, COUNT(*) AS n, MIN(vq) AS min_q, MAX(vq) AS max_q,
+      |  CAST(SUM(vq) AS BIGINT) AS sum_q,
+      |  MAX(vq) - MIN(vq) AS range_q,
+      |  CAST(CAST(SUM(vq) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_q
+      |FROM e GROUP BY pos
+      |ORDER BY pos""".stripMargin
+
   /** embed_sim_hist — within-label pairwise cosine histogram (0.05-wide
     * buckets): the calibration curve behind every similarity threshold
     * in this family — knn_radius's τ, dedup_embedding's 0.30 — read off

@@ -264,6 +264,52 @@ class Round7OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedup_minhash_audit: buckets cover exactly the true near-dup pairs") {
+    val out = graft.operators.Dedup.dedupMinhashAudit(spark, sf).cache()
+    val truePairs = graft.operators.Dedup.dedupNgramJaccard(spark, sf).count()
+    assert(out.agg(sum(col("n_pairs"))).head.getLong(0) == truePairs)
+    assert(out.filter(col("n_detected") > col("n_pairs")).isEmpty)
+    // jaccard >= 0.35 puts every bucket in [3, 10]
+    assert(out.filter(col("bucket") < 3 || col("bucket") > 10).isEmpty)
+    assert(out.filter(abs(col("recall") -
+      col("n_detected").cast("double") / col("n_pairs").cast("double")) > 1e-12).isEmpty)
+    out.unpersist()
+  }
+
+  test("embed_dim_profile: one row per dimension, full corpus coverage, ordered bounds") {
+    val out = Similarity.embedDimProfile(spark, sf).cache()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val dims = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(dims.length == 1 && out.count() == dims.head.toLong)
+    assert(out.filter(col("n") =!= nVecs).isEmpty)
+    assert(out.filter(col("mean_q") < col("min_q").cast("double") ||
+      col("mean_q") > col("max_q").cast("double")).isEmpty)
+    assert(out.filter(col("range_q") =!= col("max_q") - col("min_q")).isEmpty)
+    out.unpersist()
+  }
+
+  test("events_cohort_ltv: each cohort's curve ends at its users' total purchase cents") {
+    val out = Analytics.eventsCohortLtv(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"), col("value"))
+    val uw = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val cohortTotals = ev.withColumn("cohort_day", min(col("d")).over(uw))
+      .groupBy(col("cohort_day").cast("timestamp").as("cohort_day"))
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100d + 0.5d).cast("long")).otherwise(0L)).as("total_cents"))
+    val finalRows = out.groupBy(col("cohort_day"))
+      .agg(max_by(col("cum_cents"), col("age_days")).as("final_cents"))
+    assert(finalRows.join(cohortTotals, "cohort_day")
+      .filter(col("final_cents") =!= col("total_cents")).isEmpty)
+    // every cohort starts at age 0 (its members were active that day)
+    val cohorts = out.select(col("cohort_day")).distinct().count()
+    assert(out.filter(col("age_days") === 0).count() == cohorts)
+    assert(out.filter(abs(col("ltv_cents_per_user") -
+      col("cum_cents").cast("double") / col("cohort_size").cast("double")) > 1e-9).isEmpty)
+    out.unpersist()
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
