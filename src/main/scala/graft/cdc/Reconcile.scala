@@ -1390,4 +1390,52 @@ object Reconcile {
       |    AS corr_xy
       |FROM s
       |ORDER BY l_returnflag""".stripMargin
+
+  /** recon_key_skew — join-key skew diagnostic for a prospective shuffle
+    * key (events.user_id): the rows-per-key distribution (min/max/mean/
+    * p50/p99) and the max/mean skew ratio, finished with the shuffle
+    * strategy a planner would act on (SALT the hot keys vs plain HASH).
+    * This is the audit you run BEFORE a 100 TB join picks its
+    * partitioning — AQE's skew handling only triggers at runtime; this
+    * surfaces the skew while the pipeline is still on the whiteboard.
+    * One data-sized shuffle (groupBy key); the distribution aggregate
+    * runs over one row per key. Skew ratio is exact-integer max·n_keys
+    * over n_rows — ONE IEEE divide; both engines take the same branch
+    * of the strategy CASE because the double is bit-identical. */
+  def reconKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      min(col("n")).as("min_rows"),
+      max(col("n")).as("max_rows"),
+      expr("percentile(CAST(n AS DOUBLE), 0.5)").as("p50_rows"),
+      expr("percentile(CAST(n AS DOUBLE), 0.99)").as("p99_rows"))
+      .withColumn("mean_rows",
+        col("n_rows").cast("double") / col("n_keys").cast("double"))
+      .withColumn("skew_ratio",
+        (col("max_rows") * col("n_keys")).cast("double") /
+          col("n_rows").cast("double"))
+      .withColumn("strategy",
+        when(col("skew_ratio") >= 4d, "SALT").otherwise("HASH"))
+      .select(lit("user_id").as("key_col"), col("n_keys"), col("n_rows"),
+        col("min_rows"), col("max_rows"), col("p50_rows"), col("p99_rows"),
+        col("mean_rows"), col("skew_ratio"), col("strategy"))
+  }
+
+  val reconKeySkewSql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT 'user_id' AS key_col,
+      |  COUNT(*) AS n_keys,
+      |  CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  MIN(n) AS min_rows,
+      |  MAX(n) AS max_rows,
+      |  quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50_rows,
+      |  quantile_cont(CAST(n AS DOUBLE), 0.99) AS p99_rows,
+      |  CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rows,
+      |  CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) AS skew_ratio,
+      |  CASE WHEN CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) >= 4
+      |       THEN 'SALT' ELSE 'HASH' END AS strategy
+      |FROM c""".stripMargin
 }

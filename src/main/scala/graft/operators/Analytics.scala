@@ -1764,4 +1764,63 @@ object Analytics {
       |WHERE event_type = 'purchase'
       |GROUP BY 1, 2
       |ORDER BY first_touch, last_touch""".stripMargin
+
+  /** basket_affinity — market-basket pair co-occurrence over order
+    * "baskets" (distinct parts per order): co-order counts and exact
+    * lift for every part pair co-ordered ≥ 2 times. Scale shape: ONE
+    * shuffle groups lineitem into per-order sorted part arrays (basket
+    * size is bounded — the 2..50 guard is part of the operator contract
+    * and mirrored in the oracle), pairs explode MAP-SIDE from the array
+    * (≤ B²/2 per basket — never a fact-fact self-join whose output
+    * multiplies), and only the pair keys shuffle into the count. Lift
+    * is exact-integer co·N and nₐ·n_b finished by ONE IEEE divide, so
+    * the hash compare is deterministic on both engines. */
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")).between(2, 50))
+    val pairs = baskets.select(explode(flatten(
+      transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+    val co = pairs.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("co_orders"))
+      .filter(col("co_orders") >= 2)
+    val pc = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_ord"))
+    co.join(pc.select(col("l_partkey").as("part_a"), col("n_ord").as("n_a")), "part_a")
+      .join(pc.select(col("l_partkey").as("part_b"), col("n_ord").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift",
+        (col("co_orders") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select(col("part_a"), col("part_b"), col("co_orders"),
+        col("n_a"), col("n_b"), col("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  val basketAffinitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |no_ AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+      |bsize AS (SELECT l_orderkey, COUNT(*) AS bs FROM li GROUP BY 1),
+      |ok AS (SELECT l_orderkey FROM bsize WHERE bs BETWEEN 2 AND 50),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS co_orders
+      |  FROM li a
+      |  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  JOIN ok ON ok.l_orderkey = a.l_orderkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |),
+      |pc AS (SELECT l_partkey, COUNT(*) AS n_ord FROM li GROUP BY 1)
+      |SELECT part_a, part_b, co_orders, ca.n_ord AS n_a, cb.n_ord AS n_b,
+      |  CAST(co_orders * (SELECT n_orders FROM no_) AS DOUBLE) /
+      |    CAST(ca.n_ord * cb.n_ord AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN pc ca ON ca.l_partkey = part_a
+      |JOIN pc cb ON cb.l_partkey = part_b
+      |ORDER BY part_a, part_b""".stripMargin
 }

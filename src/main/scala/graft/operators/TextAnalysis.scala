@@ -1100,4 +1100,58 @@ object TextAnalysis {
       |  CAST(CAST(SUM(shard_bytes) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) * 4096 AS DOUBLE) AS fill_frac
       |FROM pack GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** text_bm25_terms — per-document top-5 distinctive terms by a
+    * BM25-shaped rarity weight: tf · (N − df + 0.5)/(df + 0.5). The idf
+    * is the BM25 odds form WITHOUT the log — the ordering is identical
+    * (ln is monotone) and every step is an IEEE correctly-rounded
+    * mult/divide on exact integers, so Spark and DuckDB agree
+    * bit-for-bit where a `ln` would be libm-dependent. One shuffle for
+    * (doc, term) counts, one vocab-keyed join for df (vocab-sized —
+    * NOT broadcast; at corpus scale it doesn't fit), a per-doc window
+    * for the top-5 with term as the total tie-break. This is the
+    * per-document keyword view; `text_distinctive_terms` is the same
+    * signal at per-source granularity. */
+  def textBm25Terms(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * ((col("n_docs") - col("df")).cast("double") + 0.5d) /
+          (col("df").cast("double") + 0.5d))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val textBm25TermsSql: String =
+    s"""WITH tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2
+      |),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+      |    CAST(tf.tf AS DOUBLE) *
+      |      (CAST((SELECT n_docs FROM nd) - dfq.df AS DOUBLE) + 0.5) /
+      |      (CAST(dfq.df AS DOUBLE) + 0.5) AS score
+      |  FROM tf JOIN dfq USING (w)
+      |),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, w AS term, tf, df, score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY doc_id, rank""".stripMargin
 }

@@ -310,6 +310,60 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("basket_affinity: pair counts match an independent self-join recount") {
+    val out = Analytics.basketAffinity(spark, sf).cache()
+    assert(out.filter(col("part_a") >= col("part_b")).isEmpty)
+    assert(out.filter(col("co_orders") < 2).isEmpty)
+    // recount via the naive self-join the operator deliberately avoids
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val naive = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("co2"))
+      .filter(col("co2") >= 2)
+    assert(out.join(naive, Seq("part_a", "part_b"), "full")
+      .filter(col("co_orders").isNull || col("co2").isNull ||
+        col("co_orders") =!= col("co2")).isEmpty)
+    // lift identity: lift * n_a * n_b == co * N for every row
+    val n = li.select(col("l_orderkey")).distinct().count()
+    assert(out.filter(abs(col("lift") * col("n_a") * col("n_b") -
+      col("co_orders") * lit(n)) > 1e-6).isEmpty)
+    out.unpersist()
+  }
+
+  test("text_bm25_terms: per-doc top-5, scores nonincreasing, df consistent") {
+    val out = TextAnalysis.textBm25Terms(spark, sf).cache()
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("k"), max(col("rank")).as("maxr"))
+    assert(perDoc.filter(col("k") > 5 || col("k") =!= col("maxr")).isEmpty)
+    // rank order implies score order (ties broken by term, so >= suffices)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rank"))
+    assert(out.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score")).isEmpty)
+    // df is a global per-term constant
+    assert(out.groupBy(col("term")).agg(countDistinct(col("df")).as("d"))
+      .filter(col("d") =!= 1).isEmpty)
+    out.unpersist()
+  }
+
+  test("recon_key_skew: one row whose distribution stats are internally consistent") {
+    val r = Reconcile.reconKeySkew(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nKeys = row.getAs[Long]("n_keys"); val nRows = row.getAs[Long]("n_rows")
+    val minR = row.getAs[Long]("min_rows"); val maxR = row.getAs[Long]("max_rows")
+    assert(minR <= maxR && nKeys > 0 && nRows >= nKeys)
+    assert(row.getAs[Double]("p50_rows") <= row.getAs[Double]("p99_rows"))
+    assert(row.getAs[Double]("p99_rows") <= maxR.toDouble)
+    assert(math.abs(row.getAs[Double]("mean_rows") * nKeys - nRows) < 1e-6)
+    val skew = row.getAs[Double]("skew_ratio")
+    assert(math.abs(skew - maxR.toDouble * nKeys / nRows) < 1e-12)
+    assert(row.getAs[String]("strategy") == (if (skew >= 4d) "SALT" else "HASH"))
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
@@ -338,6 +392,20 @@ class Round7OpsSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
       assert(p.contains("partial"), "aggregate must combine map-side")
     }
+  }
+
+  test("basket_affinity: pairs explode map-side — no fact-fact self-join in the plan") {
+    val p = plan(Analytics.basketAffinity(spark, sf))
+    assert(p.contains("Generate explode"), "pair fan-out must be the array explode")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join is the 1-row scalar broadcast (n_orders)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+  }
+
+  test("recon_key_skew: two-level aggregate, second level over one row per key") {
+    val p = plan(Reconcile.reconKeySkew(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial"), "per-key count must combine map-side")
   }
 
   test("text_sentences is map-only up to the presentation sort") {
