@@ -1823,4 +1823,108 @@ object Analytics {
       |JOIN pc ca ON ca.l_partkey = part_a
       |JOIN pc cb ON cb.l_partkey = part_b
       |ORDER BY part_a, part_b""".stripMargin
+
+  /** events_conversion_latency — signup→purchase funnel latency per
+    * signup-month cohort: first purchase at-or-after the user's first
+    * signup, latency percentiles (exact micros finished by one divide
+    * to seconds) and the cohort conversion rate. The per-user
+    * reductions (first signup, first qualifying purchase) are plain
+    * key-partitioned min-aggregates — no window over raw events, no
+    * as-of sort; the percentile runs over one row per CONVERTED user. */
+  def eventsConversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("ts")).as("first_purchase_ts"))
+    val cohorts = signup
+      .groupBy(date_trunc("month", col("signup_ts")).as("cohort_month"))
+      .agg(count(lit(1)).as("n_signups"))
+    firstPurchase
+      .withColumn("cohort_month", date_trunc("month", col("signup_ts")))
+      .withColumn("latency_s",
+        (unix_micros(col("first_purchase_ts")) - unix_micros(col("signup_ts")))
+          .cast("double") / 1e6)
+      .groupBy(col("cohort_month"))
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(latency_s, 0.5)").as("p50_latency_s"),
+        expr("percentile(latency_s, 0.9)").as("p90_latency_s"))
+      .join(cohorts, "cohort_month")
+      .withColumn("conversion_rate",
+        col("n_converted").cast("double") / col("n_signups").cast("double"))
+      .select(col("cohort_month"), col("n_signups"), col("n_converted"),
+        col("conversion_rate"), col("p50_latency_s"), col("p90_latency_s"))
+      .orderBy(col("cohort_month"))
+  }
+
+  val eventsConversionLatencySql: String =
+    """WITH su AS (
+      |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1
+      |),
+      |fp AS (
+      |  SELECT e.user_id, su.signup_ts, MIN(e.ts) AS first_purchase_ts
+      |  FROM events e JOIN su USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      |  GROUP BY 1, 2
+      |),
+      |lat AS (
+      |  SELECT date_trunc('month', CAST(signup_ts AS TIMESTAMP)) AS cohort_month,
+      |    CAST(epoch_us(CAST(first_purchase_ts AS TIMESTAMP)) -
+      |         epoch_us(CAST(signup_ts AS TIMESTAMP)) AS DOUBLE) / 1e6 AS latency_s
+      |  FROM fp
+      |),
+      |co AS (
+      |  SELECT date_trunc('month', CAST(signup_ts AS TIMESTAMP)) AS cohort_month,
+      |    COUNT(*) AS n_signups
+      |  FROM su GROUP BY 1
+      |)
+      |SELECT cohort_month, n_signups, COUNT(*) AS n_converted,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(n_signups AS DOUBLE) AS conversion_rate,
+      |  quantile_cont(latency_s, 0.5) AS p50_latency_s,
+      |  quantile_cont(latency_s, 0.9) AS p90_latency_s
+      |FROM lat JOIN co USING (cohort_month)
+      |GROUP BY cohort_month, n_signups
+      |ORDER BY cohort_month""".stripMargin
+
+  /** events_hourly_heatmap — day-of-week × hour activity matrix with
+    * per-cell share of total and a coarse daypart band: the ops
+    * dashboard view of load shape (when to schedule compactions, when
+    * the spike window is). Pure map-side aggregate to ≤ 168 cells; the
+    * share is one IEEE divide against the broadcast scalar total. */
+  def eventsHourlyHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("ts"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    ev.groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(total))
+      .withColumn("share",
+        col("n_events").cast("double") / col("n_total").cast("double"))
+      .withColumn("daypart",
+        when(col("hour") < 6, "NIGHT")
+          .when(col("hour") < 12, "MORNING")
+          .when(col("hour") < 18, "AFTERNOON")
+          .otherwise("EVENING"))
+      .select(col("dow"), col("hour"), col("n_events"), col("share"),
+        col("daypart"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  val eventsHourlyHeatmapSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) + 1 AS dow,
+      |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour
+      |  FROM events
+      |),
+      |tot AS (SELECT COUNT(*) AS n_total FROM ev)
+      |SELECT dow, hour, COUNT(*) AS n_events,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE) AS share,
+      |  CASE WHEN hour < 6 THEN 'NIGHT' WHEN hour < 12 THEN 'MORNING'
+      |       WHEN hour < 18 THEN 'AFTERNOON' ELSE 'EVENING' END AS daypart
+      |FROM ev GROUP BY dow, hour
+      |ORDER BY dow, hour""".stripMargin
 }

@@ -1083,4 +1083,40 @@ object Dedup {
       |       WHEN d.doc_id > f.first_delta_doc THEN f.first_delta_doc END AS dup_of
       |FROM d LEFT JOIN registered r USING (fp) JOIN first_d f USING (fp)
       |ORDER BY doc_id""".stripMargin
+
+  /** dedup_cluster_stats — the dedup savings report: duplicate-cluster
+    * size histogram (n clusters of each size), docs covered, docs
+    * REMOVABLE (size − 1 per cluster — what "keep one per cluster"
+    * deletes), and each bucket's share of the corpus. This is the
+    * number a 100 TB dedup run is judged by before anyone commits to
+    * the delete. Reuses the component labels; the histogram aggregates
+    * one row per CLUSTER, so everything after the labeling is
+    * negligible. Share is one IEEE divide against the scalar corpus
+    * count. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponentsOf(dupPairs(spark, dir))
+    val nDocs = corpus(spark, dir).agg(count(lit(1)).as("n_docs"))
+    labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("docs_in_bucket", col("cluster_size") * col("n_clusters"))
+      .withColumn("removable", (col("cluster_size") - 1L) * col("n_clusters"))
+      .withColumn("pct_of_corpus",
+        col("docs_in_bucket").cast("double") / col("n_docs").cast("double"))
+      .select(col("cluster_size"), col("n_clusters"), col("docs_in_bucket"),
+        col("removable"), col("pct_of_corpus"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE $clusterLabCtes,
+      |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM corpus)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |  cluster_size * COUNT(*) AS docs_in_bucket,
+      |  (cluster_size - 1) * COUNT(*) AS removable,
+      |  CAST(cluster_size * COUNT(*) AS DOUBLE) /
+      |    CAST((SELECT n_docs FROM nd) AS DOUBLE) AS pct_of_corpus
+      |FROM csz GROUP BY cluster_size
+      |ORDER BY cluster_size""".stripMargin
 }

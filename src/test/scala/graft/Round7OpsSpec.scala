@@ -364,6 +364,44 @@ class Round7OpsSpec extends SparkSpec {
     assert(row.getAs[String]("strategy") == (if (skew >= 4d) "SALT" else "HASH"))
   }
 
+  test("events_conversion_latency: latency nonnegative, converted ≤ signups, rate consistent") {
+    val out = Analytics.eventsConversionLatency(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_converted") > col("n_signups")).isEmpty)
+    assert(out.filter(col("p50_latency_s") < 0 ||
+      col("p90_latency_s") < col("p50_latency_s")).isEmpty)
+    assert(out.filter(abs(col("conversion_rate") -
+      col("n_converted").cast("double") / col("n_signups").cast("double")) > 1e-12).isEmpty)
+    // cohort signup totals cover every signup user exactly once
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct().count()
+    assert(out.agg(sum(col("n_signups"))).head.getLong(0) == signups)
+    out.unpersist()
+  }
+
+  test("events_hourly_heatmap: cells partition the event stream, shares sum to 1") {
+    val out = Analytics.eventsHourlyHeatmap(spark, sf).cache()
+    val total = Tables.events(spark, sf).count()
+    assert(out.agg(sum(col("n_events"))).head.getLong(0) == total)
+    assert(out.count() <= 168)
+    assert(out.filter(col("dow") < 1 || col("dow") > 7 ||
+      col("hour") < 0 || col("hour") > 23).isEmpty)
+    val shareSum = out.agg(sum(col("share"))).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    out.unpersist()
+  }
+
+  test("dedup_cluster_stats: histogram accounts for every labeled doc; removable = covered - clusters") {
+    val out = graft.operators.Dedup.dedupClusterStats(spark, sf).cache()
+    val clustered = graft.operators.Dedup.dedupClusters(spark, sf)
+    assert(out.agg(sum(col("docs_in_bucket"))).head.getLong(0) == clustered.count())
+    assert(out.filter(col("cluster_size") < 2).isEmpty, "labels only exist for real clusters")
+    assert(out.filter(col("removable") =!=
+      col("docs_in_bucket") - col("n_clusters")).isEmpty)
+    out.unpersist()
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
