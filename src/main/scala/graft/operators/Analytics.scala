@@ -1927,4 +1927,107 @@ object Analytics {
       |       WHEN hour < 18 THEN 'AFTERNOON' ELSE 'EVENING' END AS daypart
       |FROM ev GROUP BY dow, hour
       |ORDER BY dow, hour""".stripMargin
+
+  /** q37_decile_report — order-value decile report WITHOUT a global
+    * sort: the nine quantile cut points are computed once and broadcast
+    * as a scalar array, every order finds its decile by counting cuts
+    * ≤ its price (map-side; no ntile() over a single ordered partition
+    * — THE anti-pattern for global ranking at 100 TB), and the report
+    * aggregates per decile with exact-cents revenue and one-divide
+    * shares. Both engines interpolate the same quantile doubles, so
+    * bucket assignment is deterministic. */
+  def q37DecileReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_totalprice"))
+    val cuts = o.agg(expr(
+      "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("qs"))
+    val tot = o.agg(sum(cents(col("o_totalprice"))).as("total_cents"))
+    o.crossJoin(broadcast(cuts)).crossJoin(broadcast(tot))
+      .withColumn("decile",
+        (lit(1) + size(filter(col("qs"), c => c <= col("o_totalprice")))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        first(col("total_cents")).as("total_cents"))
+      .withColumn("rev_share",
+        col("rev_cents").cast("double") / col("total_cents").cast("double"))
+      .select(col("decile"), col("n_orders"), col("rev_cents"),
+        col("min_price"), col("max_price"), col("rev_share"))
+      .orderBy(col("decile"))
+  }
+
+  val q37DecileReportSql: String =
+    """WITH cuts AS (
+      |  SELECT quantile_cont(o_totalprice,
+      |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM orders
+      |),
+      |tot AS (
+      |  SELECT CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS total_cents FROM orders
+      |),
+      |b AS (
+      |  SELECT o_totalprice,
+      |    1 + len(list_filter((SELECT qs FROM cuts), c -> c <= o_totalprice)) AS decile
+      |  FROM orders
+      |)
+      |SELECT decile, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price,
+      |  CAST(CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) /
+      |    CAST((SELECT total_cents FROM tot) AS DOUBLE) AS rev_share
+      |FROM b GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
+  /** q38_churned_customers — year-over-year churn: customers active in
+    * year Y with no orders in Y+1 (the EXISTS / NOT EXISTS chain),
+    * with the revenue that walked out the door. One (customer, year)
+    * pre-aggregation, then a SELF left join shifted by one year — two
+    * shuffles on the same key family, no per-year scan loop, no
+    * correlated subquery re-execution. The final year is excluded:
+    * "no next year in the data" is not churn. */
+  def q38ChurnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("o_custkey"), col("yr"))
+      .agg(sum(col("c")).as("cents"))
+    val maxYr = act.agg(max(col("yr")).as("max_yr"))
+    val nxt = act.select(col("o_custkey"), (col("yr") - 1).as("yr"),
+      lit(1).as("has_next"))
+    act.join(nxt.select(col("o_custkey"), col("yr"), col("has_next")).distinct(),
+        Seq("o_custkey", "yr"), "left")
+      .crossJoin(broadcast(maxYr))
+      .filter(col("yr") < col("max_yr"))
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("has_next").isNull, 1L).otherwise(0L)).as("n_churned"),
+        sum(when(col("has_next").isNull, col("cents")).otherwise(0L)).as("churned_cents"))
+      .withColumn("churn_rate",
+        col("n_churned").cast("double") / col("n_active").cast("double"))
+      .select(col("yr"), col("n_active"), col("n_churned"),
+        col("churned_cents"), col("churn_rate"))
+      .orderBy(col("yr"))
+  }
+
+  val q38ChurnedCustomersSql: String =
+    """WITH act AS (
+      |  SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |mx AS (SELECT MAX(yr) AS max_yr FROM act)
+      |SELECT a.yr, COUNT(*) AS n_active,
+      |  CAST(SUM(CASE WHEN n.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+      |  CAST(SUM(CASE WHEN n.o_custkey IS NULL THEN a.cents ELSE 0 END) AS BIGINT) AS churned_cents,
+      |  CAST(SUM(CASE WHEN n.o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS churn_rate
+      |FROM act a
+      |LEFT JOIN (SELECT DISTINCT o_custkey, yr FROM act) n
+      |  ON n.o_custkey = a.o_custkey AND n.yr = a.yr + 1
+      |WHERE a.yr < (SELECT max_yr FROM mx)
+      |GROUP BY a.yr
+      |ORDER BY a.yr""".stripMargin
 }

@@ -1154,4 +1154,64 @@ object TextAnalysis {
       |SELECT doc_id, rank, w AS term, tf, df, score
       |FROM ranked WHERE rank <= 5
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** text_charset_profile — per-source character-class mix over the RAW
+    * text (not normText: a charset audit must see what ingestion saw):
+    * alpha / digit / whitespace / other counts as exact longs (length
+    * minus length-after-strip, all map-side regexp work), ratios by one
+    * IEEE divide each. This is the mojibake / binary-contamination /
+    * wrong-decoder gate — a source whose `other` ratio jumps between
+    * crawls changed encoding, not content. The whitespace class is the
+    * explicit [ \\t\\n\\r] so the Java and RE2 regex engines agree. */
+  def textCharsetProfile(spark: SparkSession, dir: String): DataFrame = {
+    val strip = (c: org.apache.spark.sql.Column, cls: String) =>
+      (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+    val t = Tables.documents(spark, dir)
+      .select(col("source"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_alpha", strip(col("text"), "[A-Za-z]"))
+      .withColumn("n_digit", strip(col("text"), "[0-9]"))
+      .withColumn("n_space", strip(col("text"), "[ \\t\\n\\r]"))
+    t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_alpha")).as("n_alpha"),
+        sum(col("n_digit")).as("n_digit"),
+        sum(col("n_space")).as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("alpha_ratio",
+        col("n_alpha").cast("double") / col("n_chars").cast("double"))
+      .withColumn("other_ratio",
+        col("n_other").cast("double") / col("n_chars").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_alpha"),
+        col("n_digit"), col("n_space"), col("n_other"),
+        col("alpha_ratio"), col("other_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val textCharsetProfileSql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS BIGINT) AS n_space
+      |  FROM documents
+      |),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(SUM(n_alpha) AS BIGINT) AS n_alpha,
+      |    CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+      |    CAST(SUM(n_space) AS BIGINT) AS n_space
+      |  FROM t GROUP BY 1
+      |)
+      |SELECT source, n_docs, n_chars, n_alpha, n_digit, n_space,
+      |  n_chars - n_alpha - n_digit - n_space AS n_other,
+      |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+      |  CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) /
+      |    CAST(n_chars AS DOUBLE) AS other_ratio
+      |FROM agg
+      |ORDER BY source""".stripMargin
 }

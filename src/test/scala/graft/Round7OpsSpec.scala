@@ -402,6 +402,48 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q37_decile_report: deciles partition the orders, revenue shares sum to 1") {
+    val out = Analytics.q37DecileReport(spark, sf).cache()
+    val total = Tables.orders(spark, sf).count()
+    assert(out.agg(sum(col("n_orders"))).head.getLong(0) == total)
+    assert(out.count() == 10)
+    // decile bucket sizes are within interpolation slack of N/10
+    assert(out.filter(abs(col("n_orders") - lit(total / 10L)) > lit(total / 10L / 2L)).isEmpty)
+    assert(math.abs(out.agg(sum(col("rev_share"))).head.getDouble(0) - 1.0) < 1e-9)
+    // deciles are ordered by price range
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+    assert(out.withColumn("prev_max", lag(col("max_price"), 1).over(w))
+      .filter(col("prev_max").isNotNull && col("min_price") < col("prev_max")).isEmpty)
+    out.unpersist()
+  }
+
+  test("q38_churned_customers: churned recount matches a per-year anti-join") {
+    val out = Analytics.q38ChurnedCustomers(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_churned") > col("n_active")).isEmpty)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr")).distinct()
+    val years = out.select(col("yr")).collect().map(_.getInt(0))
+    for (y <- years) {
+      val churned = o.filter(col("yr") === y).select(col("o_custkey"))
+        .except(o.filter(col("yr") === y + 1).select(col("o_custkey"))).count()
+      val claimed = out.filter(col("yr") === y).head.getAs[Long]("n_churned")
+      assert(claimed == churned, s"year $y: $claimed vs recount $churned")
+    }
+    out.unpersist()
+  }
+
+  test("text_charset_profile: class counts partition every character") {
+    val out = TextAnalysis.textCharsetProfile(spark, sf).cache()
+    assert(out.filter(col("n_alpha") + col("n_digit") + col("n_space") +
+      col("n_other") =!= col("n_chars")).isEmpty)
+    assert(out.filter(col("n_other") < 0).isEmpty)
+    val totalChars = Tables.documents(spark, sf)
+      .agg(sum(length(col("text")))).head.getLong(0)
+    assert(out.agg(sum(col("n_chars"))).head.getLong(0) == totalChars)
+    out.unpersist()
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
