@@ -2030,4 +2030,63 @@ object Analytics {
       |WHERE a.yr < (SELECT max_yr FROM mx)
       |GROUP BY a.yr
       |ORDER BY a.yr""".stripMargin
+
+  /** q39_trend_slope — trailing-7-day revenue trend: per observed day,
+    * the least-squares slope (cents/day) of daily revenue over the last
+    * 7 observed days, via exact integer sufficient statistics in the
+    * window frame (n, Σx, Σy, Σxy, Σx² as longs — x is the day index
+    * from the broadcast min date, y exact cents) and the stats_corr
+    * fixed-IEEE finish: numerator and denominator exact, ONE divide.
+    * The window runs over PRE-AGGREGATED daily rows (bounded by days,
+    * the events_anomaly precedent), never raw orders; only full 7-row
+    * frames are emitted so the slope is always well-conditioned. */
+  def q39TrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("d")).agg(sum(col("c")).as("day_cents"))
+    val minD = daily.agg(min(col("d")).as("min_d"))
+    val w = Window.orderBy(col("x")).rowsBetween(-6, Window.currentRow)
+    daily.crossJoin(broadcast(minD))
+      .withColumn("x", datediff(col("d"), col("min_d")).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("day_cents")).over(w))
+      .withColumn("sxy", sum(col("x") * col("day_cents")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("n") === 7)
+      .withColumn("slope_cents_per_day",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("d").cast("timestamp").as("d"), col("day_cents"),
+        col("sy").as("week_cents"), col("slope_cents_per_day"))
+      .orderBy(col("d"))
+  }
+
+  val q39TrendSlopeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM orders GROUP BY 1
+      |),
+      |mn AS (SELECT MIN(d) AS min_d FROM daily),
+      |x AS (
+      |  SELECT d, day_cents,
+      |    CAST(d - (SELECT min_d FROM mn) AS BIGINT) AS x
+      |  FROM daily
+      |),
+      |framed AS (
+      |  SELECT d, day_cents,
+      |    COUNT(*) OVER w AS n,
+      |    CAST(SUM(x) OVER w AS BIGINT) AS sx,
+      |    CAST(SUM(day_cents) OVER w AS BIGINT) AS sy,
+      |    CAST(SUM(x * day_cents) OVER w AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      |  FROM x
+      |  WINDOW w AS (ORDER BY x ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT CAST(d AS TIMESTAMP) AS d, day_cents, sy AS week_cents,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      |    AS slope_cents_per_day
+      |FROM framed WHERE n = 7
+      |ORDER BY d""".stripMargin
 }

@@ -1119,4 +1119,48 @@ object Dedup {
       |    CAST((SELECT n_docs FROM nd) AS DOUBLE) AS pct_of_corpus
       |FROM csz GROUP BY cluster_size
       |ORDER BY cluster_size""".stripMargin
+
+  /** text_ngram_novelty — per-document novelty in arrival order
+    * (doc_id): the fraction of a doc's distinct 3-gram shingles whose
+    * FIRST corpus occurrence is this doc. The growth-curve signal a
+    * crawl is steered by — novelty trending to zero means the new data
+    * is re-crawl, not new content; `text_dup_coverage` asks "how much
+    * of this doc exists elsewhere", this asks "was it here FIRST".
+    * Scale shape: the same hashed-shingle stream the dedup family
+    * already pays for, one groupBy(h) min-reduction for the first
+    * claimant (a count-free min — no doc list ever travels), one join
+    * back, one per-doc rollup. */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(corpus(spark, dir))
+    val firstDoc = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstDoc, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("novelty_class",
+        when(col("novelty") >= 0.9d, "FRESH")
+          .when(col("novelty") >= 0.3d, "MIXED")
+          .otherwise("STALE"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty"), col("novelty_class"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val textNgramNoveltySql: String =
+    s"""WITH $shinglesCtes,
+      |firstd AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS novelty,
+      |  CASE WHEN CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+      |         CAST(COUNT(*) AS DOUBLE) >= 0.9 THEN 'FRESH'
+      |       WHEN CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE) /
+      |         CAST(COUNT(*) AS DOUBLE) >= 0.3 THEN 'MIXED'
+      |       ELSE 'STALE' END AS novelty_class
+      |FROM sh JOIN firstd f USING (h)
+      |GROUP BY sh.doc_id
+      |ORDER BY sh.doc_id""".stripMargin
 }

@@ -1214,4 +1214,45 @@ object TextAnalysis {
       |    CAST(n_chars AS DOUBLE) AS other_ratio
       |FROM agg
       |ORDER BY source""".stripMargin
+
+  /** sample_kfold — deterministic 5-fold assignment by the portable
+    * Knuth multiplicative hash (decorrelated from sample_hash_split's
+    * buckets by a different multiplier), audited for per-language
+    * balance: each (fold, lang) cell carries its exact deviation
+    * n·K − lang_total (a perfectly balanced fold has 0) and the skew
+    * factor n·K / lang_total by ONE IEEE divide. Map-side hash, one
+    * small-cardinality aggregate — the split itself never shuffles
+    * documents. This is the cross-validation twin of the train/val/test
+    * splitter; the balance audit is what catches a hash that aliases
+    * with the id-assignment pattern. */
+  def sampleKfold(spark: SparkSession, dir: String): DataFrame = {
+    val folds = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("fold", pmod(col("doc_id") * 2654435789L, lit(1000000007L)) % 5L)
+    val langTotals = folds.groupBy(col("lang")).agg(count(lit(1)).as("lang_total"))
+    folds.groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+      .join(broadcast(langTotals), "lang")
+      .withColumn("balance_dev", col("n_docs") * 5L - col("lang_total"))
+      .withColumn("skew",
+        (col("n_docs") * 5L).cast("double") / col("lang_total").cast("double"))
+      .select(col("fold"), col("lang"), col("n_docs"), col("id_checksum"),
+        col("lang_total"), col("balance_dev"), col("skew"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
+  val sampleKfoldSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang, (doc_id * 2654435789 % 1000000007) % 5 AS fold
+      |  FROM documents
+      |),
+      |lt AS (SELECT lang, COUNT(*) AS lang_total FROM f GROUP BY 1)
+      |SELECT fold, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+      |  lang_total,
+      |  COUNT(*) * 5 - lang_total AS balance_dev,
+      |  CAST(COUNT(*) * 5 AS DOUBLE) / CAST(lang_total AS DOUBLE) AS skew
+      |FROM f JOIN lt USING (lang)
+      |GROUP BY fold, lang, lang_total
+      |ORDER BY fold, lang""".stripMargin
 }
