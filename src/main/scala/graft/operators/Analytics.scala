@@ -2089,4 +2089,125 @@ object Analytics {
       |    AS slope_cents_per_day
       |FROM framed WHERE n = 7
       |ORDER BY d""".stripMargin
+
+  /** q40_max_drawdown — running-peak drawdown of cumulative daily
+    * revenue per year: cumulative cents, the running maximum, per-day
+    * drawdown (peak − current, exact longs), and each year's maximum
+    * drawdown with the day it bottomed. Windows run over
+    * PRE-AGGREGATED daily rows partitioned BY YEAR (bounded ≤366 rows
+    * per partition — no unpartitioned global sort); everything is
+    * exact integer arithmetic until the final report. */
+  def q40MaxDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        to_date(col("o_orderdate")).as("d"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy(col("yr"), col("d")).agg(sum(col("c")).as("day_cents"))
+    // net daily delta vs the year's mean day: a monotone cumsum of raw
+    // revenue never draws down, so measure relative performance
+    val mean = Window.partitionBy(col("yr"))
+    val cum = Window.partitionBy(col("yr")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_days", count(lit(1)).over(mean))
+      .withColumn("yr_cents", sum(col("day_cents")).over(mean))
+      // exact scaled delta: day_cents * n_days - yr_cents (long — avoids
+      // a fractional mean; sign and ordering match the real delta)
+      .withColumn("delta", col("day_cents") * col("n_days") - col("yr_cents"))
+      .withColumn("cum", sum(col("delta")).over(cum))
+      .withColumn("peak", max(col("cum")).over(cum))
+      .withColumn("drawdown", col("peak") - col("cum"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("yr")).orderBy(col("drawdown").desc, col("d"))))
+      .filter(col("rn") === 1)
+      .select(col("yr"), col("n_days"),
+        col("drawdown").as("max_drawdown_scaled"),
+        col("d").cast("timestamp").as("trough_day"))
+      .orderBy(col("yr"))
+  }
+
+  val q40MaxDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |sc AS (
+      |  SELECT yr, d, day_cents,
+      |    COUNT(*) OVER (PARTITION BY yr) AS n_days,
+      |    CAST(SUM(day_cents) OVER (PARTITION BY yr) AS BIGINT) AS yr_cents
+      |  FROM daily
+      |),
+      |dd AS (
+      |  SELECT yr, d, n_days,
+      |    CAST(MAX(cum) OVER w - cum AS BIGINT) AS drawdown
+      |  FROM (
+      |    SELECT yr, d, n_days,
+      |      CAST(SUM(day_cents * n_days - yr_cents) OVER w AS BIGINT) AS cum
+      |    FROM sc
+      |    WINDOW w AS (PARTITION BY yr ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  )
+      |  WINDOW w AS (PARTITION BY yr ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |ranked AS (
+      |  SELECT yr, d, n_days, drawdown,
+      |    ROW_NUMBER() OVER (PARTITION BY yr ORDER BY drawdown DESC, d) AS rn
+      |  FROM dd
+      |)
+      |SELECT yr, n_days, drawdown AS max_drawdown_scaled,
+      |  CAST(d AS TIMESTAMP) AS trough_day
+      |FROM ranked WHERE rn = 1
+      |ORDER BY yr""".stripMargin
+
+  /** q41_supplier_returns — per-supplier return-rate league table: R-flag
+    * share of shipped lines and of exact-cents revenue, min-volume gate
+    * (≥ 20 lines), worst offenders ranked with supplier identity via a
+    * broadcast dim join. One fact-side shuffle (groupBy suppkey); rates
+    * are one IEEE divide each. */
+  def q41SupplierReturns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("long").as("is_r"),
+        cents(col("l_extendedprice")).as("c"))
+    val per = li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("is_r")).as("n_returned"),
+        sum(col("c")).as("rev_cents"),
+        sum(col("is_r") * col("c")).as("returned_cents"))
+      .filter(col("n_lines") >= 20)
+    per.join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .withColumn("return_rate",
+        col("n_returned").cast("double") / col("n_lines").cast("double"))
+      .withColumn("returned_share",
+        col("returned_cents").cast("double") / col("rev_cents").cast("double"))
+      .select(col("l_suppkey").as("suppkey"), col("s_name"),
+        col("s_nationkey"), col("n_lines"), col("n_returned"),
+        col("rev_cents"), col("returned_cents"),
+        col("return_rate"), col("returned_share"))
+      .orderBy(col("suppkey"))
+  }
+
+  val q41SupplierReturnsSql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey,
+      |    COUNT(*) AS n_lines,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |      THEN CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS returned_cents
+      |  FROM lineitem GROUP BY 1
+      |  HAVING COUNT(*) >= 20
+      |)
+      |SELECT l_suppkey AS suppkey, s_name, s_nationkey,
+      |  n_lines, n_returned, rev_cents, returned_cents,
+      |  CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS return_rate,
+      |  CAST(returned_cents AS DOUBLE) / CAST(rev_cents AS DOUBLE) AS returned_share
+      |FROM per JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY suppkey""".stripMargin
 }

@@ -386,6 +386,61 @@ object Dedup {
       |FROM joined GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** dedup_simhash_audit — the SimHash twin of [[dedupMinhashAudit]]:
+    * per 0.1-Jaccard-bucket recall of the hamming-confirmed SimHash
+    * candidate set against exact rare-shingle Jaccard (≥ 0.35). Read
+    * the two audit curves together: MinHash recall should dominate at
+    * every bucket (it measures set overlap directly; SimHash blurs it
+    * through 64 parity votes) — a corpus where SimHash wins means the
+    * shingle cap is biting, not that SimHash is better. Count-only
+    * left join on the pair key; one IEEE divide per bucket. */
+  def dedupSimhashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = jaccardPairs(spark, dir)
+    val cand = simhashPairsOf(corpus(spark, dir))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("detected"))
+    exact.join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket", floor(col("jaccard") * 10d).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("detected"), lit(0L))).as("n_detected"))
+      .withColumn("recall",
+        col("n_detected").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("bucket_lo", col("bucket").cast("double") / lit(10d))
+      .select(col("bucket"), col("bucket_lo"), col("n_pairs"),
+        col("n_detected"), col("recall"))
+      .orderBy(col("bucket"))
+  }
+
+  lazy val dedupSimhashAuditSql: String =
+    s"""WITH $docShinglesSql,
+      |$simhashCandCtes,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |exact AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.35
+      |),
+      |joined AS (
+      |  SELECT CAST(FLOOR(e.jaccard * 10) AS BIGINT) AS bucket,
+      |    CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS detected
+      |  FROM exact e LEFT JOIN sh_pairs m
+      |    ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b
+      |)
+      |SELECT bucket, CAST(bucket AS DOUBLE) / 10.0 AS bucket_lo,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(SUM(detected) AS BIGINT) AS n_detected,
+      |  CAST(CAST(SUM(detected) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+      |FROM joined GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
   // ---- SimHash ------------------------------------------------------------
 
   /** Salt decorrelating the simhash bit-vote perms from the minhash
@@ -397,7 +452,12 @@ object Dedup {
     * cap → band-equality candidates → hamming via per-band popcount of
     * xor. Exact replay of the Spark sketch (which packs the same bits
     * into one 64-bit value). */
-  lazy val dedupSimhashSql: String = {
+  /** SimHash candidate-pair CTE chain (builds on a `corpus` CTE defined
+    * upstream): per-word affine-parity bit votes → 4×16-bit band keys →
+    * bucket-size cap → band-equality candidates → hamming ≤ 8 confirm,
+    * as `sh_pairs(doc_a, doc_b, hamming)`. Shared by the dedup_simhash
+    * oracle and the dedup_simhash_audit oracle. */
+  private lazy val simhashCandCtes: String = {
     val h = baseHashSql.format("w")
     val bitSums = (0 until 64).map { j =>
       val (a, b) = perm(j + SimSalt)
@@ -413,8 +473,7 @@ object Dedup {
       .mkString(",\n      ")
     val hamming = (0 until 4).map(k => s"bit_count(xor(sa.band$k, sb.band$k))")
       .mkString(" + ")
-    s"""WITH corpus AS ($corpusSql),
-      |w AS (SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM corpus),
+    s"""w AS (SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM corpus),
       |wh AS (SELECT doc_id, $h AS h FROM w),
       |bsum AS (
       |  SELECT doc_id,
@@ -441,14 +500,21 @@ object Dedup {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bounded a JOIN bounded b
       |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      |)
-      |SELECT doc_a, doc_b, $hamming AS hamming
-      |FROM cand
-      |JOIN sigs sa ON sa.doc_id = doc_a
-      |JOIN sigs sb ON sb.doc_id = doc_b
-      |WHERE $hamming <= 8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |),
+      |sh_pairs AS (
+      |  SELECT doc_a, doc_b, $hamming AS hamming
+      |  FROM cand
+      |  JOIN sigs sa ON sa.doc_id = doc_a
+      |  JOIN sigs sb ON sb.doc_id = doc_b
+      |  WHERE $hamming <= 8
+      |)""".stripMargin
   }
+
+  lazy val dedupSimhashSql: String =
+    s"""WITH corpus AS ($corpusSql),
+      |$simhashCandCtes
+      |SELECT doc_a, doc_b, hamming FROM sh_pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Generic 64-bit SimHash near-dup pairs over any (doc_id, text)
     * relation; near-dup candidates via 4×16-bit band equality, confirmed

@@ -504,6 +504,36 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q40_max_drawdown: one row per year, drawdown nonnegative, trough inside the year") {
+    val out = Analytics.q40MaxDrawdown(spark, sf).cache()
+    val years = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate"))).distinct().count()
+    assert(out.count() == years)
+    assert(out.filter(col("max_drawdown_scaled") < 0).isEmpty)
+    assert(out.filter(year(col("trough_day")) =!= col("yr")).isEmpty)
+    out.unpersist()
+  }
+
+  test("q41_supplier_returns: rates bounded, volume gate holds, returned ≤ total") {
+    val out = Analytics.q41SupplierReturns(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("n_lines") < 20).isEmpty)
+    assert(out.filter(col("n_returned") > col("n_lines") ||
+      col("returned_cents") > col("rev_cents")).isEmpty)
+    assert(out.filter(col("return_rate") < 0 || col("return_rate") > 1 ||
+      col("returned_share") < 0 || col("returned_share") > 1).isEmpty)
+    out.unpersist()
+  }
+
+  test("dedup_simhash_audit: buckets cover the true pairs; detected never exceeds pairs") {
+    val out = graft.operators.Dedup.dedupSimhashAudit(spark, sf).cache()
+    val truePairs = graft.operators.Dedup.dedupNgramJaccard(spark, sf).count()
+    assert(out.agg(sum(col("n_pairs"))).head.getLong(0) == truePairs)
+    assert(out.filter(col("n_detected") > col("n_pairs")).isEmpty)
+    assert(out.filter(col("bucket") < 3 || col("bucket") > 10).isEmpty)
+    out.unpersist()
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
