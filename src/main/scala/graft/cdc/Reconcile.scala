@@ -1438,4 +1438,58 @@ object Reconcile {
       |  CASE WHEN CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) >= 4
       |       THEN 'SALT' ELSE 'HASH' END AS strategy
       |FROM c""".stripMargin
+
+  /** recon_column_drift — value-DISTRIBUTION drift between source and
+    * target: a 20-bucket exact-cents histogram of o_totalprice on both
+    * sides (bucket grid derived from the SOURCE min/max and broadcast,
+    * so both sides bin identically; integer `div` binning, top bucket
+    * clamped) with per-bucket absolute divergence. This catches the
+    * corruption class count/row-diff checks structurally can't: same
+    * row count, same keys, values shifted — the +1.00-price drift rows
+    * light up exactly the buckets they left and entered. Two
+    * histogram-sized aggregates, a 20-row join; nothing else moves. */
+  def reconColumnDrift(spark: SparkSession, dir: String): DataFrame = {
+    val srcC = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("c"))
+    val tgtC = driftedTarget(spark, dir)
+      .select(floor(col("o_totalprice") * 100d + 0.5d).cast("long").as("c"))
+    val bounds = srcC.agg(min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .withColumn("bucket", least(lit(19L),
+          expr("(c - min_c) * 20 div (max_c - min_c + 1)")))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(out))
+    hist(srcC, "n_src").join(hist(tgtC, "n_tgt"), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_tgt"), lit(0L)).as("n_tgt"))
+      .withColumn("abs_diff", abs(col("n_src") - col("n_tgt")))
+      .withColumn("drifted", col("abs_diff") > 0L)
+      .orderBy(col("bucket"))
+  }
+
+  val reconColumnDriftSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |srcc AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders),
+      |tgtc AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM tgt),
+      |bounds AS (SELECT MIN(c) AS min_c, MAX(c) AS max_c FROM srcc),
+      |hs AS (
+      |  SELECT least(19, (c - (SELECT min_c FROM bounds)) * 20 //
+      |    ((SELECT max_c FROM bounds) - (SELECT min_c FROM bounds) + 1)) AS bucket,
+      |    COUNT(*) AS n_src
+      |  FROM srcc GROUP BY 1
+      |),
+      |ht AS (
+      |  SELECT least(19, (c - (SELECT min_c FROM bounds)) * 20 //
+      |    ((SELECT max_c FROM bounds) - (SELECT min_c FROM bounds) + 1)) AS bucket,
+      |    COUNT(*) AS n_tgt
+      |  FROM tgtc GROUP BY 1
+      |)
+      |SELECT COALESCE(hs.bucket, ht.bucket) AS bucket,
+      |  COALESCE(n_src, 0) AS n_src,
+      |  COALESCE(n_tgt, 0) AS n_tgt,
+      |  abs(COALESCE(n_src, 0) - COALESCE(n_tgt, 0)) AS abs_diff,
+      |  abs(COALESCE(n_src, 0) - COALESCE(n_tgt, 0)) > 0 AS drifted
+      |FROM hs FULL OUTER JOIN ht ON hs.bucket = ht.bucket
+      |ORDER BY bucket""".stripMargin
 }

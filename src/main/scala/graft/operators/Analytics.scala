@@ -2210,4 +2210,63 @@ object Analytics {
       |  CAST(returned_cents AS DOUBLE) / CAST(rev_cents AS DOUBLE) AS returned_share
       |FROM per JOIN supplier ON s_suppkey = l_suppkey
       |ORDER BY suppkey""".stripMargin
+
+  /** q42_backlog_aging — open-order aging report: orders not yet
+    * finalized (status ≠ 'F') bucketed by age against the corpus
+    * high-water date (exact day arithmetic off the broadcast max date —
+    * no wall clock in a deterministic pipeline), per (priority, band):
+    * count, exact-cents value, share of the open backlog. The ops-desk
+    * "what's stuck and how much is it worth" view. One filtered
+    * aggregate; the age bands are map-side CASE arms. */
+  def q42BacklogAging(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("d"), cents(col("o_totalprice")).as("c"))
+    val hiWater = o.agg(max(col("d")).as("max_d"))
+    val open = o.filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(hiWater))
+      .withColumn("age_days", datediff(col("max_d"), col("d")).cast("long"))
+      .withColumn("age_band",
+        when(col("age_days") < 30, "0_FRESH")
+          .when(col("age_days") < 90, "1_AGING")
+          .when(col("age_days") < 365, "2_STALE")
+          .otherwise("3_ANCIENT"))
+    val tot = open.agg(sum(col("c")).as("open_cents"))
+    open.groupBy(col("o_orderpriority"), col("age_band"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("band_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("backlog_share",
+        col("band_cents").cast("double") / col("open_cents").cast("double"))
+      .select(col("o_orderpriority"), col("age_band"), col("n_orders"),
+        col("band_cents"), col("backlog_share"))
+      .orderBy(col("o_orderpriority"), col("age_band"))
+  }
+
+  val q42BacklogAgingSql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c
+      |  FROM orders
+      |),
+      |hi AS (SELECT MAX(d) AS max_d FROM o),
+      |open_o AS (
+      |  SELECT o_orderpriority,
+      |    CAST((SELECT max_d FROM hi) - d AS BIGINT) AS age_days, c
+      |  FROM o WHERE o_orderstatus <> 'F'
+      |),
+      |banded AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN age_days < 30 THEN '0_FRESH'
+      |         WHEN age_days < 90 THEN '1_AGING'
+      |         WHEN age_days < 365 THEN '2_STALE'
+      |         ELSE '3_ANCIENT' END AS age_band, c
+      |  FROM open_o
+      |),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS open_cents FROM banded)
+      |SELECT o_orderpriority, age_band, COUNT(*) AS n_orders,
+      |  CAST(SUM(c) AS BIGINT) AS band_cents,
+      |  CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) /
+      |    CAST((SELECT open_cents FROM tot) AS DOUBLE) AS backlog_share
+      |FROM banded GROUP BY 1, 2
+      |ORDER BY o_orderpriority, age_band""".stripMargin
 }

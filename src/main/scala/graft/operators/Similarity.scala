@@ -192,6 +192,62 @@ object Similarity {
       |FROM e GROUP BY pos
       |ORDER BY pos""".stripMargin
 
+  /** embed_dup_vectors — EXACT duplicate embedding detection: vectors
+    * identical on the 1e-6 quantized grid, grouped BY THE QUANTIZED
+    * ARRAY ITSELF (the grouping key is the value — no lossy hash, no
+    * pair join; Spark hashes the array for the shuffle internally).
+    * The corpus plants copies (vec_id % 13 == 0, re-keyed +1_000_000,
+    * the Dedup.corpus discipline) so the detector's output is
+    * non-vacuous and oracle-checked. Exact-dup vectors are the classic
+    * symptom of an upstream batch re-run or a collapsed encoder —
+    * cosine near-dup (dedup_embedding) can't tell "same content" from
+    * "same bytes"; this can. Shuffle ∝ corpus, output ∝ duplicate
+    * groups. */
+  def embedDupVectors(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = base.select(explode(array_compact(array(
+        struct(col("vec_id"), col("label"), col("embedding")),
+        when(col("vec_id") % 13 === 0,
+          struct((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+            col("embedding")))))).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.label").as("label"),
+        col("r.embedding").as("embedding"))
+    planted
+      .withColumn("vq", transform(toDouble(col("embedding")),
+        x => floor(x * 1e6 + 0.5).cast("long")))
+      .groupBy(col("vq"))
+      .agg(min(col("vec_id")).as("canonical_vec_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("vec_id")).as("id_checksum"),
+        min(col("label")).as("label"))
+      .filter(col("n_copies") >= 2)
+      .select(col("canonical_vec_id"), col("n_copies"), col("id_checksum"),
+        col("label"))
+      .orderBy(col("canonical_vec_id"))
+  }
+
+  val embedDupVectorsSql: String =
+    """WITH planted AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, label, embedding FROM embeddings
+      |  WHERE vec_id % 13 = 0
+      |),
+      |q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS vq
+      |  FROM planted
+      |)
+      |SELECT MIN(vec_id) AS canonical_vec_id,
+      |  COUNT(*) AS n_copies,
+      |  CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+      |  MIN(label) AS label
+      |FROM q GROUP BY vq
+      |HAVING COUNT(*) >= 2
+      |ORDER BY canonical_vec_id""".stripMargin
+
   /** embed_sim_hist — within-label pairwise cosine histogram (0.05-wide
     * buckets): the calibration curve behind every similarity threshold
     * in this family — knn_radius's τ, dedup_embedding's 0.30 — read off

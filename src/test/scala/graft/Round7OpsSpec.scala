@@ -534,6 +534,43 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("recon_column_drift: histograms cover both sides; drift appears in ≥1 bucket") {
+    val out = Reconcile.reconColumnDrift(spark, sf).cache()
+    val nSrc = Tables.orders(spark, sf).count()
+    val nTgt = Reconcile.driftedTarget(spark, sf).count()
+    assert(out.agg(sum(col("n_src"))).head.getLong(0) == nSrc)
+    assert(out.agg(sum(col("n_tgt"))).head.getLong(0) == nTgt)
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 19).isEmpty)
+    // the planted +1.00 drift and dropped/extra keys must be visible
+    assert(out.filter(col("drifted")).count() >= 1)
+    out.unpersist()
+  }
+
+  test("embed_dup_vectors: exactly the planted copies are detected") {
+    val out = Similarity.embedDupVectors(spark, sf).cache()
+    val planted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 13 === 0).count()
+    // every planted copy forms a group of ≥2 with its base vector;
+    // natural exact dups may add groups but never reduce them
+    assert(out.count() >= planted.min(1L))
+    assert(out.agg(sum(col("n_copies") - 1)).head.getLong(0) >= planted)
+    assert(out.filter(col("n_copies") < 2).isEmpty)
+    // canonical id is the group min: checksum must exceed canonical * n
+    assert(out.filter(col("id_checksum") <= col("canonical_vec_id") * col("n_copies"))
+      .filter(col("n_copies") >= 2).isEmpty)
+    out.unpersist()
+  }
+
+  test("q42_backlog_aging: only open orders counted, shares sum to 1") {
+    val out = Analytics.q42BacklogAging(spark, sf).cache()
+    val open = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "F").count()
+    assert(out.agg(sum(col("n_orders"))).head.getLong(0) == open)
+    assert(math.abs(out.agg(sum(col("backlog_share"))).head.getDouble(0) - 1.0) < 1e-9)
+    assert(out.filter(!col("age_band").isin("0_FRESH", "1_AGING", "2_STALE", "3_ANCIENT")).isEmpty)
+    out.unpersist()
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
