@@ -2269,4 +2269,173 @@ object Analytics {
       |    CAST((SELECT open_cents FROM tot) AS DOUBLE) AS backlog_share
       |FROM banded GROUP BY 1, 2
       |ORDER BY o_orderpriority, age_band""".stripMargin
+
+  /** events_mix_drift — week-over-week event-type mix drift: per week,
+    * the L1 distance between this week's and last week's type
+    * distribution. The distance is computed on EXACT cross-multiplied
+    * integers — Σ_types |n_t·T_prev − p_t·T_this| as longs, finished by
+    * ONE divide by T_this·T_prev — because an L1 summed from per-type
+    * IEEE share differences would be aggregation-order-dependent and
+    * flake the oracle hash. Counts densify onto the weeks × types grid
+    * (both dimension-bounded — the one sanctioned cross join) so a type
+    * that VANISHES still contributes its full mass; windows run over
+    * the grid pre-aggregates only. The weekly ingestion-mix gate: a
+    * stable pipeline's L1 hovers near 0, a crawler config change
+    * spikes it. */
+  def eventsMixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(spark, dir)
+      .select(date_trunc("week", col("ts")).as("week"), col("event_type"))
+      .groupBy(col("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // densify onto the weeks × types grid (both dimension-bounded) so
+    // the lag window always aligns to the immediately preceding week
+    // and vanished types still contribute their full mass to the L1
+    val grid = wk.select(col("week")).distinct()
+      .crossJoin(broadcast(wk.select(col("event_type")).distinct()))
+    val full = grid.join(wk, Seq("week", "event_type"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val tw = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    val totals = full.groupBy(col("week")).agg(sum(col("n")).as("t_this"))
+      .withColumn("t_prev", lag(col("t_this"), 1).over(Window.orderBy(col("week"))))
+    full.withColumn("p_n", lag(col("n"), 1).over(tw))
+      .join(totals, Seq("week"))
+      .filter(col("p_n").isNotNull && col("t_prev").isNotNull)
+      .withColumn("num", abs(col("n") * col("t_prev") - col("p_n") * col("t_this")))
+      .groupBy(col("week"), col("t_this"), col("t_prev"))
+      .agg(sum(col("num")).as("l1_num"), count(lit(1)).as("n_types"))
+      .withColumn("l1",
+        col("l1_num").cast("double") / (col("t_this") * col("t_prev")).cast("double"))
+      .select(col("week"), col("n_types"), col("t_this"), col("t_prev"),
+        col("l1_num"), col("l1"))
+      .orderBy(col("week"))
+  }
+
+  val eventsMixDriftSql: String =
+    """WITH wk AS (
+      |  SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT week, event_type
+      |  FROM (SELECT DISTINCT week FROM wk)
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM wk)
+      |),
+      |full_g AS (
+      |  SELECT g.week, g.event_type, COALESCE(wk.n, 0) AS n
+      |  FROM grid g LEFT JOIN wk USING (week, event_type)
+      |),
+      |tot AS (
+      |  SELECT week, CAST(SUM(n) AS BIGINT) AS t_this FROM full_g GROUP BY 1
+      |),
+      |tot2 AS (
+      |  SELECT week, t_this, LAG(t_this) OVER (ORDER BY week) AS t_prev FROM tot
+      |),
+      |lagged AS (
+      |  SELECT week, event_type, n,
+      |    LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS p_n
+      |  FROM full_g
+      |),
+      |joined AS (
+      |  SELECT l.week, t.t_this, t.t_prev,
+      |    abs(l.n * t.t_prev - l.p_n * t.t_this) AS num
+      |  FROM lagged l JOIN tot2 t USING (week)
+      |  WHERE l.p_n IS NOT NULL AND t.t_prev IS NOT NULL
+      |)
+      |SELECT week, COUNT(*) AS n_types, t_this, t_prev,
+      |  CAST(SUM(num) AS BIGINT) AS l1_num,
+      |  CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE) /
+      |    CAST(t_this * t_prev AS DOUBLE) AS l1
+      |FROM joined GROUP BY week, t_this, t_prev
+      |ORDER BY week""".stripMargin
+
+  /** events_power_users — heavy-hitter report: top-20 users by event
+    * volume (deterministic (n DESC, user ASC) ranking), each with
+    * purchase-cents value and share of the whole stream — the "WHO are
+    * the hot keys" companion to recon_key_skew's "how bad". One
+    * data-sized shuffle (groupBy user); the ranking window runs over
+    * one row per user, and only 20 rows survive to the scalar-share
+    * join. */
+  def eventsPowerUsers(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100d + 0.5d).cast("long")).otherwise(0L))
+          .as("purchase_cents"))
+    val tot = per.agg(sum(col("n_events")).as("n_total"))
+    per.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .crossJoin(broadcast(tot))
+      .withColumn("stream_share",
+        col("n_events").cast("double") / col("n_total").cast("double"))
+      .select(col("rank"), col("user_id"), col("n_events"),
+        col("purchase_cents"), col("stream_share"))
+      .orderBy(col("rank"))
+  }
+
+  val eventsPowerUsersSql: String =
+    """WITH per AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value*100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS purchase_cents
+      |  FROM events GROUP BY 1
+      |),
+      |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM per),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rank
+      |  FROM per
+      |)
+      |SELECT rank, user_id, n_events, purchase_cents,
+      |  CAST(n_events AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE)
+      |    AS stream_share
+      |FROM ranked WHERE rank <= 20
+      |ORDER BY rank""".stripMargin
+
+  /** q43_discount_bands — discount-band effect report (the TPC-H Q6
+    * what-if generalized): lineitems bucketed by discount percentage
+    * point, per band: line count, exact-cents gross and discounted
+    * revenue, the forgone revenue, and mean quantity via exact carriers.
+    * Discount cents use floor(gross·disc·100 + 0.5) per row — one fused
+    * expression, identical IEEE ops both engines. Map-side CASE-free
+    * banding (discounts are exact hundredths: round(d·100) is the
+    * band), one small aggregate. */
+  def q43DiscountBands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(floor(col("l_discount") * 100d + 0.5d).cast("long").as("disc_pct"),
+        cents(col("l_extendedprice")).as("gross_c"),
+        floor(col("l_extendedprice") * col("l_discount") * 100d + 0.5d)
+          .cast("long").as("disc_c"),
+        floor(col("l_quantity") + 0.5d).cast("long").as("qty"))
+    li.groupBy(col("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("gross_c")).as("gross_cents"),
+        sum(col("disc_c")).as("discount_cents"),
+        sum(col("qty")).as("qty_sum"))
+      .withColumn("net_cents", col("gross_cents") - col("discount_cents"))
+      .withColumn("mean_qty",
+        col("qty_sum").cast("double") / col("n_lines").cast("double"))
+      .select(col("disc_pct"), col("n_lines"), col("gross_cents"),
+        col("discount_cents"), col("net_cents"), col("mean_qty"))
+      .orderBy(col("disc_pct"))
+  }
+
+  val q43DiscountBandsSql: String =
+    """WITH li AS (
+      |  SELECT CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS disc_pct,
+      |    CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS gross_c,
+      |    CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT) AS disc_c,
+      |    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+      |  FROM lineitem
+      |)
+      |SELECT disc_pct, COUNT(*) AS n_lines,
+      |  CAST(SUM(gross_c) AS BIGINT) AS gross_cents,
+      |  CAST(SUM(disc_c) AS BIGINT) AS discount_cents,
+      |  CAST(SUM(gross_c) AS BIGINT) - CAST(SUM(disc_c) AS BIGINT) AS net_cents,
+      |  CAST(CAST(SUM(qty) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_qty
+      |FROM li GROUP BY disc_pct
+      |ORDER BY disc_pct""".stripMargin
 }

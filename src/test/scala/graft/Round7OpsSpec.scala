@@ -571,6 +571,47 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("events_mix_drift: identical consecutive mixes give zero L1; bounds hold") {
+    val out = Analytics.eventsMixDrift(spark, sf).cache()
+    assert(out.count() > 0)
+    // L1 of two distributions is in [0, 2]
+    assert(out.filter(col("l1") < 0 || col("l1") > 2).isEmpty)
+    // first week (no predecessor) never appears
+    val firstWeek = Tables.events(spark, sf)
+      .agg(date_trunc("week", min(col("ts")))).head.getTimestamp(0)
+    assert(out.filter(col("week") === firstWeek).isEmpty)
+    out.unpersist()
+  }
+
+  test("events_power_users: exactly the top-20, ordered, shares consistent") {
+    val out = Analytics.eventsPowerUsers(spark, sf).cache()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(out.count() == math.min(20L, nUsers))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("rank"))
+    assert(out.withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .filter(col("prev_n").isNotNull && col("n_events") > col("prev_n")).isEmpty)
+    // rank-1 user really is the argmax of a direct recount
+    val top = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc, col("user_id"))
+      .limit(1).head
+    val claimed = out.filter(col("rank") === 1).head
+    assert(claimed.getAs[Long]("user_id") == top.getAs[Long]("user_id"))
+    assert(claimed.getAs[Long]("n_events") == top.getAs[Long]("n"))
+    out.unpersist()
+  }
+
+  test("q43_discount_bands: net = gross - discount; bands cover all lines") {
+    val out = Analytics.q43DiscountBands(spark, sf).cache()
+    assert(out.agg(sum(col("n_lines"))).head.getLong(0) ==
+      Tables.lineitem(spark, sf).count())
+    assert(out.filter(col("net_cents") =!=
+      col("gross_cents") - col("discount_cents")).isEmpty)
+    // zero-discount band forgoes nothing
+    assert(out.filter(col("disc_pct") === 0 && col("discount_cents") =!= 0).isEmpty)
+    assert(out.filter(col("discount_cents") > col("gross_cents")).isEmpty)
+    out.unpersist()
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
