@@ -1492,4 +1492,58 @@ object Reconcile {
       |  abs(COALESCE(n_src, 0) - COALESCE(n_tgt, 0)) > 0 AS drifted
       |FROM hs FULL OUTER JOIN ht ON hs.bucket = ht.bucket
       |ORDER BY bucket""".stripMargin
+
+  /** recon_pk_violations — primary-key uniqueness audit of the target:
+    * keys appearing more than once (count, first/last claimant, the
+    * exact-cents value spread across claimants — identical-copy dups
+    * and conflicting-write dups are different failures). The planted
+    * scenario doubles keys % 777 == 5 verbatim (IDENTICAL_COPY) and
+    * keys % 777 == 9 with a +1.00 skew (CONFLICTING_VALUES) so both
+    * failure classes are exercised. One
+    * groupBy(key); only violating keys (a vanishing fraction) leave
+    * the aggregate. The check replication itself can't make: a target
+    * that APPLIED everything can still have doubled rows from a
+    * non-idempotent writer. */
+  def reconPkViolations(spark: SparkSession, dir: String): DataFrame = {
+    val base = driftedTarget(spark, dir)
+    val copyDup = base.filter(col("o_orderkey") % 777 === 5)
+    val conflictDup = base.filter(col("o_orderkey") % 777 === 9)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0d)
+    base.unionAll(copyDup).unionAll(conflictDup)
+      .select(col("o_orderkey"), floor(col("o_totalprice") * 100d + 0.5d)
+        .cast("long").as("c"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c")).as("min_cents"),
+        max(col("c")).as("max_cents"))
+      .filter(col("n_rows") >= 2)
+      .withColumn("conflict_kind",
+        when(col("min_cents") === col("max_cents"), "IDENTICAL_COPY")
+          .otherwise("CONFLICTING_VALUES"))
+      .select(col("o_orderkey"), col("n_rows"), col("min_cents"),
+        col("max_cents"), col("conflict_kind"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val reconPkViolationsSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |planted AS (
+      |  SELECT o_orderkey, o_totalprice FROM tgt
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice FROM tgt WHERE o_orderkey % 777 = 5
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 1.0 FROM tgt WHERE o_orderkey % 777 = 9
+      |),
+      |g AS (
+      |  SELECT o_orderkey, COUNT(*) AS n_rows,
+      |    MIN(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS min_cents,
+      |    MAX(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS max_cents
+      |  FROM planted GROUP BY 1
+      |  HAVING COUNT(*) >= 2
+      |)
+      |SELECT o_orderkey, n_rows, min_cents, max_cents,
+      |  CASE WHEN min_cents = max_cents THEN 'IDENTICAL_COPY'
+      |       ELSE 'CONFLICTING_VALUES' END AS conflict_kind
+      |FROM g
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -2438,4 +2438,54 @@ object Analytics {
       |  CAST(CAST(SUM(qty) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_qty
       |FROM li GROUP BY disc_pct
       |ORDER BY disc_pct""".stripMargin
+
+  /** q44_reorder_cadence — customer reorder cadence by market segment:
+    * per-customer day gaps between consecutive orders (lag window
+    * partitioned per customer — bounded by that customer's orders),
+    * rolled up per segment: repeat-customer count, median / p90 gap
+    * days, mean by exact carriers. The replenishment-rhythm metric
+    * behind every "time to next order" campaign. Gap extraction is one
+    * per-key window over the fact; the segment rollup joins the
+    * broadcast customer dim and aggregates one row per gap. */
+  def q44ReorderCadence(spark: SparkSession, dir: String): DataFrame = {
+    val cw = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("prev_d", lag(col("d"), 1).over(cw))
+      .filter(col("prev_d").isNotNull)
+      .withColumn("gap_days", datediff(col("d"), col("prev_d")).cast("long"))
+    gaps.join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_repeat_customers"),
+        sum(col("gap_days")).as("gap_sum"),
+        expr("percentile(CAST(gap_days AS DOUBLE), 0.5)").as("p50_gap_days"),
+        expr("percentile(CAST(gap_days AS DOUBLE), 0.9)").as("p90_gap_days"))
+      .withColumn("mean_gap_days",
+        col("gap_sum").cast("double") / col("n_gaps").cast("double"))
+      .select(col("c_mktsegment"), col("n_repeat_customers"), col("n_gaps"),
+        col("p50_gap_days"), col("p90_gap_days"), col("mean_gap_days"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q44ReorderCadenceSql: String =
+    """WITH gaps AS (
+      |  SELECT o_custkey,
+      |    CAST(d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d) AS BIGINT)
+      |      AS gap_days
+      |  FROM (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+      |),
+      |g AS (SELECT * FROM gaps WHERE gap_days IS NOT NULL)
+      |SELECT c_mktsegment,
+      |  COUNT(DISTINCT o_custkey) AS n_repeat_customers,
+      |  COUNT(*) AS n_gaps,
+      |  quantile_cont(CAST(gap_days AS DOUBLE), 0.5) AS p50_gap_days,
+      |  quantile_cont(CAST(gap_days AS DOUBLE), 0.9) AS p90_gap_days,
+      |  CAST(CAST(SUM(gap_days) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_gap_days
+      |FROM g JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 }

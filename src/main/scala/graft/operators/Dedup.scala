@@ -441,6 +441,64 @@ object Dedup {
       |FROM joined GROUP BY bucket
       |ORDER BY bucket""".stripMargin
 
+  /** dedup_shingle_df_profile — shingle document-frequency histogram in
+    * power-of-two bands (explicit CASE ladder — no libm log2 the two
+    * engines could round differently): how many distinct shingles occur
+    * in 1 doc, 2, 3–4, 5–8, … 129+. THE tuning evidence for
+    * ShingleFreqCap: the mass above the cap is exactly what the
+    * rare-shingle Jaccard path discards, and a fat high band means
+    * boilerplate is polluting the pair candidates. One groupBy(h) the
+    * family already pays, then a ≤9-row aggregate; corpus share is one
+    * IEEE divide. */
+  def dedupShingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val dfreq = shinglesOf(corpus(spark, dir))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val band = when(col("df") === 1, "01_unique")
+      .when(col("df") === 2, "02_pair")
+      .when(col("df") <= 4, "03_le4")
+      .when(col("df") <= 8, "04_le8")
+      .when(col("df") <= 16, "05_le16")
+      .when(col("df") <= 32, "06_le32")
+      .when(col("df") <= 64, "07_le64")
+      .when(col("df") <= 128, "08_le128")
+      .otherwise("09_gt128")
+    val tot = dfreq.agg(count(lit(1)).as("n_shingles_total"))
+    dfreq.withColumn("df_band", band)
+      .groupBy(col("df_band"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("occurrences"))
+      .crossJoin(broadcast(tot))
+      .withColumn("shingle_share",
+        col("n_shingles").cast("double") / col("n_shingles_total").cast("double"))
+      .select(col("df_band"), col("n_shingles"), col("occurrences"),
+        col("shingle_share"))
+      .orderBy(col("df_band"))
+  }
+
+  lazy val dedupShingleDfProfileSql: String =
+    s"""WITH $shinglesCtes,
+      |dfreq AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+      |tot AS (SELECT COUNT(*) AS n_shingles_total FROM dfreq),
+      |banded AS (
+      |  SELECT df,
+      |    CASE WHEN df = 1 THEN '01_unique'
+      |         WHEN df = 2 THEN '02_pair'
+      |         WHEN df <= 4 THEN '03_le4'
+      |         WHEN df <= 8 THEN '04_le8'
+      |         WHEN df <= 16 THEN '05_le16'
+      |         WHEN df <= 32 THEN '06_le32'
+      |         WHEN df <= 64 THEN '07_le64'
+      |         WHEN df <= 128 THEN '08_le128'
+      |         ELSE '09_gt128' END AS df_band
+      |  FROM dfreq
+      |)
+      |SELECT df_band, COUNT(*) AS n_shingles,
+      |  CAST(SUM(df) AS BIGINT) AS occurrences,
+      |  CAST(COUNT(*) AS DOUBLE) /
+      |    CAST((SELECT n_shingles_total FROM tot) AS DOUBLE) AS shingle_share
+      |FROM banded GROUP BY df_band
+      |ORDER BY df_band""".stripMargin
+
   // ---- SimHash ------------------------------------------------------------
 
   /** Salt decorrelating the simhash bit-vote perms from the minhash

@@ -612,6 +612,44 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("recon_pk_violations: both planted conflict classes surface, nothing else") {
+    val out = Reconcile.reconPkViolations(spark, sf).cache()
+    assert(out.filter(col("n_rows") < 2).isEmpty)
+    // planted moduli are the only sources of violations
+    assert(out.filter(col("o_orderkey") % 777 =!= 5 &&
+      col("o_orderkey") % 777 =!= 9).isEmpty)
+    assert(out.filter(col("o_orderkey") % 777 === 5)
+      .filter(col("conflict_kind") =!= "IDENTICAL_COPY").isEmpty)
+    assert(out.filter(col("o_orderkey") % 777 === 9)
+      .filter(col("conflict_kind") =!= "CONFLICTING_VALUES").isEmpty)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
+  test("q44_reorder_cadence: gap counts telescope to orders minus customers") {
+    val out = Analytics.q44ReorderCadence(spark, sf).cache()
+    val o = Tables.orders(spark, sf)
+    val nOrders = o.count()
+    val nCustomers = o.select(col("o_custkey")).distinct().count()
+    // each customer with k orders contributes k-1 gaps
+    assert(out.agg(sum(col("n_gaps"))).head.getLong(0) == nOrders - nCustomers)
+    assert(out.filter(col("p90_gap_days") < col("p50_gap_days")).isEmpty)
+    assert(out.filter(col("mean_gap_days") < 0).isEmpty)
+    out.unpersist()
+  }
+
+  test("dedup_shingle_df_profile: bands partition the shingle vocabulary") {
+    val out = graft.operators.Dedup.dedupShingleDfProfile(spark, sf).cache()
+    assert(math.abs(out.agg(sum(col("shingle_share"))).head.getDouble(0) - 1.0) < 1e-9)
+    // occurrences recount: total shingle instances across the corpus
+    val totalOcc = graft.operators.Dedup
+      .shinglesOf(graft.operators.Dedup.corpus(spark, sf)).count()
+    assert(out.agg(sum(col("occurrences"))).head.getLong(0) == totalOcc)
+    // planted exact copies guarantee a non-unique band exists
+    assert(out.filter(col("df_band") =!= "01_unique").count() > 0)
+    out.unpersist()
+  }
+
   // ---- plan-shape checks for the new ops (SURVEY §5 discipline) ----------
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
