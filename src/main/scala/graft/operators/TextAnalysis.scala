@@ -1164,14 +1164,18 @@ object TextAnalysis {
     * crawls changed encoding, not content. The whitespace class is the
     * explicit [ \\t\\n\\r] so the Java and RE2 regex engines agree. */
   def textCharsetProfile(spark: SparkSession, dir: String): DataFrame = {
-    val strip = (c: org.apache.spark.sql.Column, cls: String) =>
-      (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+    // the census is the native one-pass CharClassCounts kernel: the
+    // composable form (length + three regexp_replace strip-counts, kept
+    // as the oracle and pinned ≡ in SketchKernelSpec) walks the string
+    // four times and allocates three stripped copies per row
+    import org.apache.spark.sql.graftvec.CharClassExpressions.charClassCounts
     val t = Tables.documents(spark, dir)
-      .select(col("source"), col("text"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("n_alpha", strip(col("text"), "[A-Za-z]"))
-      .withColumn("n_digit", strip(col("text"), "[0-9]"))
-      .withColumn("n_space", strip(col("text"), "[ \\t\\n\\r]"))
+      .select(col("source"), charClassCounts(col("text")).as("cc"))
+      .select(col("source"),
+        col("cc").getItem(0).as("n_chars"),
+        col("cc").getItem(1).as("n_alpha"),
+        col("cc").getItem(2).as("n_digit"),
+        col("cc").getItem(3).as("n_space"))
     t.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),

@@ -196,6 +196,42 @@ class SketchKernelSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", saved)
   }
 
+  test("char_class_counts equals the regex strip-count form, incl. edge strings") {
+    import org.apache.spark.sql.graftvec.CharClassExpressions.charClassCounts
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+    val edges = Seq("", " ", "\t\n\r", "abc123 XYZ!?", "ünïcødé mixé 42",
+      "é世界 ascii", "a" * 1000).toDF("text")
+    for (d <- Seq(corpus, edges)) {
+      val both = d.select(
+        charClassCounts(col("text")).as("k"),
+        length(col("text")).cast("long").as("r_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")))
+          .cast("long").as("r_alpha"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("r_digit"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[ \\t\\n\\r]", "")))
+          .cast("long").as("r_space"))
+      assert(both.filter(
+        col("k").getItem(0) =!= col("r_chars") ||
+        col("k").getItem(1) =!= col("r_alpha") ||
+        col("k").getItem(2) =!= col("r_digit") ||
+        col("k").getItem(3) =!= col("r_space")).isEmpty)
+    }
+  }
+
+  test("char_class_counts runs under CODEGEN_ONLY") {
+    import org.apache.spark.sql.graftvec.CharClassExpressions.charClassCounts
+    val saved = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = spark.read.parquet(s"$sf/documents.parquet")
+        .select(charClassCounts(col("text")).getItem(1).as("a"))
+        .filter(col("a") > 0).count()
+      assert(n > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", saved)
+  }
+
   test("marker_hits equals the size(filter(isin)) HOF form for every set") {
     import org.apache.spark.sql.graftvec.MarkerHitsExpressions
     val sets = Seq(Seq("the", "a", "of"), Seq("el", "la", "de"), Seq("und", "ist"))
