@@ -2488,4 +2488,55 @@ object Analytics {
       |FROM g JOIN customer ON c_custkey = o_custkey
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  /** q45_nation_yoy_growth — revenue by customer nation, year over
+    * year: exact-cents revenue per (nation, year), the previous year by
+    * a per-nation lag window (over year pre-aggregates — bounded by
+    * nations × years), growth as exact cent delta + ONE-divide ratio.
+    * The orders⋈customer join shuffles both sides on custkey (at 100 TB
+    * neither side broadcasts); the nation decode broadcasts. */
+  def q45NationYoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+        cents(col("o_totalprice")).as("c"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("yr"))
+      .agg(sum(col("c")).as("rev_cents"))
+    val nw = Window.partitionBy(col("c_nationkey")).orderBy(col("yr"))
+    rev.withColumn("prev_cents", lag(col("rev_cents"), 1).over(nw))
+      .withColumn("prev_yr", lag(col("yr"), 1).over(nw))
+      .filter(col("prev_cents").isNotNull && col("prev_yr") === col("yr") - 1)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("yoy_growth",
+        col("delta_cents").cast("double") / col("prev_cents").cast("double"))
+      .select(col("n_name"), col("yr"), col("rev_cents"), col("prev_cents"),
+        col("delta_cents"), col("yoy_growth"))
+      .orderBy(col("n_name"), col("yr"))
+  }
+
+  val q45NationYoyGrowthSql: String =
+    """WITH rev AS (
+      |  SELECT c_nationkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2
+      |),
+      |lagged AS (
+      |  SELECT c_nationkey, yr, rev_cents,
+      |    LAG(rev_cents) OVER (PARTITION BY c_nationkey ORDER BY yr) AS prev_cents,
+      |    LAG(yr) OVER (PARTITION BY c_nationkey ORDER BY yr) AS prev_yr
+      |  FROM rev
+      |)
+      |SELECT n_name, yr, rev_cents, prev_cents,
+      |  rev_cents - prev_cents AS delta_cents,
+      |  CAST(rev_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+      |    AS yoy_growth
+      |FROM lagged JOIN nation ON n_nationkey = c_nationkey
+      |WHERE prev_cents IS NOT NULL AND prev_yr = yr - 1
+      |ORDER BY n_name, yr""".stripMargin
 }

@@ -284,4 +284,60 @@ object Multimodal {
       |FROM f
       |ORDER BY doc_id""".stripMargin
   }
+
+  /** mm_bytes_histogram — blob-size census of the binary column in
+    * power-of-two byte bands (explicit CASE ladder): blob count, exact
+    * total bytes, mean size (one divide), and the frame-sample budget
+    * each band implies (the integer (len+255) div 256 → (frames+3)
+    * div 4 arithmetic of [[frameSample]], summed exactly). The storage/
+    * shard-planning view of a 100 TB blob store: which size class
+    * dominates bytes decides block size, and the frame budget is the
+    * decode bill. Map-side census, ≤6-row rollup. */
+  def mmBytesHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val sized = mmTable(spark, dir)
+      .select(length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("frames", expr("(n_bytes + 255) div 256"))
+      .withColumn("sampled_frames", expr("(frames + 3) div 4"))
+      .withColumn("size_band",
+        when(col("n_bytes") <= 256, "01_le256")
+          .when(col("n_bytes") <= 512, "02_le512")
+          .when(col("n_bytes") <= 1024, "03_le1k")
+          .when(col("n_bytes") <= 2048, "04_le2k")
+          .when(col("n_bytes") <= 4096, "05_le4k")
+          .otherwise("06_gt4k"))
+    sized.groupBy(col("size_band"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("sampled_frames")).as("frame_budget"))
+      .withColumn("mean_bytes",
+        col("total_bytes").cast("double") / col("n_blobs").cast("double"))
+      .select(col("size_band"), col("n_blobs"), col("total_bytes"),
+        col("frame_budget"), col("mean_bytes"))
+      .orderBy(col("size_band"))
+  }
+
+  val mmBytesHistogramSql: String =
+    """WITH sized AS (
+      |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    ((CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 + 3) // 4
+      |      AS sampled_frames
+      |  FROM documents
+      |),
+      |banded AS (
+      |  SELECT n_bytes, sampled_frames,
+      |    CASE WHEN n_bytes <= 256 THEN '01_le256'
+      |         WHEN n_bytes <= 512 THEN '02_le512'
+      |         WHEN n_bytes <= 1024 THEN '03_le1k'
+      |         WHEN n_bytes <= 2048 THEN '04_le2k'
+      |         WHEN n_bytes <= 4096 THEN '05_le4k'
+      |         ELSE '06_gt4k' END AS size_band
+      |  FROM sized
+      |)
+      |SELECT size_band, COUNT(*) AS n_blobs,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(sampled_frames) AS BIGINT) AS frame_budget,
+      |  CAST(CAST(SUM(n_bytes) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_bytes
+      |FROM banded GROUP BY size_band
+      |ORDER BY size_band""".stripMargin
 }

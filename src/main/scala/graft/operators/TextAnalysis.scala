@@ -1259,4 +1259,49 @@ object TextAnalysis {
       |FROM f JOIN lt USING (lang)
       |GROUP BY fold, lang, lang_total
       |ORDER BY fold, lang""".stripMargin
+
+  /** sample_quota_by_source — per-source quota sampling: keep at most
+    * Q = 100 docs per source, chosen by deterministic hash rank (Knuth
+    * multiplier decorrelated from the split/fold hashes, doc_id
+    * tie-break) — the corpus-mix rebalancer that stops one crawl
+    * domain from swamping the mixture. Output is the per-source
+    * admission report: kept/dropped, whether the quota bound, and the
+    * kept-set checksum so the selection itself is oracle-pinned, not
+    * just its size. The rank window partitions per source (bounded by
+    * that source's docs); docs never shuffle twice. */
+  def sampleQuotaBySource(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 100L
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("hk", pmod(col("doc_id") * 2654435741L, lit(1000000007L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .withColumn("kept", col("rank") <= Q)
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_checksum"))
+      .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+      .withColumn("quota_bound", col("n_docs") > Q)
+      .select(col("source"), col("n_docs"), col("n_kept"), col("n_dropped"),
+        col("kept_checksum"), col("quota_bound"))
+      .orderBy(col("source"))
+  }
+
+  val sampleQuotaBySourceSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY doc_id * 2654435741 % 1000000007, doc_id) AS rank
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rank <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  COUNT(*) - CAST(SUM(CASE WHEN rank <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(SUM(CASE WHEN rank <= 100 THEN doc_id ELSE 0 END) AS BIGINT)
+      |    AS kept_checksum,
+      |  COUNT(*) > 100 AS quota_bound
+      |FROM ranked GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Multimodal, Similarity, TextAnalysis}
 import graft.cdc.{CdcOps, Reconcile}
 import graft.core.Tables
 
@@ -647,6 +647,52 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.agg(sum(col("occurrences"))).head.getLong(0) == totalOcc)
     // planted exact copies guarantee a non-unique band exists
     assert(out.filter(col("df_band") =!= "01_unique").count() > 0)
+    out.unpersist()
+  }
+
+  test("q45_nation_yoy_growth: growth identity holds; consecutive years only") {
+    val out = Analytics.q45NationYoyGrowth(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("delta_cents") =!=
+      col("rev_cents") - col("prev_cents")).isEmpty)
+    assert(out.filter(abs(col("yoy_growth") * col("prev_cents") -
+      col("delta_cents")) > 1e-4).isEmpty)
+    // every nation-year row has its direct predecessor year in the data
+    val rev = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("yr")).distinct()
+    val firstYr = rev.agg(min(col("yr"))).head.getInt(0)
+    assert(out.filter(col("yr") === firstYr).isEmpty)
+    out.unpersist()
+  }
+
+  test("sample_quota_by_source: quota respected, checksums consistent") {
+    val out = TextAnalysis.sampleQuotaBySource(spark, sf).cache()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.agg(sum(col("n_docs"))).head.getLong(0) == total)
+    assert(out.filter(col("n_kept") > 100).isEmpty)
+    assert(out.filter(col("n_dropped") =!= col("n_docs") - col("n_kept")).isEmpty)
+    // quota binds exactly when a source exceeds it
+    assert(out.filter(col("quota_bound") =!= (col("n_docs") > 100)).isEmpty)
+    // unbound sources keep everything (checksum equals the full source sum)
+    val bySource = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(sum(col("doc_id")).as("full_sum"))
+    assert(out.filter(!col("quota_bound")).join(bySource, "source")
+      .filter(col("kept_checksum") =!= col("full_sum")).isEmpty)
+    out.unpersist()
+  }
+
+  test("mm_bytes_histogram: bands cover every blob and every byte") {
+    val out = Multimodal.mmBytesHistogram(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.agg(sum(col("n_blobs"))).head.getLong(0) == docs.count())
+    val totalBytes = docs.agg(sum(octet_length(col("text")).cast("long")))
+      .head.getLong(0)
+    assert(out.agg(sum(col("total_bytes"))).head.getLong(0) == totalBytes)
+    // frame budget is at least one frame per blob, at most bytes/1024 + 1
+    assert(out.filter(col("frame_budget") < col("n_blobs")).isEmpty)
     out.unpersist()
   }
 
