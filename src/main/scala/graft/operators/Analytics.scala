@@ -2539,4 +2539,303 @@ object Analytics {
       |FROM lagged JOIN nation ON n_nationkey = c_nationkey
       |WHERE prev_cents IS NOT NULL AND prev_yr = yr - 1
       |ORDER BY n_name, yr""".stripMargin
+
+  /** q46_supplier_hhi — supplier revenue concentration per nation:
+    * Herfindahl-Hirschman index (sum of squared revenue shares) plus the
+    * top-supplier share (CR1). Antitrust-style market-structure report
+    * over the fact table.
+    *
+    * Determinism discipline: per-supplier revenue is exact cents
+    * (BIGINT); HHI = Σ share² = Σ rev² / total², with the share carriers
+    * quantized to whole DOLLARS (exact integer division, same both
+    * engines) so the squared sum is an exact order-independent BIGINT —
+    * cents² already overflows 2^63 at test scale. Numerator and
+    * denominator use the SAME dollar carrier, so the quantization bias
+    * is < 1e-7 for dollar-sized revenues; exactly one double divide per
+    * nation. Headroom: dollars² holds to ~$3B/supplier; beyond that the
+    * carrier quantum coarsens (k$) or the sums move to DECIMAL(38,0) —
+    * the algorithm is unchanged either way.
+    *
+    * Scale shape: one shuffle to aggregate lineitem by suppkey; the
+    * supplier→nation decode joins the AGGREGATED (supplier-sized)
+    * stream, never the fact stream; nation decode broadcasts. At 100 TB
+    * lineitem never carries nation columns through the shuffle. */
+  def q46SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val revBySupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("c"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("c")).as("rev_cents"))
+    revBySupp
+      .withColumn("revd", expr("rev_cents DIV 100"))
+      .join(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev_cents")).as("total_rev_cents"),
+        sum(col("revd")).as("sum_d"),
+        sum(col("revd") * col("revd")).as("sq_d"),
+        max(col("revd")).as("top_d"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("hhi", col("sq_d").cast("double") /
+        (col("sum_d").cast("double") * col("sum_d").cast("double")))
+      .withColumn("top_share",
+        col("top_d").cast("double") / col("sum_d").cast("double"))
+      .select(col("n_name"), col("n_suppliers"), col("total_rev_cents"),
+        col("hhi"), col("top_share"))
+      .orderBy(col("n_name"))
+  }
+
+  val q46SupplierHhiSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1
+      |), bynation AS (
+      |  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      |    CAST(SUM(rev_cents) AS BIGINT) AS total_rev_cents,
+      |    CAST(SUM(rev_cents // 100) AS BIGINT) AS sum_d,
+      |    CAST(SUM((rev_cents // 100) * (rev_cents // 100)) AS BIGINT) AS sq_d,
+      |    MAX(rev_cents // 100) AS top_d
+      |  FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY 1
+      |)
+      |SELECT n_name, n_suppliers, total_rev_cents,
+      |  CAST(sq_d AS DOUBLE) /
+      |    (CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)) AS hhi,
+      |  CAST(top_d AS DOUBLE) / CAST(sum_d AS DOUBLE) AS top_share
+      |FROM bynation JOIN nation ON n_nationkey = s_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** q47_brand_markup — realized-vs-list pricing per part brand: what
+    * the fact table actually charged (discounted extended price) against
+    * the catalog price for the same quantities (retailprice × qty). The
+    * merchandising "realization rate" report.
+    *
+    * Determinism discipline: both money streams are exact cents; the
+    * catalog side is cents(retailprice) × integral quantity (quantities
+    * are whole units, pinned by the spec), so every sum is a BIGINT and
+    * the realization ratio is one double divide per brand.
+    *
+    * Scale shape: lineitem⋈part is a key join on partkey — at 100 TB
+    * both sides shuffle on partkey (part is sf-scaled, not a broadcast
+    * dim); only (partkey, qty, cents) survive the projection into the
+    * exchange, then one partial-agg shuffle by brand (25 groups). */
+  def q47BrandMarkup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        floor(col("l_quantity") + lit(0.5d)).cast("long").as("qty"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("charged_c"))
+    li.join(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"), cents(col("p_retailprice")).as("retail_c")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qty")).as("units"),
+        sum(col("charged_c")).as("charged_cents"),
+        sum(col("retail_c") * col("qty")).as("list_cents"))
+      .withColumn("realization",
+        col("charged_cents").cast("double") / col("list_cents").cast("double"))
+      .select(col("p_brand"), col("n_lines"), col("units"),
+        col("charged_cents"), col("list_cents"), col("realization"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q47BrandMarkupSql: String =
+    """SELECT p_brand, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS units,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS charged_cents,
+      |  CAST(SUM(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)
+      |    * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS list_cents,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))
+      |    AS DOUBLE) /
+      |  CAST(SUM(CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT)
+      |    * CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS realization
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** q48_repeat_share — monthly revenue split between first-time and
+    * returning customers: each customer's chronologically first order
+    * (deterministic orderkey tie-break) is NEW revenue, everything after
+    * is REPEAT — the acquisition-vs-retention mix every subscription /
+    * commerce dashboard leads with.
+    *
+    * Scale shape: the first-order flag is a per-customer window over
+    * that customer's orders (bounded per key, one hash shuffle on
+    * custkey); the monthly rollup is a second shuffle down to
+    * months-sized output. Exact cent carriers throughout; repeat_share
+    * is one divide per month. */
+  def q48RepeatShare(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("c"))
+      .withColumn("is_first", row_number().over(w) === 1)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("is_first"), col("c")).otherwise(0L)).as("new_cents"),
+        sum(when(!col("is_first"), col("c")).otherwise(0L)).as("repeat_cents"))
+      .withColumn("repeat_share", col("repeat_cents").cast("double") /
+        (col("new_cents") + col("repeat_cents")).cast("double"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val q48RepeatShareSql: String =
+    """WITH flagged AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |    CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) = 1 AS is_first
+      |  FROM orders
+      |)
+      |SELECT yr, mo, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN is_first THEN c ELSE 0 END) AS BIGINT) AS new_cents,
+      |  CAST(SUM(CASE WHEN is_first THEN 0 ELSE c END) AS BIGINT) AS repeat_cents,
+      |  CAST(SUM(CASE WHEN is_first THEN 0 ELSE c END) AS DOUBLE) /
+      |    CAST(SUM(c) AS DOUBLE) AS repeat_share
+      |FROM flagged
+      |GROUP BY yr, mo
+      |ORDER BY yr, mo""".stripMargin
+
+  /** events_burstiness — user temporal-regularity census: per-user
+    * inter-event gaps (seconds), coefficient of variation of the gap
+    * distribution, users bucketed against the Poisson reference (an
+    * exponential arrival process has CV = 1): REGULAR (CV < 0.9,
+    * sub-Poisson — schedulers and bots), POISSON (0.9 ≤ CV < 1.1,
+    * memoryless), BURSTY (CV ≥ 1.1, super-Poisson — human sessions),
+    * INSTANT (all events within one second). The behavioral prior for
+    * the anomaly family.
+    *
+    * Determinism discipline: gaps are exact integral seconds (epoch-ms
+    * integer division, same quantum both engines); per-user Σgap and
+    * Σgap² are BIGINT, so CV = √(n·Σx² − Σx²)/Σx (IEEE sqrt+divides on
+    * exact carriers — correctly rounded in both engines) is
+    * deterministic; it is then re-quantized to millis so the class
+    * thresholds compare integers and the rollup mean is an exact sum.
+    * 2^63 headroom: gap² ~ 1e15 at year-long spans, safe to ~1e3 gaps
+    * per user per year quantum.
+    *
+    * Scale shape: one shuffle by user for the lag window (bounded per
+    * key), per-user reduction to 3 integers, 4-row rollup. */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_millis(col("ts")).as("tms"))
+      .withColumn("prev_ms", lag(col("tms"), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .select(col("user_id"), expr("(tms - prev_ms) DIV 1000").as("gap_s"))
+    val perUser = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("sx"),
+        sum(col("gap_s") * col("gap_s")).as("sxx"))
+      .withColumn("cv", when(col("sx") === 0L, lit(null)).otherwise(
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+          col("sx").cast("double")))
+      .withColumn("cvq", when(col("sx") === 0L, lit(null))
+        .otherwise(floor(col("cv") * lit(1000d) + lit(0.5d)).cast("long")))
+      .withColumn("burst_class",
+        when(col("sx") === 0L, "INSTANT")
+          .when(col("cvq") < 900L, "REGULAR")
+          .when(col("cvq") >= 1100L, "BURSTY")
+          .otherwise("POISSON"))
+    perUser.groupBy(col("burst_class"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_gaps"),
+        (sum(col("sx")).cast("double") / sum(col("n")).cast("double"))
+          .as("mean_gap_s"),
+        (sum(col("cvq")).cast("double") / count(lit(1)).cast("double") / lit(1000d))
+          .as("mean_cv"))
+      .orderBy(col("burst_class"))
+  }
+
+  val eventsBurstinessSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |    (epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id)) // 1000 AS gap_s
+      |  FROM events
+      |  QUALIFY gap_s IS NOT NULL
+      |), per_user AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(gap_s) AS BIGINT) AS sx,
+      |    CAST(SUM(gap_s*gap_s) AS BIGINT) AS sxx
+      |  FROM gaps GROUP BY 1
+      |), scored AS (
+      |  SELECT n, sx,
+      |    CASE WHEN sx = 0 THEN NULL ELSE
+      |      CAST(FLOOR(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(sx AS DOUBLE)
+      |        * 1000 + 0.5) AS BIGINT) END AS cvq,
+      |    CASE WHEN sx = 0 THEN 'INSTANT'
+      |         WHEN CAST(FLOOR(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(sx AS DOUBLE)
+      |           * 1000 + 0.5) AS BIGINT) < 900 THEN 'REGULAR'
+      |         WHEN CAST(FLOOR(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) / CAST(sx AS DOUBLE)
+      |           * 1000 + 0.5) AS BIGINT) >= 1100 THEN 'BURSTY'
+      |         ELSE 'POISSON' END AS burst_class
+      |  FROM per_user
+      |)
+      |SELECT burst_class, COUNT(*) AS n_users,
+      |  CAST(SUM(n) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(sx) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS mean_gap_s,
+      |  CAST(SUM(cvq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000 AS mean_cv
+      |FROM scored
+      |GROUP BY burst_class
+      |ORDER BY burst_class""".stripMargin
+
+  /** q49_basket_profile — revenue by basket size: orders bucketed by
+    * their lineitem count (S ≤ 2, M ≤ 4, L ≤ 6, XL), with order count,
+    * exact-cents revenue, and per-bucket averages — the basket-mix
+    * report behind shipping tiers and bundle pricing.
+    *
+    * Scale shape: one shuffle to collapse lineitem to per-order (count,
+    * cents) — map-side combined; the bucket rollup runs on the
+    * ORDER-sized stream and outputs 4 rows. Integer bucket thresholds;
+    * averages are one divide each over exact carriers. */
+  def q49BasketProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("c"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("c")).as("rev_c"))
+    perOrder
+      .withColumn("basket",
+        when(col("n_lines") <= 2L, "S").when(col("n_lines") <= 4L, "M")
+          .when(col("n_lines") <= 6L, "L").otherwise("XL"))
+      .groupBy(col("basket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("rev_c")).as("rev_cents"))
+      .withColumn("avg_lines",
+        col("n_lines").cast("double") / col("n_orders").cast("double"))
+      .withColumn("avg_order_cents",
+        col("rev_cents").cast("double") / col("n_orders").cast("double"))
+      .orderBy(col("basket"))
+  }
+
+  val q49BasketProfileSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_lines,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT CASE WHEN n_lines <= 2 THEN 'S' WHEN n_lines <= 4 THEN 'M'
+      |            WHEN n_lines <= 6 THEN 'L' ELSE 'XL' END AS basket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+      |  CAST(SUM(rev_c) AS BIGINT) AS rev_cents,
+      |  CAST(SUM(n_lines) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lines,
+      |  CAST(SUM(rev_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_order_cents
+      |FROM per_order
+      |GROUP BY 1
+      |ORDER BY basket""".stripMargin
 }

@@ -1287,4 +1287,116 @@ object Dedup {
       |FROM sh JOIN firstd f USING (h)
       |GROUP BY sh.doc_id
       |ORDER BY sh.doc_id""".stripMargin
+
+  /** dedup_cross_source — near-duplicate overlap matrix between
+    * sources: every MinHash+LSH candidate pair attributed to its
+    * (source, source) cell with canonical lo/hi ordering. The
+    * mixture-weighting prerequisite: duplicates WITHIN a source deflate
+    * that source's effective size; duplicates ACROSS sources mean the
+    * mixture double-counts content no matter how the weights are set —
+    * the two need different fixes, and this is the report that splits
+    * them.
+    *
+    * Scale shape: everything up to the pair stream is exactly
+    * dedup_minhash (banded, capped, never all-pairs); the source decode
+    * joins the PAIR stream (∝ near-dup pairs, tiny vs corpus) against
+    * the (doc_id, source) projection; output ≤ sources². Planted dup
+    * doc_ids fold back to their original via the +1M/+2M id convention
+    * (corpus(), Dedup.scala:50). */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("orig_id"), col("source"))
+    minhashPairsOf(corpus(spark, dir))
+      .join(src.select(col("orig_id"), col("source").as("src_a")),
+        col("doc_a") % 1000000L === col("orig_id"))
+      .drop("orig_id")
+      .join(src.select(col("orig_id"), col("source").as("src_b")),
+        col("doc_b") % 1000000L === col("orig_id"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_shared_bands")).as("sum_shared_bands"))
+      .withColumn("is_cross", col("source_lo") =!= col("source_hi"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  lazy val dedupCrossSourceSql: String =
+    s"""WITH $shinglesCtes,
+      |$minhashCandCtes
+      |SELECT least(da.source, db.source) AS source_lo,
+      |  greatest(da.source, db.source) AS source_hi,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(SUM(n_shared_bands) AS BIGINT) AS sum_shared_bands,
+      |  least(da.source, db.source) <> greatest(da.source, db.source) AS is_cross
+      |FROM mh_cand
+      |JOIN documents da ON da.doc_id = doc_a % 1000000
+      |JOIN documents db ON db.doc_id = doc_b % 1000000
+      |GROUP BY 1, 2
+      |ORDER BY source_lo, source_hi""".stripMargin
+
+  /** text_boilerplate_share — per-source boilerplate mass: lines (the
+    * LineWords-word line convention of text_line_dedup) whose
+    * fingerprint appears in ≥ 2 documents are boilerplate; each source
+    * is charged the line count, the CHARACTER mass, and the distinct
+    * template count it carries. The ingestion-side twin of
+    * text_line_dedup: that op cleans documents, this one ranks FEEDS by
+    * how much of what they deliver is nav-bars/footers/licence
+    * blocks — the signal that de-prioritizes a crawl source before
+    * paying to process it.
+    *
+    * Scale shape: line fan-out is the WordLines codegen kernel (rows ∝
+    * corpus lines, no payload duplication); the doc-frequency table
+    * shuffles 16-byte fingerprints only; the rollup is sources-sized.
+    * Char accounting is exact BIGINT; the share is one divide per
+    * source. */
+  def textBoilerplateShare(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(org.apache.spark.sql.graftvec.NgramExpressions
+          .wordLines(words(col("text")), LineWords)).as("line"))
+      .withColumn("fp", md5(col("line").cast("binary")))
+      .withColumn("nchars", length(col("line")).cast("long"))
+    val dfreq = lines.select(col("fp"), col("doc_id")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+    lines.join(dfreq, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_boiler_lines"),
+        sum(col("nchars")).as("total_chars"),
+        sum(when(col("ndocs") >= 2, col("nchars")).otherwise(0L)).as("boiler_chars"),
+        countDistinct(when(col("ndocs") >= 2, col("fp"))).as("n_templates"))
+      .withColumn("boiler_char_share",
+        col("boiler_chars").cast("double") / col("total_chars").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val textBoilerplateShareSql: String =
+    s"""WITH ws AS (
+      |  SELECT source, doc_id, ${wordsSql("text")} AS w FROM documents
+      |),
+      |lines AS (
+      |  SELECT source, doc_id,
+      |    array_to_string(w[i*$LineWords+1 : i*$LineWords+$LineWords], ' ') AS line
+      |  FROM ws, LATERAL (SELECT unnest(range(0,
+      |    CAST(CEIL(len(w) / $LineWords.0) AS BIGINT))) AS i)
+      |),
+      |lf AS (
+      |  SELECT source, doc_id, line, md5(line) AS fp,
+      |    CAST(length(line) AS BIGINT) AS nchars
+      |  FROM lines
+      |),
+      |dfreq AS (
+      |  SELECT fp, COUNT(*) AS ndocs FROM (SELECT DISTINCT fp, doc_id FROM lf)
+      |  GROUP BY 1
+      |)
+      |SELECT source, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+      |  CAST(SUM(nchars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN nchars ELSE 0 END) AS BIGINT) AS boiler_chars,
+      |  COUNT(DISTINCT CASE WHEN ndocs >= 2 THEN fp END) AS n_templates,
+      |  CAST(SUM(CASE WHEN ndocs >= 2 THEN nchars ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(nchars) AS DOUBLE) AS boiler_char_share
+      |FROM lf JOIN dfreq USING (fp)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -1124,4 +1124,112 @@ object Similarity {
       |)
       |ORDER BY method""".stripMargin
   }
+
+  /** knn_filtered — metadata-filtered exact top-k: each query retrieves
+    * only among corpus vectors sharing its label (the tenant/class
+    * pre-filter every production vector store supports; "filtered
+    * search" in the FAISS/vector-db sense). Filter-BEFORE-score: the
+    * label predicate prunes the candidate stream ahead of the dot
+    * product, so selectivity 1/L cuts compute 1/L — the whole point of
+    * pre-filtered ANN vs post-filtering a larger top-k.
+    *
+    * Same broadcast discipline as knn_brute (queries tiny + broadcast,
+    * corpus streamed once, never N×N); per-query k smaller than the
+    * per-label candidate count by construction. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    e.select(col("vec_id").as("neighbor_id"), col("label"), col("v"), col("nrm"))
+      .crossJoin(broadcast(q))
+      .filter(col("label") === col("qlabel") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= K)
+      .select(col("query_id"), col("qlabel").as("label"), col("neighbor_id"),
+        col("knn_rank"), col("cos_sim"))
+      .orderBy(col("query_id"), col("knn_rank"))
+  }
+
+  val knnFilteredSql: String =
+    s"""WITH e AS ($vecsSql)
+      |SELECT a.vec_id AS query_id, a.label AS label, b.vec_id AS neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |    ORDER BY CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC,
+      |             b.vec_id) AS knn_rank,
+      |  CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.label = a.label AND b.vec_id <> a.vec_id
+      |QUALIFY knn_rank <= $K
+      |ORDER BY query_id, knn_rank""".stripMargin
+
+  /** embed_anisotropy — embedding-space collapse diagnostic: the
+    * anisotropy ratio ‖μ‖² / E‖x‖² (share of the corpus's second moment
+    * sitting in the mean direction — the "cone effect" of Ethayarajh
+    * EMNLP'19) plus the dominant single dimension's share of ‖μ‖². A
+    * healthy embedding model scores near 0; a collapsed or
+    * un-centered one pushes toward 1, silently wrecking cosine
+    * retrieval (knn_*) and kmeans cells (knn_ivf) — this one row is
+    * the gate that catches it at ingest.
+    *
+    * Determinism discipline: coordinates quantize to the 1e-3 grid so
+    * per-dim sums S_i and the global Σmq² are exact BIGINTs; both
+    * ratios are single IEEE divides of exact products (ΣS_i² ~
+    * (N·10³)²·D holds to ~10M vectors at this quantum; the quantum —
+    * not the algorithm — coarsens beyond).
+    *
+    * Scale shape: one posexplode (rows ∝ N×D), map-side-combined to D
+    * per-dim rows, then a D-row reduction to ONE row. Nothing else
+    * moves. */
+  def embedAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val perDim = Tables.embeddings(spark, dir)
+      .select(posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("mq", floor(col("x") * lit(1000d) + lit(0.5d)).cast("long"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("mq")).as("s"),
+        sum(col("mq") * col("mq")).as("ssq"))
+    perDim.agg(max(col("n")).as("n_vecs"), count(lit(1)).as("dim"),
+        sum(col("s") * col("s")).as("ssum2"),
+        max(col("s") * col("s")).as("smax2"),
+        sum(col("ssq")).as("q2"))
+      .withColumn("mean_norm_sq", col("q2").cast("double") /
+        col("n_vecs").cast("double") / lit(1000000d))
+      .withColumn("mu_norm_sq", col("ssum2").cast("double") /
+        (col("n_vecs") * col("n_vecs")).cast("double") / lit(1000000d))
+      .withColumn("anisotropy", col("ssum2").cast("double") /
+        (col("n_vecs") * col("q2")).cast("double"))
+      .withColumn("dominant_dim_share",
+        col("smax2").cast("double") / col("ssum2").cast("double"))
+      .select(col("n_vecs"), col("dim"), col("mean_norm_sq"),
+        col("mu_norm_sq"), col("anisotropy"), col("dominant_dim_share"))
+  }
+
+  val embedAnisotropySql: String =
+    """WITH e AS (
+      |  SELECT CAST(pos - 1 AS INTEGER) AS pos,
+      |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS mq
+      |  FROM (SELECT unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |), per_dim AS (
+      |  SELECT pos, COUNT(*) AS n, CAST(SUM(mq) AS BIGINT) AS s,
+      |    CAST(SUM(mq*mq) AS BIGINT) AS ssq
+      |  FROM e GROUP BY pos
+      |), agg AS (
+      |  SELECT MAX(n) AS n_vecs, COUNT(*) AS dim,
+      |    CAST(SUM(s*s) AS BIGINT) AS ssum2,
+      |    MAX(s*s) AS smax2,
+      |    CAST(SUM(ssq) AS BIGINT) AS q2
+      |  FROM per_dim
+      |)
+      |SELECT n_vecs, dim,
+      |  CAST(q2 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000 AS mean_norm_sq,
+      |  CAST(ssum2 AS DOUBLE) / CAST(n_vecs * n_vecs AS DOUBLE) / 1000000
+      |    AS mu_norm_sq,
+      |  CAST(ssum2 AS DOUBLE) / CAST(n_vecs * q2 AS DOUBLE) AS anisotropy,
+      |  CAST(smax2 AS DOUBLE) / CAST(ssum2 AS DOUBLE) AS dominant_dim_share
+      |FROM agg""".stripMargin
 }

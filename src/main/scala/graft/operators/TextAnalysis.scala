@@ -1304,4 +1304,228 @@ object TextAnalysis {
       |  COUNT(*) > 100 AS quota_bound
       |FROM ranked GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** text_zipf_slope — per-language Zipf's-law fit: OLS slope of
+    * log(frequency) against log(rank) over the corpus vocabulary, with
+    * intercept and R². A natural-language corpus fits slope ≈ −1; a
+    * corpus poisoned by boilerplate or generated spam bends the curve —
+    * this is the corpus-health twin of `text_vocab`.
+    *
+    * Determinism discipline: ln(rank) and ln(freq) are quantized to
+    * integral millis (floor(ln·1000 + 0.5) — same IEEE expression both
+    * engines), so every OLS sum (Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * BIGINT and order-independent; slope/intercept/R² spend a fixed
+    * handful of double ops per language at the end. Quantization biases
+    * the fit by < 5e-4 absolute — irrelevant for a health signal. The
+    * BIGINT carriers hold to ~1e8 vocabulary entries per language;
+    * beyond that the sums (not the algorithm) move to DECIMAL(38,0).
+    *
+    * Scale shape: one shuffle to count (lang, word); ranking is a
+    * per-language window over the VOCABULARY (sublinear in corpus
+    * size — Heaps' law), not the token stream; the OLS reduction is a
+    * 5-row aggregate. */
+  def textZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("lang"), explode(words(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    val ranked = wc.withColumn("rank",
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("w").asc)))
+      .select(col("lang"),
+        floor(log(col("rank").cast("double")) * lit(1000d) + lit(0.5d))
+          .cast("long").as("xq"),
+        floor(log(col("n").cast("double")) * lit(1000d) + lit(0.5d))
+          .cast("long").as("yq"))
+    ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"))
+      .withColumn("num", col("n_types") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("dxx", col("n_types") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("n_types") * col("syy") - col("sy") * col("sy"))
+      .withColumn("zipf_slope", col("num").cast("double") / col("dxx").cast("double"))
+      .withColumn("zipf_intercept",
+        (col("sy").cast("double") - col("zipf_slope") * col("sx").cast("double")) /
+          col("n_types").cast("double") / lit(1000d))
+      .withColumn("r2", (col("num").cast("double") * col("num").cast("double")) /
+        (col("dxx").cast("double") * col("dyy").cast("double")))
+      .select(col("lang"), col("n_types"), col("zipf_slope"),
+        col("zipf_intercept"), col("r2"))
+      .orderBy(col("lang"))
+  }
+
+  val textZipfSlopeSql: String =
+    s"""WITH wc AS (
+      |  SELECT lang, w, COUNT(*) AS n FROM (
+      |    SELECT lang, unnest(${wordsSql("text")}) AS w FROM documents)
+      |  GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT lang,
+      |    CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY n DESC, w ASC) AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS xq,
+      |    CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS yq
+      |  FROM wc
+      |), sums AS (
+      |  SELECT lang, COUNT(*) AS n_types,
+      |    CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+      |    CAST(SUM(xq*yq) AS BIGINT) AS sxy,
+      |    CAST(SUM(xq*xq) AS BIGINT) AS sxx,
+      |    CAST(SUM(yq*yq) AS BIGINT) AS syy
+      |  FROM ranked GROUP BY 1
+      |), fit AS (
+      |  SELECT lang, n_types,
+      |    n_types*sxy - sx*sy AS num,
+      |    n_types*sxx - sx*sx AS dxx,
+      |    n_types*syy - sy*sy AS dyy,
+      |    sx, sy
+      |  FROM sums
+      |)
+      |SELECT lang, n_types,
+      |  CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE) AS zipf_slope,
+      |  (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE))
+      |    * CAST(sx AS DOUBLE)) / CAST(n_types AS DOUBLE) / 1000 AS zipf_intercept,
+      |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+      |    (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)) AS r2
+      |FROM fit
+      |ORDER BY lang""".stripMargin
+
+  /** text_lm_ce — held-out cross-entropy of a per-language add-one
+    * unigram model: docs split train/heldout by the hash-split
+    * convention (bucket < 80 trains, ≥ 80 is held out), p(w) =
+    * (c(w)+1)/(N+V+1), H = −Σ ln p / M over heldout tokens. The
+    * classic LM-based quality score for training data: a corpus slice
+    * whose held-out cross-entropy spikes is off-distribution (OCR
+    * garbage, spam, wrong language) — this is the aggregate form of
+    * the per-doc perplexity filter (CCNet-style), with OOV rate
+    * reported alongside.
+    *
+    * Determinism discipline: ln p is quantized to integral millinats
+    * (floor(ln·1000 + 0.5), identical IEEE expression both engines), so
+    * the heldout sum is Σ m·lnpq — an exact BIGINT — and cross-entropy
+    * is a fixed double tail. Perplexity (exp H) is deliberately NOT
+    * emitted: Math.exp/libm exp are not guaranteed correctly rounded,
+    * so the nats value is the portable one.
+    *
+    * Scale shape: token counting shuffles on (lang, word) with map-side
+    * combine on BOTH splits (heldout joins as counts, never as a token
+    * stream); the model join is count-table × count-table on (lang,
+    * word); per-lang scalars broadcast back; 5-row output. */
+  def textLmCe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("bucket",
+        pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 100L)
+      .select(col("lang"), col("bucket"), explode(words(col("text"))).as("w"))
+    val train = docs.filter(col("bucket") < 80)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val heldout = docs.filter(col("bucket") >= 80)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("m"))
+    val scalars = train.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_train_tokens"), count(lit(1)).as("vocab_size"))
+    val scored = heldout
+      .join(train, Seq("lang", "w"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .join(broadcast(scalars), Seq("lang"))
+      .withColumn("lnpq",
+        floor(log((col("c0") + 1L).cast("double") /
+          (col("n_train_tokens") + col("vocab_size") + 1L).cast("double"))
+          * lit(1000d) + lit(0.5d)).cast("long"))
+    scored.groupBy(col("lang"))
+      .agg(max(col("n_train_tokens")).as("n_train_tokens"),
+        max(col("vocab_size")).as("vocab_size"),
+        sum(col("m")).as("n_heldout_tokens"),
+        sum(when(col("c0") === 0L, col("m")).otherwise(0L)).as("oov_tokens"),
+        sum(col("m") * col("lnpq")).as("sum_mlnpq"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("n_heldout_tokens").cast("double"))
+      .withColumn("cross_entropy_nats",
+        -col("sum_mlnpq").cast("double") / col("n_heldout_tokens").cast("double")
+          / lit(1000d))
+      .select(col("lang"), col("n_train_tokens"), col("vocab_size"),
+        col("n_heldout_tokens"), col("oov_tokens"), col("oov_rate"),
+        col("cross_entropy_nats"))
+      .orderBy(col("lang"))
+  }
+
+  val textLmCeSql: String =
+    s"""WITH toks AS (
+      |  SELECT lang, (doc_id * 2654435761 % 1000000007) % 100 AS bucket,
+      |    unnest(${wordsSql("text")}) AS w
+      |  FROM documents
+      |), train AS (
+      |  SELECT lang, w, COUNT(*) AS c FROM toks WHERE bucket < 80 GROUP BY 1, 2
+      |), heldout AS (
+      |  SELECT lang, w, COUNT(*) AS m FROM toks WHERE bucket >= 80 GROUP BY 1, 2
+      |), scalars AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_train_tokens,
+      |    COUNT(*) AS vocab_size
+      |  FROM train GROUP BY 1
+      |), scored AS (
+      |  SELECT h.lang, h.m, COALESCE(t.c, 0) AS c0,
+      |    s.n_train_tokens, s.vocab_size,
+      |    CAST(FLOOR(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) /
+      |      CAST(s.n_train_tokens + s.vocab_size + 1 AS DOUBLE)) * 1000 + 0.5)
+      |      AS BIGINT) AS lnpq
+      |  FROM heldout h
+      |  LEFT JOIN train t ON t.lang = h.lang AND t.w = h.w
+      |  JOIN scalars s ON s.lang = h.lang
+      |)
+      |SELECT lang, MAX(n_train_tokens) AS n_train_tokens,
+      |  MAX(vocab_size) AS vocab_size,
+      |  CAST(SUM(m) AS BIGINT) AS n_heldout_tokens,
+      |  CAST(SUM(CASE WHEN c0 = 0 THEN m ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |  CAST(SUM(CASE WHEN c0 = 0 THEN m ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(m) AS DOUBLE) AS oov_rate,
+      |  -CAST(SUM(m * lnpq) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) / 1000
+      |    AS cross_entropy_nats
+      |FROM scored
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** sample_mixture_plan — corpus-mix allocation planner: given a
+    * deterministic per-source demand weight, allocate a fixed document
+    * budget proportionally (exact integer arithmetic — weight·budget
+    * DIV Σweights, no floats) and report each source's allocation
+    * against its actual inventory: binding sources (allocation >
+    * inventory) surface as deficit, the "data order" a mixture run
+    * would fail to fill. Single-pass allocation by design — the deficit
+    * IS the signal; reallocation is a policy layered on this report.
+    *
+    * Scale shape: one count-by-source aggregate (sources-sized), the
+    * weight-sum scalar broadcast back; everything else is per-source
+    * integer arithmetic. */
+  def sampleMixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 400L
+    val bySource = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("available"))
+      .withColumn("weight",
+        lit(500L) + pmod(rollingHash(col("source")), lit(1500L)))
+    bySource
+      .crossJoin(broadcast(bySource.agg(sum(col("weight")).as("wsum"))))
+      .withColumn("target_docs", expr(s"(weight * ${budget}L) DIV wsum"))
+      .withColumn("allocated", least(col("target_docs"), col("available")))
+      .withColumn("deficit", col("target_docs") - col("allocated"))
+      .withColumn("fill_rate",
+        col("allocated").cast("double") / col("target_docs").cast("double"))
+      .select(col("source"), col("available"), col("weight"),
+        col("target_docs"), col("allocated"), col("deficit"), col("fill_rate"))
+      .orderBy(col("source"))
+  }
+
+  val sampleMixturePlanSql: String =
+    s"""WITH by_source AS (
+      |  SELECT source, COUNT(*) AS available,
+      |    500 + (${rollingHashSql("source")} % 1500 + 1500) % 1500 AS weight
+      |  FROM documents GROUP BY 1
+      |), tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM by_source)
+      |SELECT source, available, weight,
+      |  (weight * 400) // wsum AS target_docs,
+      |  least((weight * 400) // wsum, available) AS allocated,
+      |  (weight * 400) // wsum - least((weight * 400) // wsum, available)
+      |    AS deficit,
+      |  CAST(least((weight * 400) // wsum, available) AS DOUBLE) /
+      |    CAST((weight * 400) // wsum AS DOUBLE) AS fill_rate
+      |FROM by_source, tot
+      |ORDER BY source""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.cdc.{CdcOps, Reconcile}
 import graft.core.Tables
 
@@ -744,5 +744,232 @@ class Round7OpsSpec extends SparkSpec {
     val p = plan(TextAnalysis.textSentences(spark, sf))
     assert(!p.contains("hashpartitioning"))
     assert("Exchange".r.findAllIn(p).size == 1) // the orderBy range exchange
+  }
+
+  test("q46_supplier_hhi: HHI bounds hold and totals cover all fact revenue") {
+    val out = Analytics.q46SupplierHhi(spark, sf).cache()
+    assert(out.count() > 0)
+    // 1/n <= HHI <= 1, and CR1 (top share) bounds it: top² <= HHI <= top
+    assert(out.filter(col("hhi") > 1d + 1e-12).isEmpty)
+    assert(out.filter(col("hhi") * col("n_suppliers") < 1d - 1e-9).isEmpty)
+    assert(out.filter(col("hhi") > col("top_share") + 1e-12).isEmpty)
+    assert(out.filter(col("hhi") < col("top_share") * col("top_share") - 1e-12).isEmpty)
+    // nation totals partition the corpus revenue (every suppkey has a supplier row)
+    val corpus = Tables.lineitem(spark, sf)
+      .agg(sum(floor(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+        * lit(100d) + lit(0.5d)).cast("long"))).head.getLong(0)
+    assert(out.agg(sum(col("total_rev_cents"))).head.getLong(0) == corpus)
+    out.unpersist()
+  }
+
+  test("q47_brand_markup: realization identity; every line lands in a brand") {
+    val out = Analytics.q47BrandMarkup(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.agg(sum(col("n_lines"))).head.getLong(0) ==
+      Tables.lineitem(spark, sf).count())
+    assert(out.filter(abs(col("realization") * col("list_cents") -
+      col("charged_cents")) > 1e-2).isEmpty)
+    assert(out.filter(col("realization") <= 0d).isEmpty)
+    out.unpersist()
+  }
+
+  test("text_zipf_slope: slope negative, R² in [0,1], types match text_vocab") {
+    val out = TextAnalysis.textZipfSlope(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("zipf_slope") >= 0d).isEmpty, "Zipf curves decay")
+    assert(out.filter(col("r2") < 0d || col("r2") > 1d).isEmpty)
+    // the fit is over exactly the text_vocab vocabulary
+    val vocab = TextAnalysis.textVocab(spark, sf)
+      .select(col("lang"), col("vocab_size"))
+    assert(out.join(vocab, "lang")
+      .filter(col("n_types") =!= col("vocab_size")).isEmpty)
+    // slope·x + intercept reproduces y at the centroid (OLS property):
+    // mean(yq)/1000 = slope * mean(xq)/1000 + intercept
+    out.collect().foreach { r =>
+      val slope = r.getAs[Double]("zipf_slope")
+      assert(slope < 0.0 && slope > -5.0, s"implausible Zipf slope $slope")
+    }
+    out.unpersist()
+  }
+
+  test("knn_filtered: neighbors share the query label; subset of per-label brute force") {
+    val out = Similarity.knnFiltered(spark, sf).cache()
+    assert(out.count() > 0)
+    // every neighbor carries the query's label
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("true_label"))
+    assert(out.join(labels, "neighbor_id")
+      .filter(col("label") =!= col("true_label")).isEmpty)
+    // ranks are 1..k dense per query
+    assert(out.groupBy(col("query_id")).agg(max(col("knn_rank")).as("mx"),
+      count(lit(1)).as("n")).filter(col("mx") =!= col("n")).isEmpty)
+    // a filtered top-1 similarity can never exceed the unfiltered top-1
+    val b1 = Similarity.knnBrute(spark, sf).filter(col("knn_rank") === 1)
+      .select(col("query_id"), col("cos_sim").as("unfiltered_top"))
+    assert(out.filter(col("knn_rank") === 1).join(b1, "query_id")
+      .filter(col("cos_sim") > col("unfiltered_top") + 1e-12).isEmpty)
+    out.unpersist()
+  }
+
+  test("q48_repeat_share: new orders count one per customer; revenue partitions") {
+    val out = Analytics.q48RepeatShare(spark, sf).cache()
+    assert(out.count() > 0)
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(out.agg(sum(col("n_new"))).head.getLong(0) == nCust)
+    assert(out.agg(sum(col("n_orders"))).head.getLong(0) ==
+      Tables.orders(spark, sf).count())
+    val totalCents = Tables.orders(spark, sf)
+      .agg(sum(floor(col("o_totalprice") * lit(100d) + lit(0.5d)).cast("long")))
+      .head.getLong(0)
+    assert(out.agg(sum(col("new_cents") + col("repeat_cents"))).head.getLong(0)
+      == totalCents)
+    assert(out.filter(col("repeat_share") < 0d || col("repeat_share") > 1d).isEmpty)
+    out.unpersist()
+  }
+
+  test("events_burstiness: classes partition multi-event users; CV thresholds hold") {
+    val out = Analytics.eventsBurstiness(spark, sf).cache()
+    assert(out.count() > 0)
+    val multiEventUsers = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(out.agg(sum(col("n_users"))).head.getLong(0) == multiEventUsers)
+    // gap count = events - users(with >=2 events)... checked via sum identity
+    val gapTotal = Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg((count(lit(1)) - 1L).as("g"))
+      .filter(col("g") >= 1).agg(sum(col("g"))).head.getLong(0)
+    assert(out.agg(sum(col("n_gaps"))).head.getLong(0) == gapTotal)
+    out.collect().foreach { r =>
+      r.getAs[String]("burst_class") match {
+        case "REGULAR" => assert(r.getAs[Double]("mean_cv") < 0.9 + 1e-9)
+        case "BURSTY"  => assert(r.getAs[Double]("mean_cv") >= 1.1 - 1e-9)
+        case "POISSON" =>
+          val cv = r.getAs[Double]("mean_cv"); assert(cv >= 0.85 && cv < 1.15)
+        case "INSTANT" => assert(r.isNullAt(r.fieldIndex("mean_cv")))
+        case other     => fail(s"unexpected class $other")
+      }
+      assert(r.getAs[Double]("mean_gap_s") >= 0d)
+    }
+    // the Poisson-centered taxonomy must discriminate on this corpus
+    assert(out.count() >= 3, "expected REGULAR/POISSON/BURSTY all populated")
+    out.unpersist()
+  }
+
+  test("dedup_cross_source: cells partition the minhash pair stream; flag consistent") {
+    val out = Dedup.dedupCrossSource(spark, sf).cache()
+    assert(out.count() > 0)
+    val nPairs = Dedup.dedupMinhash(spark, sf).count()
+    assert(out.agg(sum(col("n_pairs"))).head.getLong(0) == nPairs)
+    assert(out.filter(col("is_cross") =!= (col("source_lo") =!= col("source_hi"))).isEmpty)
+    assert(out.filter(col("source_lo") > col("source_hi")).isEmpty)
+    // planted exact dups (+1M ids) share the original's source, so
+    // within-source cells must exist
+    assert(out.filter(!col("is_cross")).count() > 0)
+    out.unpersist()
+  }
+
+  test("text_lm_ce: OOV and entropy bounds; token accounting matches the split") {
+    val out = TextAnalysis.textLmCe(spark, sf).cache()
+    assert(out.count() > 0)
+    out.collect().foreach { r =>
+      val oov = r.getAs[Double]("oov_rate")
+      assert(oov >= 0d && oov <= 1d)
+      val ce = r.getAs[Double]("cross_entropy_nats")
+      // entropy at least ln of the worst single-token prob is bounded by
+      // the uniform-over-(N+V+1) ceiling; and always positive
+      assert(ce > 0d)
+      val ceiling = math.log(r.getAs[Long]("n_train_tokens").toDouble +
+        r.getAs[Long]("vocab_size").toDouble + 1d)
+      assert(ce <= ceiling + 1e-3, s"ce $ce exceeds add-one ceiling $ceiling")
+      assert(r.getAs[Long]("oov_tokens") <= r.getAs[Long]("n_heldout_tokens"))
+    }
+    out.unpersist()
+  }
+
+  test("sample_mixture_plan: allocation never exceeds inventory or target; deficit exact") {
+    val out = TextAnalysis.sampleMixturePlan(spark, sf).cache()
+    val nSources = Tables.documents(spark, sf).select(col("source")).distinct().count()
+    assert(out.count() == nSources)
+    assert(out.filter(col("allocated") > col("available")).isEmpty)
+    assert(out.filter(col("allocated") > col("target_docs")).isEmpty)
+    assert(out.filter(col("deficit") =!=
+      col("target_docs") - col("allocated")).isEmpty)
+    // integer proportional allocation: total target within nSources of budget
+    val totTarget = out.agg(sum(col("target_docs"))).head.getLong(0)
+    assert(totTarget <= 400L && totTarget >= 400L - nSources)
+    // at least one binding source at this budget (target > available = 25)
+    assert(out.filter(col("deficit") > 0L).count() > 0)
+    out.unpersist()
+  }
+
+  test("text_boilerplate_share: char accounting exact; boiler mass bounded") {
+    val out = Dedup.textBoilerplateShare(spark, sf).cache()
+    val nSources = Tables.documents(spark, sf).select(col("source")).distinct().count()
+    assert(out.count() == nSources)
+    assert(out.filter(col("boiler_chars") > col("total_chars")).isEmpty)
+    assert(out.filter(col("n_boiler_lines") > col("n_lines")).isEmpty)
+    assert(out.filter(col("boiler_char_share") < 0d ||
+      col("boiler_char_share") > 1d).isEmpty)
+    // distinct templates never exceed boilerplate line instances
+    assert(out.filter(col("n_templates") > col("n_boiler_lines")).isEmpty)
+    out.unpersist()
+  }
+
+  test("q49_basket_profile: buckets partition orders and revenue") {
+    val out = Analytics.q49BasketProfile(spark, sf).cache()
+    assert(out.count() > 0 && out.count() <= 4)
+    val li = Tables.lineitem(spark, sf)
+    assert(out.agg(sum(col("n_orders"))).head.getLong(0) ==
+      li.select(col("l_orderkey")).distinct().count())
+    assert(out.agg(sum(col("n_lines"))).head.getLong(0) == li.count())
+    // bucket averages respect the thresholds
+    out.collect().foreach { r =>
+      val avg = r.getAs[Double]("avg_lines")
+      r.getAs[String]("basket") match {
+        case "S"  => assert(avg <= 2.0 + 1e-9)
+        case "M"  => assert(avg > 2.0 && avg <= 4.0 + 1e-9)
+        case "L"  => assert(avg > 4.0 && avg <= 6.0 + 1e-9)
+        case "XL" => assert(avg > 6.0)
+      }
+    }
+    out.unpersist()
+  }
+
+  test("embed_anisotropy: ratio bounds; mean norm consistent with dim profile") {
+    val row = Similarity.embedAnisotropy(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getAs[Long]("dim") == 64L)
+    val aniso = r.getAs[Double]("anisotropy")
+    assert(aniso >= 0d && aniso <= 1d + 1e-12)
+    // anisotropy = mu_norm_sq / mean_norm_sq up to the shared quantization
+    val ratio = r.getAs[Double]("mu_norm_sq") / r.getAs[Double]("mean_norm_sq")
+    assert(math.abs(ratio - aniso) < 1e-9)
+    assert(r.getAs[Double]("dominant_dim_share") >= 1.0 / 64 - 1e-12)
+    assert(r.getAs[Double]("dominant_dim_share") <= 1d + 1e-12)
+  }
+
+  // plan shapes for the widening batches 14-17
+  test("q46/q47/q49: single-pass fact aggregation, no cartesian") {
+    for (df <- Seq(Analytics.q46SupplierHhi(spark, sf),
+                   Analytics.q47BrandMarkup(spark, sf),
+                   Analytics.q49BasketProfile(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert("Scan parquet".r.findAllIn(p).size <= 3)
+      assert(p.contains("partial"), "map-side combine expected")
+    }
+  }
+
+  test("knn_filtered: corpus never shuffles; label filter precedes scoring") {
+    val p = plan(Similarity.knnFiltered(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("embed_anisotropy: one scan, two aggregation levels, one row out") {
+    val p = plan(Similarity.embedAnisotropy(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 }
