@@ -638,4 +638,63 @@ object CdcOps {
       |       ELSE 'COLD' END AS churn_class
       |FROM r
       |ORDER BY user_id""".stripMargin
+
+  /** cdc_conflict_audit — intra-batch write-conflict census: per
+    * replication batch (event_id deciles — the batchLedger convention
+    * on the event stream), how many keys received MULTIPLE changes
+    * inside the batch, the worst per-key fan-in, and how many of those
+    * conflicted keys mix a DELETE with other ops. A key with several
+    * changes in one batch is exactly where apply-order and
+    * last-writer-wins semantics can diverge (cdc_apply vs cdc_txn_apply)
+    * — and a delete+upsert mix is where they diverge DESTRUCTIVELY, so
+    * this census is the risk gate an operator reads before trusting
+    * batch-granular apply.
+    *
+    * Scale shape: one shuffle to (batch, key) — map-side combined; the
+    * per-batch rollup runs on one row per touched key; 10-row output.
+    * The max-LSN scalar broadcasts (batchLedger discipline). */
+  def conflictAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("op", opCode(col("event_type")))
+    val mx = ev.agg(max(col("event_id")).as("mx"))
+    val perKey = ev.crossJoin(broadcast(mx))
+      .withColumn("batch_id",
+        floor(col("event_id") * 10 / (col("mx") + 1)).cast("long"))
+      .groupBy(col("batch_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+    perKey.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("n_ops") >= 2, 1L).otherwise(0L)).as("n_conflicted_keys"),
+        max(col("n_ops")).as("max_ops_per_key"),
+        sum(when(col("n_ops") >= 2 && col("n_deletes") > 0 &&
+          col("n_ops") > col("n_deletes"), 1L).otherwise(0L))
+          .as("n_mixed_delete_keys"))
+      .withColumn("conflict_rate", col("n_conflicted_keys").cast("double") /
+        col("n_keys").cast("double"))
+      .orderBy(col("batch_id"))
+  }
+
+  val conflictAuditSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_id, $opSql AS op,
+      |    CAST(FLOOR(event_id * 10 / ((SELECT MAX(event_id) FROM events) + 1))
+      |      AS BIGINT) AS batch_id
+      |  FROM events
+      |), per_key AS (
+      |  SELECT batch_id, user_id, COUNT(*) AS n_ops,
+      |    CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+      |  FROM ev GROUP BY 1, 2
+      |)
+      |SELECT batch_id, COUNT(*) AS n_keys,
+      |  CAST(SUM(CASE WHEN n_ops >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_conflicted_keys,
+      |  MAX(n_ops) AS max_ops_per_key,
+      |  CAST(SUM(CASE WHEN n_ops >= 2 AND n_deletes > 0 AND n_ops > n_deletes
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_delete_keys,
+      |  CAST(SUM(CASE WHEN n_ops >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS conflict_rate
+      |FROM per_key
+      |GROUP BY batch_id
+      |ORDER BY batch_id""".stripMargin
 }

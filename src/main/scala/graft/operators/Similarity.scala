@@ -1232,4 +1232,83 @@ object Similarity {
       |  CAST(ssum2 AS DOUBLE) / CAST(n_vecs * q2 AS DOUBLE) AS anisotropy,
       |  CAST(smax2 AS DOUBLE) / CAST(ssum2 AS DOUBLE) AS dominant_dim_share
       |FROM agg""".stripMargin
+
+  /** embed_label_cohesion — per-class intra-cluster cohesion: each
+    * label's member-to-centroid cosine distribution (mean and worst
+    * member). The supervised twin of knn_recall_audit's eval loop: if a
+    * label's own members barely point at its centroid, that class is
+    * incoherent and both classification heads and IVF cells built on
+    * these vectors will smear — caught here before training.
+    *
+    * Determinism discipline: coordinates quantize to the 1e-3 grid;
+    * per-label per-dim sums are exact BIGINTs; the centroid carrier is
+    * floor(S/n) computed as FLOOR of an exact double quotient (S ≪
+    * 2^53), identical in both engines — NOT integer division, whose
+    * negative-operand semantics differ between Spark (truncate) and
+    * DuckDB (floor). Dots/norms against the integral centroid are exact
+    * BIGINTs; per-vector cosine spends IEEE sqrt+divide and re-quantizes
+    * to millis, so label means are exact sums with one final divide.
+    *
+    * Scale shape: one posexplode feeds BOTH the centroid aggregate
+    * (L×D rows) and the re-join (on (label, pos) — co-partitioned,
+    * centroid side tiny and broadcast); per-vector reduction then
+    * L-row rollup. */
+  def embedLabelCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("mq", floor(col("x") * lit(1000d) + lit(0.5d)).cast("long"))
+    val centroid = e.groupBy(col("label"), col("pos"))
+      .agg(sum(col("mq")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cq", floor(col("s").cast("double") / col("n").cast("double"))
+        .cast("long"))
+      .select(col("label"), col("pos"), col("cq"))
+    val perVec = e.join(broadcast(centroid), Seq("label", "pos"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("mq") * col("cq")).as("dot"),
+        sum(col("mq") * col("mq")).as("nx"),
+        sum(col("cq") * col("cq")).as("nc"))
+      .withColumn("cosq", floor(col("dot").cast("double") /
+        sqrt(col("nx").cast("double") * col("nc").cast("double"))
+        * lit(1000d) + lit(0.5d)).cast("long"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("cosq")).cast("double") / count(lit(1)).cast("double") /
+          lit(1000d)).as("mean_cos"),
+        (min(col("cosq")).cast("double") / lit(1000d)).as("worst_cos"))
+      .orderBy(col("label"))
+  }
+
+  val embedLabelCohesionSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(pos - 1 AS INTEGER) AS pos,
+      |    CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS mq
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+      |               generate_subscripts(embedding, 1) AS pos
+      |        FROM embeddings)
+      |), centroid AS (
+      |  SELECT label, pos,
+      |    CAST(FLOOR(CAST(CAST(SUM(mq) AS BIGINT) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq
+      |  FROM e GROUP BY 1, 2
+      |), per_vec AS (
+      |  SELECT e.label, e.vec_id,
+      |    CAST(SUM(e.mq * c.cq) AS BIGINT) AS dot,
+      |    CAST(SUM(e.mq * e.mq) AS BIGINT) AS nx,
+      |    CAST(SUM(c.cq * c.cq) AS BIGINT) AS nc
+      |  FROM e JOIN centroid c ON c.label = e.label AND c.pos = e.pos
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT label, vec_id,
+      |    CAST(FLOOR(CAST(dot AS DOUBLE) /
+      |      sqrt(CAST(nx AS DOUBLE) * CAST(nc AS DOUBLE)) * 1000 + 0.5)
+      |      AS BIGINT) AS cosq
+      |  FROM per_vec
+      |)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(cosq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000 AS mean_cos,
+      |  CAST(MIN(cosq) AS DOUBLE) / 1000 AS worst_cos
+      |FROM scored
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
 }

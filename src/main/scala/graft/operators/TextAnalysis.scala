@@ -1408,24 +1408,22 @@ object TextAnalysis {
     * emitted: Math.exp/libm exp are not guaranteed correctly rounded,
     * so the nats value is the portable one.
     *
-    * Scale shape: token counting shuffles on (lang, word) with map-side
-    * combine on BOTH splits (heldout joins as counts, never as a token
-    * stream); the model join is count-table × count-table on (lang,
-    * word); per-lang scalars broadcast back; 5-row output. */
+    * Scale shape: ONE token explode and ONE (lang, word) shuffle with
+    * map-side combine — both splits count in the same aggregate
+    * (conditional sums), so there is no second scan and no
+    * train⋈heldout join at all; per-lang scalars broadcast back; 5-row
+    * output. */
   def textLmCe(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val counts = Tables.documents(spark, dir)
       .withColumn("bucket",
         pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 100L)
       .select(col("lang"), col("bucket"), explode(words(col("text"))).as("w"))
-    val train = docs.filter(col("bucket") < 80)
-      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
-    val heldout = docs.filter(col("bucket") >= 80)
-      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("m"))
-    val scalars = train.groupBy(col("lang"))
-      .agg(sum(col("c")).as("n_train_tokens"), count(lit(1)).as("vocab_size"))
-    val scored = heldout
-      .join(train, Seq("lang", "w"), "left")
-      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .groupBy(col("lang"), col("w"))
+      .agg(sum(when(col("bucket") < 80, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("bucket") >= 80, 1L).otherwise(0L)).as("m"))
+    val scalars = counts.filter(col("c0") > 0L).groupBy(col("lang"))
+      .agg(sum(col("c0")).as("n_train_tokens"), count(lit(1)).as("vocab_size"))
+    val scored = counts.filter(col("m") > 0L)
       .join(broadcast(scalars), Seq("lang"))
       .withColumn("lnpq",
         floor(log((col("c0") + 1L).cast("double") /
@@ -1453,23 +1451,24 @@ object TextAnalysis {
       |  SELECT lang, (doc_id * 2654435761 % 1000000007) % 100 AS bucket,
       |    unnest(${wordsSql("text")}) AS w
       |  FROM documents
-      |), train AS (
-      |  SELECT lang, w, COUNT(*) AS c FROM toks WHERE bucket < 80 GROUP BY 1, 2
-      |), heldout AS (
-      |  SELECT lang, w, COUNT(*) AS m FROM toks WHERE bucket >= 80 GROUP BY 1, 2
+      |), counts AS (
+      |  SELECT lang, w,
+      |    CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN bucket >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM toks GROUP BY 1, 2
       |), scalars AS (
-      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_train_tokens,
+      |  SELECT lang, CAST(SUM(c0) AS BIGINT) AS n_train_tokens,
       |    COUNT(*) AS vocab_size
-      |  FROM train GROUP BY 1
+      |  FROM counts WHERE c0 > 0 GROUP BY 1
       |), scored AS (
-      |  SELECT h.lang, h.m, COALESCE(t.c, 0) AS c0,
+      |  SELECT h.lang, h.m, h.c0,
       |    s.n_train_tokens, s.vocab_size,
-      |    CAST(FLOOR(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) /
+      |    CAST(FLOOR(ln(CAST(h.c0 + 1 AS DOUBLE) /
       |      CAST(s.n_train_tokens + s.vocab_size + 1 AS DOUBLE)) * 1000 + 0.5)
       |      AS BIGINT) AS lnpq
-      |  FROM heldout h
-      |  LEFT JOIN train t ON t.lang = h.lang AND t.w = h.w
+      |  FROM counts h
       |  JOIN scalars s ON s.lang = h.lang
+      |  WHERE h.m > 0
       |)
       |SELECT lang, MAX(n_train_tokens) AS n_train_tokens,
       |  MAX(vocab_size) AS vocab_size,

@@ -972,4 +972,39 @@ class Round7OpsSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("cdc_conflict_audit: key accounting matches churn; conflict bounds hold") {
+    val out = CdcOps.conflictAudit(spark, sf).cache()
+    assert(out.count() == 10)
+    // distinct (batch,key) cells sum across batches; conflicted <= keys
+    assert(out.filter(col("n_conflicted_keys") > col("n_keys")).isEmpty)
+    assert(out.filter(col("n_mixed_delete_keys") > col("n_conflicted_keys")).isEmpty)
+    assert(out.filter(col("conflict_rate") < 0d || col("conflict_rate") > 1d).isEmpty)
+    // total ops across cells = total events
+    val ev = Tables.events(spark, sf).count()
+    val cells = Tables.events(spark, sf)
+      .crossJoin(broadcast(Tables.events(spark, sf).agg(max(col("event_id")).as("mx"))))
+      .withColumn("b", floor(col("event_id") * 10 / (col("mx") + 1)).cast("long"))
+      .select(col("b"), col("user_id")).distinct().count()
+    assert(out.agg(sum(col("n_keys"))).head.getLong(0) == cells)
+    // max fan-in is at least the average implied by events/cells
+    assert(out.agg(max(col("max_ops_per_key"))).head.getLong(0) >= ev / cells)
+    out.unpersist()
+  }
+
+  test("embed_label_cohesion: cosine bounds; labels complete; cohesion beats random") {
+    val out = Similarity.embedLabelCohesion(spark, sf).cache()
+    val nLabels = Tables.embeddings(spark, sf).select(col("label")).distinct().count()
+    assert(out.count() == nLabels)
+    assert(out.agg(sum(col("n_vecs"))).head.getLong(0) ==
+      Tables.embeddings(spark, sf).count())
+    out.collect().foreach { r =>
+      val mean = r.getAs[Double]("mean_cos"); val worst = r.getAs[Double]("worst_cos")
+      assert(mean >= -1.0 - 1e-9 && mean <= 1.0 + 1e-9)
+      assert(worst <= mean + 1e-9)
+      // members must on average point TOWARD their own centroid
+      assert(mean > 0d, s"label ${r.getAs[Int]("label")} mean cohesion $mean <= 0")
+    }
+    out.unpersist()
+  }
 }
