@@ -15,6 +15,12 @@ case class ChurnState(user_id: Long, n_changes: Long, n_inserts: Long,
                       n_updates: Long, n_deletes: Long,
                       first_offset: Long, last_offset: Long)
 
+/** Per-key inter-event-gap accumulators maintained across micro-batches
+  * (stream_burstiness): exact integral-second gap sums + the last seen
+  * event-time so the next batch's first gap bridges the batch boundary. */
+case class BurstState(user_id: Long, n_gaps: Long, sx: Long, sxx: Long,
+                      last_ms: Long, n_events: Long)
+
 /** Structured-streaming CDC (SURVEY.md §2.A): the reference's
   * Debezium→Kafka→target apply loop, re-expressed as
   * readStream → stateful transform → sink.
@@ -538,4 +544,73 @@ object CdcStream {
         (sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")) / lit(100d))
           .as("attributed_value"))
       .orderBy(col("first_touch"), col("last_touch"))
+
+  /** Per-key gap accumulators as a stateful stream transform: each
+    * micro-batch's events for a key are folded IN EVENT-TIME ORDER
+    * (sorted within the batch — the iterator order is not guaranteed),
+    * with the state carrying last_ms so the first gap of a batch bridges
+    * the boundary. Gap quantization (integral seconds via floor-div of
+    * epoch millis) matches Analytics.eventsBurstiness exactly. Same
+    * cross-batch order contract as attributeStream: arrivals must
+    * respect event-time order ACROSS micro-batches (a log replay does);
+    * within a batch any order is handled. */
+  def burstCounters(spark: SparkSession, changeEvents: DataFrame): DataFrame = {
+    import spark.implicits._
+    changeEvents.as[ChangeEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, BurstState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[ChangeEvent], state: GroupState[BurstState]) =>
+          val ordered = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val next = ordered.foldLeft(state.getOption.orNull) { (s, e) =>
+            val ms = Math.floorDiv(e.ts_us, 1000L)
+            if (s == null) BurstState(key, 0L, 0L, 0L, ms, 1L)
+            else {
+              val gap = Math.floorDiv(ms - s.last_ms, 1000L)
+              BurstState(key, s.n_gaps + 1, s.sx + gap, s.sxx + gap * gap,
+                ms, s.n_events + 1)
+            }
+          }
+          if (next == null) Iterator.empty
+          else { state.update(next); Iterator.single(next) }
+      }
+      .toDF()
+  }
+
+  /** stream_burstiness — the user temporal-regularity census
+    * (Analytics.eventsBurstiness) maintained incrementally under
+    * streaming ingest: the stateful gap accumulators above, then the
+    * batch op's exact CV/class/rollup tail over each key's FINAL
+    * counters (defensively deduped by the monotone n_events). Oracle:
+    * Analytics.eventsBurstinessSql — the streamed census must equal the
+    * batch one bit-for-bit. */
+  def streamBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val finalStates =
+      replay(spark, dir, "stream_burstiness_sink", OutputMode.Update,
+        df => burstCounters(spark, df))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_gaps"), col("sx"), col("sxx")),
+        col("n_events")).as("s"))
+      .select(col("s.n_gaps").as("n"), col("s.sx").as("sx"), col("s.sxx").as("sxx"))
+      .filter(col("n") >= 1L)
+    finalStates
+      .withColumn("cv", when(col("sx") === 0L, lit(null)).otherwise(
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+          col("sx").cast("double")))
+      .withColumn("cvq", when(col("sx") === 0L, lit(null))
+        .otherwise(floor(col("cv") * lit(1000d) + lit(0.5d)).cast("long")))
+      .withColumn("burst_class",
+        when(col("sx") === 0L, "INSTANT")
+          .when(col("cvq") < 900L, "REGULAR")
+          .when(col("cvq") >= 1100L, "BURSTY")
+          .otherwise("POISSON"))
+      .groupBy(col("burst_class"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_gaps"),
+        (sum(col("sx")).cast("double") / sum(col("n")).cast("double"))
+          .as("mean_gap_s"),
+        (sum(col("cvq")).cast("double") / count(lit(1)).cast("double") / lit(1000d))
+          .as("mean_cv"))
+      .orderBy(col("burst_class"))
+  }
 }

@@ -1007,4 +1007,40 @@ class Round7OpsSpec extends SparkSpec {
     }
     out.unpersist()
   }
+
+  test("burstCounters over MemoryStream: within-batch disorder sorted; gaps bridge batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{CdcStream, ChangeEvent}
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChangeEvent]
+    val q = CdcStream.burstCounters(spark, input.toDF())
+      .writeStream.format("memory").queryName("t_burst")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update).start()
+    // batch 1 arrives OUT OF ORDER within the batch: ts 10s then 0s then 4s
+    input.addData(
+      ChangeEvent(2, 1, "U", 0, 10000000L),
+      ChangeEvent(1, 1, "I", 0, 0L),
+      ChangeEvent(3, 1, "U", 0, 4000000L))
+    q.processAllAvailable()
+    // batch 2 bridges the boundary: gap from 10s to 25s
+    input.addData(ChangeEvent(4, 1, "U", 0, 25000000L))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("t_burst")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_gaps"), col("sx"), col("sxx")), col("n_events")).as("s"))
+      .select(col("s.*")).collect().head
+    // ordered gaps: 0->4 = 4s, 4->10 = 6s, 10->25 = 15s
+    assert(fin.getLong(0) == 3L)
+    assert(fin.getLong(1) == 4L + 6L + 15L)
+    assert(fin.getLong(2) == 16L + 36L + 225L)
+  }
+
+  test("stream_burstiness: streamed census equals the batch census bit-for-bit") {
+    import graft.streaming.CdcStream
+    val streamed = CdcStream.streamBurstiness(spark, sf).collect()
+    val batch = Analytics.eventsBurstiness(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
 }
