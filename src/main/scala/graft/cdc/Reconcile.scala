@@ -1546,4 +1546,85 @@ object Reconcile {
       |       ELSE 'CONFLICTING_VALUES' END AS conflict_kind
       |FROM g
       |ORDER BY o_orderkey""".stripMargin
+
+  /** recon_bucket_drilldown — the adaptive narrowing step between
+    * recon_hash_bucket and recon_repair: level-1 compares 64 bucket
+    * digests; ONLY rows whose bucket mismatched are re-digested at
+    * level-2 granularity (key % 4096), emitting the mismatched
+    * sub-buckets with each side's key range. At 100 TB this is how a
+    * digest mismatch narrows to fetchable key ranges with two
+    * scan-speed digest passes and ZERO row movement — recon_repair then
+    * ships only the rows inside the emitted ranges (vs recon_merkle's
+    * full fixed-depth tree built in one pass; the drilldown builds only
+    * the branch it needs).
+    *
+    * Scale shape: pass 1 is recon_hash_bucket (B-row shuffle); the ≤B
+    * mismatched bucket ids broadcast back as a semi-join filter, so
+    * pass 2 scans both sides once more but aggregates ONLY the
+    * offending slice (∝ mismatch locality, 1/64 here) into 64
+    * sub-digests per bad bucket. Output ∝ mismatched sub-buckets. */
+  def reconBucketDrilldown(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val tgt = driftedTarget(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val dig = rowDigest(col("o_orderkey"), col("o_totalprice"))
+    val bad = hashBucketDiffOf(src, tgt, "o_orderkey", dig, 64)
+      .filter(!col("bucket_match")).select(col("bucket"))
+    def subDigests(df: DataFrame, cnt: String, dg: String, kmin: String, kmax: String) =
+      df.withColumn("bucket", pmod(col("o_orderkey"), lit(64L)))
+        .join(broadcast(bad), Seq("bucket"), "left_semi")
+        .withColumn("sub_bucket", pmod(col("o_orderkey"), lit(4096L)))
+        .withColumn("rd", dig)
+        .groupBy(col("bucket"), col("sub_bucket"))
+        .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dg),
+          min(col("o_orderkey")).as(kmin), max(col("o_orderkey")).as(kmax))
+    subDigests(src, "src_count", "src_digest", "src_min_key", "src_max_key")
+      .join(subDigests(tgt, "tgt_count", "tgt_digest", "tgt_min_key", "tgt_max_key"),
+        Seq("bucket", "sub_bucket"), "full_outer")
+      .filter(coalesce(col("src_count"), lit(-1L)) =!= coalesce(col("tgt_count"), lit(-2L)) ||
+        coalesce(col("src_digest"), lit(-1L)) =!= coalesce(col("tgt_digest"), lit(-2L)))
+      .select(col("bucket"), col("sub_bucket"),
+        col("src_count"), col("tgt_count"), col("src_digest"), col("tgt_digest"),
+        col("src_min_key"), col("src_max_key"),
+        col("tgt_min_key"), col("tgt_max_key"))
+      .orderBy(col("bucket"), col("sub_bucket"))
+  }
+
+  val reconBucketDrilldownSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |srcd AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS c,
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS d
+      |  FROM orders GROUP BY 1),
+      |tgtd AS (
+      |  SELECT o_orderkey % 64 AS bucket, COUNT(*) AS c,
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS d
+      |  FROM tgt GROUP BY 1),
+      |bad AS (
+      |  SELECT COALESCE(srcd.bucket, tgtd.bucket) AS bucket
+      |  FROM srcd FULL OUTER JOIN tgtd ON srcd.bucket = tgtd.bucket
+      |  WHERE COALESCE(srcd.c, -1) <> COALESCE(tgtd.c, -2)
+      |     OR COALESCE(srcd.d, -1) <> COALESCE(tgtd.d, -2)),
+      |srcs AS (
+      |  SELECT o_orderkey % 64 AS bucket, o_orderkey % 4096 AS sub_bucket,
+      |    COUNT(*) AS src_count,
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS src_digest,
+      |    MIN(o_orderkey) AS src_min_key, MAX(o_orderkey) AS src_max_key
+      |  FROM orders WHERE o_orderkey % 64 IN (SELECT bucket FROM bad)
+      |  GROUP BY 1, 2),
+      |tgts AS (
+      |  SELECT o_orderkey % 64 AS bucket, o_orderkey % 4096 AS sub_bucket,
+      |    COUNT(*) AS tgt_count,
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS tgt_digest,
+      |    MIN(o_orderkey) AS tgt_min_key, MAX(o_orderkey) AS tgt_max_key
+      |  FROM tgt WHERE o_orderkey % 64 IN (SELECT bucket FROM bad)
+      |  GROUP BY 1, 2)
+      |SELECT COALESCE(srcs.bucket, tgts.bucket) AS bucket,
+      |  COALESCE(srcs.sub_bucket, tgts.sub_bucket) AS sub_bucket,
+      |  src_count, tgt_count, src_digest, tgt_digest,
+      |  src_min_key, src_max_key, tgt_min_key, tgt_max_key
+      |FROM srcs FULL OUTER JOIN tgts
+      |  ON srcs.bucket = tgts.bucket AND srcs.sub_bucket = tgts.sub_bucket
+      |WHERE COALESCE(src_count, -1) <> COALESCE(tgt_count, -2)
+      |   OR COALESCE(src_digest, -1) <> COALESCE(tgt_digest, -2)
+      |ORDER BY bucket, sub_bucket""".stripMargin
 }

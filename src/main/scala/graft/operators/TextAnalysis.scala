@@ -1482,6 +1482,91 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** text_doc_lm_score — the PER-DOCUMENT form of text_lm_ce: every doc
+    * scored against the per-language add-one unigram model trained on
+    * the hash-split train partition — the CCNet-style perplexity filter
+    * itself (text_lm_ce is its corpus-health rollup). Docs classify
+    * CLEAN / SUSPECT / JUNK on cross-entropy thresholds compared in
+    * EXACT integer cross-multiplied form (S vs τ·1000·M, with τ·1000
+    * integral — no double ever enters a class boundary), so the
+    * partition is reproducible to the last doc.
+    *
+    * Determinism: same millinat-quantized ln p as text_lm_ce; per-doc S
+    * = −Σ m·lnpq and M are exact BIGINTs; ce_nats spends the double
+    * only in the reported value, never in the classification.
+    *
+    * Scale shape: one (doc, word) count aggregate (∝ corpus tokens,
+    * map-side combined), one (lang, word) model join — the model table
+    * is Heaps-sublinear in the corpus — then a per-doc rollup. */
+  def textDocLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("bucket",
+        pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 100L)
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        explode(words(col("text"))).as("w"))
+    val train = toks.filter(col("bucket") < 80)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val scalars = train.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_train"), count(lit(1)).as("v"))
+    val docCounts = toks.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("m"))
+    docCounts
+      .join(train, Seq("lang", "w"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+      .join(broadcast(scalars), Seq("lang"))
+      .withColumn("lnpq",
+        floor(log((col("c0") + 1L).cast("double") /
+          (col("n_train") + col("v") + 1L).cast("double"))
+          * lit(1000d) + lit(0.5d)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(when(col("c0") === 0L, col("m")).otherwise(0L)).as("oov_tokens"),
+        (-sum(col("m") * col("lnpq"))).as("s_millinats"))
+      .withColumn("ce_nats", col("s_millinats").cast("double") /
+        col("n_tokens").cast("double") / lit(1000d))
+      .withColumn("quality_class",
+        when(col("s_millinats") > lit(3450L) * col("n_tokens"), "JUNK")
+          .when(col("s_millinats") > lit(3420L) * col("n_tokens"), "SUSPECT")
+          .otherwise("CLEAN"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("oov_tokens"),
+        col("ce_nats"), col("quality_class"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textDocLmScoreSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, (doc_id * 2654435761 % 1000000007) % 100 AS bucket,
+      |    unnest(${wordsSql("text")}) AS w
+      |  FROM documents
+      |), train AS (
+      |  SELECT lang, w, COUNT(*) AS c FROM toks WHERE bucket < 80 GROUP BY 1, 2
+      |), scalars AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_train, COUNT(*) AS v
+      |  FROM train GROUP BY 1
+      |), dc AS (
+      |  SELECT doc_id, lang, w, COUNT(*) AS m FROM toks GROUP BY 1, 2, 3
+      |), scored AS (
+      |  SELECT dc.doc_id, dc.lang, dc.m, COALESCE(t.c, 0) AS c0,
+      |    CAST(FLOOR(ln(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) /
+      |      CAST(s.n_train + s.v + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS lnpq
+      |  FROM dc
+      |  LEFT JOIN train t ON t.lang = dc.lang AND t.w = dc.w
+      |  JOIN scalars s ON s.lang = dc.lang
+      |), per_doc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN c0 = 0 THEN m ELSE 0 END) AS BIGINT) AS oov_tokens,
+      |    CAST(-SUM(m * lnpq) AS BIGINT) AS s_millinats
+      |  FROM scored GROUP BY 1, 2
+      |)
+      |SELECT doc_id, lang, n_tokens, oov_tokens,
+      |  CAST(s_millinats AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000 AS ce_nats,
+      |  CASE WHEN s_millinats > 3450 * n_tokens THEN 'JUNK'
+      |       WHEN s_millinats > 3420 * n_tokens THEN 'SUSPECT'
+      |       ELSE 'CLEAN' END AS quality_class
+      |FROM per_doc
+      |ORDER BY doc_id""".stripMargin
+
   /** sample_mixture_plan — corpus-mix allocation planner: given a
     * deterministic per-source demand weight, allocate a fixed document
     * budget proportionally (exact integer arithmetic — weight·budget

@@ -1043,4 +1043,40 @@ class Round7OpsSpec extends SparkSpec {
     assert(streamed.length == batch.length)
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
+
+  test("text_doc_lm_score: every doc scored; classes match exact threshold algebra") {
+    val out = TextAnalysis.textDocLmScore(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // class boundaries replayed from the reported ce (within fp slack of
+    // the exact integer decision; no doc may sit on the wrong side by more)
+    assert(out.filter(col("quality_class") === "JUNK" &&
+      col("ce_nats") <= 3.45 - 1e-9).isEmpty)
+    assert(out.filter(col("quality_class") === "CLEAN" &&
+      col("ce_nats") > 3.42 + 1e-9).isEmpty)
+    assert(out.filter(col("quality_class") === "SUSPECT" &&
+      (col("ce_nats") <= 3.42 - 1e-9 || col("ce_nats") > 3.45 + 1e-9)).isEmpty)
+    assert(out.filter(col("oov_tokens") > col("n_tokens")).isEmpty)
+    // thresholds discriminate on this corpus
+    assert(out.select(col("quality_class")).distinct().count() >= 2)
+    out.unpersist()
+  }
+
+  test("recon_bucket_drilldown: sub-buckets refine exactly the mismatched buckets") {
+    val out = Reconcile.reconBucketDrilldown(spark, sf).cache()
+    assert(out.count() > 0)
+    val badL1 = Reconcile.reconHashBucket(spark, sf)
+      .filter(!col("bucket_match")).select(col("bucket"))
+    // every emitted sub-bucket belongs to a mismatched level-1 bucket
+    assert(out.join(badL1, Seq("bucket"), "left_anti").isEmpty)
+    // sub_bucket is consistent with its parent (sub ≡ bucket mod 64)
+    assert(out.filter(pmod(col("sub_bucket"), lit(64L)) =!= col("bucket")).isEmpty)
+    // key ranges are ordered where present
+    assert(out.filter(col("src_min_key") > col("src_max_key")).isEmpty)
+    assert(out.filter(col("tgt_min_key") > col("tgt_max_key")).isEmpty)
+    // a planted deletion (key%1000==7) must surface: some sub-bucket has
+    // src_count > tgt_count or a missing target side
+    assert(out.filter(col("tgt_count").isNull ||
+      col("src_count") > col("tgt_count")).count() > 0)
+    out.unpersist()
+  }
 }
