@@ -1399,4 +1399,58 @@ object Dedup {
       |FROM lf JOIN dfreq USING (fp)
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** text_effective_tokens — the dedup-adjusted token budget per
+    * source: raw token count versus the tokens surviving canonical
+    * dedup (cluster representatives only). Raw corpus size is the
+    * headline number; EFFECTIVE tokens is what a training run actually
+    * gets after dedup — and the per-source retention ratio is the
+    * honest way to compare feeds (a source that is 95 % self-copies
+    * contributes almost nothing at any raw size). The budget view over
+    * dedup_canonical's keep-set.
+    *
+    * Scale shape: the keep-set labels come from the CC pipeline the
+    * dedup family already runs; token counts are a map-only projection
+    * of the corpus; the source decode joins on the original-id fold
+    * (+1M/+2M convention) and the rollup is sources-sized. */
+  def textEffectiveTokens(spark: SparkSession, dir: String): DataFrame = {
+    val kept = dedupCanonical(spark, dir).select(col("doc_id"), col("is_kept"))
+    val toks = corpus(spark, dir)
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_toks"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("orig_id"), col("source"))
+    kept.join(toks, Seq("doc_id"))
+      .join(src, col("doc_id") % 1000000L === col("orig_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("is_kept"), col("n_toks")).otherwise(0L)).as("effective_tokens"))
+      .withColumn("token_retention", col("effective_tokens").cast("double") /
+        col("total_tokens").cast("double"))
+      .orderBy(col("source"))
+  }
+
+  lazy val textEffectiveTokensSql: String =
+    s"""WITH RECURSIVE $clusterLabCtes,
+      |canon AS (
+      |  SELECT c.doc_id,
+      |    COALESCE(lab.cluster_id, c.doc_id) = c.doc_id AS is_kept
+      |  FROM corpus c LEFT JOIN lab ON c.doc_id = lab.doc_id
+      |),
+      |tokcnt AS (
+      |  SELECT doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS n_toks
+      |  FROM corpus
+      |)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  CAST(SUM(CASE WHEN is_kept THEN n_toks ELSE 0 END) AS BIGINT)
+      |    AS effective_tokens,
+      |  CAST(SUM(CASE WHEN is_kept THEN n_toks ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(n_toks) AS DOUBLE) AS token_retention
+      |FROM canon JOIN tokcnt USING (doc_id)
+      |JOIN documents d ON d.doc_id = canon.doc_id % 1000000
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
 }

@@ -1094,4 +1094,22 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.filter(col("mean_d2") < 0d).isEmpty)
     out.unpersist()
   }
+
+  test("text_effective_tokens: retention bounded; keep accounting matches canonical") {
+    val out = Dedup.textEffectiveTokens(spark, sf).cache()
+    val nSources = Tables.documents(spark, sf).select(col("source")).distinct().count()
+    assert(out.count() == nSources)
+    assert(out.filter(col("effective_tokens") > col("total_tokens")).isEmpty)
+    assert(out.filter(col("kept_docs") > col("n_docs")).isEmpty)
+    assert(out.filter(col("token_retention") <= 0d ||
+      col("token_retention") > 1d).isEmpty)
+    // totals reconcile with the canonical keep-set
+    val canon = Dedup.dedupCanonical(spark, sf)
+    assert(out.agg(sum(col("n_docs"))).head.getLong(0) == canon.count())
+    assert(out.agg(sum(col("kept_docs"))).head.getLong(0) ==
+      canon.filter(col("is_kept")).count())
+    // planted exact copies (doc_id % 17 == 0 originals) force retention < 1 somewhere
+    assert(out.filter(col("token_retention") < 1d).count() > 0)
+    out.unpersist()
+  }
 }
