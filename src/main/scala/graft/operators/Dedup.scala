@@ -1400,6 +1400,67 @@ object Dedup {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** dedup_threshold_sweep — the near-dup threshold tuning curve:
+    * candidate pairs bucketed by exact Jaccard decile with the
+    * cumulative pair count at-or-above each decile. Every dedup
+    * deployment picks a τ; this is the evidence it's picked FROM — how
+    * many pairs (and therefore how much corpus) each candidate
+    * threshold would merge. The 0.35 the family ships (jaccardPairs)
+    * sits on this curve's knee or it's the wrong τ.
+    *
+    * Determinism: the decile is (10·inter) DIV union — EXACT integer
+    * arithmetic on exact set sizes; no double touches a bucket
+    * boundary. The cumulative window runs over ≤ 11 pre-aggregated
+    * rows. Same pair machinery as dedup_ngram_jaccard (rare-shingle
+    * groups, capped), just unfiltered. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftvec.MinHashExpressions.sortedPairs
+    val grouped = rareShingleGroups(spark, dir)
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = grouped.select(explode(sortedPairs(col("ds"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val hist = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("union_sh", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("decile", expr("(10 * inter) DIV union_sh"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+    hist
+      .withColumn("cum_pairs_at_or_above",
+        sum(col("n_pairs")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("decile").desc)
+            .rowsBetween(Long.MinValue, 0)))
+      .withColumn("threshold", col("decile").cast("double") / lit(10d))
+      .select(col("decile"), col("threshold"), col("n_pairs"),
+        col("cum_pairs_at_or_above"))
+      .orderBy(col("decile"))
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH $docShinglesSql,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |hist AS (
+      |  SELECT (10 * inter) // (sa.n_sh + sb.n_sh - inter) AS decile,
+      |    COUNT(*) AS n_pairs
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  GROUP BY 1
+      |)
+      |SELECT decile, CAST(decile AS DOUBLE) / 10 AS threshold, n_pairs,
+      |  CAST(SUM(n_pairs) OVER (ORDER BY decile DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_pairs_at_or_above
+      |FROM hist
+      |ORDER BY decile""".stripMargin
+
   /** text_effective_tokens — the dedup-adjusted token budget per
     * source: raw token count versus the tokens surviving canonical
     * dedup (cluster representatives only). Raw corpus size is the

@@ -340,4 +340,67 @@ object Multimodal {
       |    AS mean_bytes
       |FROM banded GROUP BY size_band
       |ORDER BY size_band""".stripMargin
+
+  /** mm_chunk_popularity — chunk-sharing census across the whole blob
+    * store: every distinct 128-byte chunk fingerprint bucketed by its
+    * reference count in power-of-two bands (1, 2, 3-4, 5-8, 9+), with
+    * stored vs logical byte mass per band. This is the evidence behind
+    * a content-addressed store's dedup ratio: refs=1 mass is
+    * incompressible by CAS, the 9+ tail is the hot-chunk cache working
+    * set, and the band boundary movement between snapshots is the
+    * "did enabling CAS pay" answer — mm_chunk_dedup reports the ratio
+    * per source, this shows WHERE it comes from.
+    *
+    * Scale shape: one ChunkHashes kernel pass (payload scanned once,
+    * only 32-char fingerprints exploded), one fingerprint shuffle for
+    * the global DF, a ≤5-row band rollup. Explicit CASE band ladder —
+    * no libm log2 near a boundary. */
+  def mmChunkPopularity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    val perFp = Tables.documents(spark, dir)
+      .select(explode(chunkHashes(col("text").cast("binary"), 128)).as("c"))
+      .select(col("c.chunk_fp").as("chunk_fp"), col("c.chunk_bytes").as("chunk_bytes"))
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_refs"), max(col("chunk_bytes")).as("chunk_bytes"))
+    perFp
+      .withColumn("ref_band",
+        when(col("n_refs") === 1L, "1")
+          .when(col("n_refs") === 2L, "2")
+          .when(col("n_refs") <= 4L, "3-4")
+          .when(col("n_refs") <= 8L, "5-8")
+          .otherwise("9+"))
+      .groupBy(col("ref_band"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_refs")).as("total_refs"),
+        sum(col("chunk_bytes")).as("stored_bytes"),
+        sum(col("n_refs") * col("chunk_bytes")).as("logical_bytes"))
+      .withColumn("cas_savings_bytes", col("logical_bytes") - col("stored_bytes"))
+      .orderBy(col("ref_band"))
+  }
+
+  val mmChunkPopularitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(CEIL(CAST(length(text) AS DOUBLE) / 128) AS BIGINT) AS n_chunks
+      |  FROM documents
+      |), ch AS (
+      |  SELECT md5(substring(text, CAST(ci * 128 + 1 AS INTEGER), 128)) AS chunk_fp,
+      |    length(substring(text, CAST(ci * 128 + 1 AS INTEGER), 128)) AS chunk_bytes
+      |  FROM d, LATERAL (SELECT unnest(range(0, n_chunks)) AS ci)
+      |), pf AS (
+      |  SELECT chunk_fp, COUNT(*) AS n_refs, MAX(chunk_bytes) AS chunk_bytes
+      |  FROM ch GROUP BY 1
+      |)
+      |SELECT CASE WHEN n_refs = 1 THEN '1' WHEN n_refs = 2 THEN '2'
+      |            WHEN n_refs <= 4 THEN '3-4' WHEN n_refs <= 8 THEN '5-8'
+      |            ELSE '9+' END AS ref_band,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(n_refs) AS BIGINT) AS total_refs,
+      |  CAST(SUM(chunk_bytes) AS BIGINT) AS stored_bytes,
+      |  CAST(SUM(n_refs * chunk_bytes) AS BIGINT) AS logical_bytes,
+      |  CAST(SUM(n_refs * chunk_bytes) AS BIGINT) - CAST(SUM(chunk_bytes) AS BIGINT)
+      |    AS cas_savings_bytes
+      |FROM pf
+      |GROUP BY 1
+      |ORDER BY ref_band""".stripMargin
 }

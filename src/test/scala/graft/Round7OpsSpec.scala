@@ -1112,4 +1112,39 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.filter(col("token_retention") < 1d).count() > 0)
     out.unpersist()
   }
+
+  test("dedup_threshold_sweep: cumulative curve monotone; 0.35 knee consistent with jaccard op") {
+    val out = Dedup.dedupThresholdSweep(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("decile") < 0L || col("decile") > 10L).isEmpty)
+    // cumulative counts decrease as the threshold rises
+    val rows = out.orderBy(col("decile")).collect()
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("cum_pairs_at_or_above") >=
+        hi.getAs[Long]("cum_pairs_at_or_above"))
+      case _ => ()
+    }
+    // pairs at deciles >= 4 must be at least the shipped op's (j >= 0.35
+    // includes [0.35, 0.4) pairs that decile 4 excludes)
+    val cumAt4 = rows.find(_.getAs[Long]("decile") >= 4L)
+      .map(_.getAs[Long]("cum_pairs_at_or_above")).getOrElse(0L)
+    assert(Dedup.dedupNgramJaccard(spark, sf).count() >= cumAt4)
+    out.unpersist()
+  }
+
+  test("mm_chunk_popularity: byte accounting matches chunk dedup; savings exact") {
+    val out = Multimodal.mmChunkPopularity(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("cas_savings_bytes") =!=
+      col("logical_bytes") - col("stored_bytes")).isEmpty)
+    assert(out.filter(col("logical_bytes") < col("stored_bytes")).isEmpty)
+    // the refs=1 band saves nothing by definition
+    assert(out.filter(col("ref_band") === "1" &&
+      col("cas_savings_bytes") =!= 0L).isEmpty)
+    // total logical bytes across bands = corpus bytes
+    val corpusBytes = Tables.documents(spark, sf)
+      .agg(sum(octet_length(col("text")).cast("long"))).head.getLong(0)
+    assert(out.agg(sum(col("logical_bytes"))).head.getLong(0) == corpusBytes)
+    out.unpersist()
+  }
 }
