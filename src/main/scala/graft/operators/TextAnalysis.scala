@@ -1597,6 +1597,64 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** sample_interleave_schedule — the deterministic data-loader ORDER a
+    * weighted mixture run actually reads: weighted fair queueing over
+    * sources. Each source's k-th admitted doc (decorrelated-hash rank,
+    * the sample_quota_by_source discipline, capped at 15/source) gets
+    * virtual time k·10⁹ DIV weight (exact integer — heavier sources'
+    * docs arrive at shorter virtual intervals), and the global schedule
+    * is the (vt, source, rank) sort — the first 100 positions are the
+    * order the loader dequeues. sample_mixture_plan says HOW MANY from
+    * each source; this says WHEN, so two runs of the same plan read
+    * byte-identical streams.
+    *
+    * Scale shape: per-source rank windows are bounded per key; the
+    * global position window runs over ≤ sources×cap pre-aggregated
+    * rows (a few hundred — constant, never corpus-sized; the SURVEY §5
+    * bounded-window discipline). Weights share sample_mixture_plan's
+    * portable rolling-hash convention. */
+  def sampleInterleaveSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 15L
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("hk", pmod(col("doc_id") * 2654435741L, lit(1000000007L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))).cast("long"))
+      .filter(col("rank") <= cap)
+      .withColumn("weight",
+        lit(500L) + pmod(rollingHash(col("source")), lit(1500L)))
+      .withColumn("vt", expr("(rank * 1000000000L) DIV weight"))
+    ranked
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("vt"), col("source"), col("rank"))).cast("long"))
+      .filter(col("position") <= 100L)
+      .select(col("position"), col("source"), col("doc_id"), col("rank"),
+        col("weight"), col("vt"))
+      .orderBy(col("position"))
+  }
+
+  val sampleInterleaveScheduleSql: String =
+    s"""WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY doc_id * 2654435741 % 1000000007, doc_id) AS rank
+      |  FROM documents
+      |  QUALIFY rank <= 15
+      |), weighted AS (
+      |  SELECT doc_id, source, rank,
+      |    500 + (${rollingHashSql("source")} % 1500 + 1500) % 1500 AS weight
+      |  FROM ranked
+      |), vts AS (
+      |  SELECT doc_id, source, rank, weight,
+      |    (rank * 1000000000) // weight AS vt
+      |  FROM weighted
+      |)
+      |SELECT ROW_NUMBER() OVER (ORDER BY vt, source, rank) AS position,
+      |  source, doc_id, rank, weight, vt
+      |FROM vts
+      |QUALIFY position <= 100
+      |ORDER BY position""".stripMargin
+
   val sampleMixturePlanSql: String =
     s"""WITH by_source AS (
       |  SELECT source, COUNT(*) AS available,

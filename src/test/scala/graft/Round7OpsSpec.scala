@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.cdc.{CdcOps, Reconcile}
 import graft.core.Tables
@@ -1145,6 +1146,28 @@ class Round7OpsSpec extends SparkSpec {
     val corpusBytes = Tables.documents(spark, sf)
       .agg(sum(octet_length(col("text")).cast("long"))).head.getLong(0)
     assert(out.agg(sum(col("logical_bytes"))).head.getLong(0) == corpusBytes)
+    out.unpersist()
+  }
+
+  test("sample_interleave_schedule: WFQ invariants — dense positions, per-source order, weight-proportional head") {
+    val out = TextAnalysis.sampleInterleaveSchedule(spark, sf).cache()
+    assert(out.count() == 100)
+    // positions are dense 1..100
+    assert(out.agg(sum(col("position"))).head.getLong(0) == 100L * 101L / 2L)
+    // within a source, ranks dequeue in order (WFQ preserves per-flow FIFO)
+    val w = Window.partitionBy(col("source")).orderBy(col("position"))
+    assert(out.withColumn("prev_rank", lag(col("rank"), 1).over(w))
+      .filter(col("prev_rank").isNotNull && col("rank") <= col("prev_rank")).isEmpty)
+    // virtual times never decrease along the schedule
+    val wg = Window.orderBy(col("position"))
+    assert(out.withColumn("prev_vt", lag(col("vt"), 1).over(wg))
+      .filter(col("prev_vt").isNotNull && col("vt") < col("prev_vt")).isEmpty)
+    // heavier sources appear at least as often in the head (monotone in weight)
+    val counts = out.groupBy(col("source"), col("weight"))
+      .agg(count(lit(1)).as("n")).collect()
+    val byWeight = counts.sortBy(_.getAs[Long]("weight"))
+    // crude monotonicity: the heaviest source appears >= the lightest
+    assert(byWeight.last.getAs[Long]("n") >= byWeight.head.getAs[Long]("n"))
     out.unpersist()
   }
 }
