@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central loaders for the driver-generated parquet tables.
   *
@@ -23,16 +23,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader only accepts as a raw long (with
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
-    * builder). Normalize back to a timestamp here — integer-divide the
-    * nanos to micros so both engines see identical instants. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some
+    * generator versions (Spark's vectorized reader only accepts that as
+    * a raw long, via `spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * every session builder) and as TIMESTAMP(MICROS, isAdjustedToUTC
+    * =false) in others (read as TIMESTAMP_NTZ, which `unix_micros` and
+    * window arithmetic reject). Normalize every encoding to a session-
+    * zone timestamp here — the session is pinned UTC, so the NTZ cast
+    * preserves the wall-clock instants both engines see. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

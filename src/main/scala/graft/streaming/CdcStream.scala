@@ -41,16 +41,35 @@ case class BurstState(user_id: Long, n_gaps: Long, sx: Long, sxx: Long,
   */
 object CdcStream {
 
-  /** Normalize the raw events table (ts as long nanos under
-    * nanosAsLong) into the typed change-event stream. */
-  def toChangeEvents(events: DataFrame): DataFrame =
+  /** Normalize the raw events table into the typed change-event stream.
+    * `ts` arrives as long nanos (generator versions writing
+    * TIMESTAMP(NANOS), read raw under nanosAsLong), as TIMESTAMP_NTZ
+    * (micros, isAdjustedToUTC=false), or as a session-zone timestamp —
+    * the same three encodings Tables.events absorbs for batch reads;
+    * all collapse to the identical micros epoch under the pinned-UTC
+    * session. */
+  /** Epoch-micros column for the `ts` field under any of the three
+    * parquet encodings the generator has shipped (long nanos,
+    * TIMESTAMP_NTZ micros, session-zone timestamp). */
+  private def tsUsCol(events: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case _ => unix_micros(col("ts"))
+    }
+  }
+
+  def toChangeEvents(events: DataFrame): DataFrame = {
+    val tsUs = tsUsCol(events)
     events.select(
       col("event_id"), col("user_id"),
       when(col("event_type") === "signup", "I")
         .when(col("event_type") === "error", "D")
         .otherwise("U").as("op"),
       col("value"),
-      expr("ts div 1000").as("ts_us"))
+      tsUs.as("ts_us"))
+  }
 
   /** Per-key last-writer-wins with delete precedence, as a stateful
     * stream transform. Emits the key's latest state every micro-batch it
