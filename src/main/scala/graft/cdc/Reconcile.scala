@@ -1627,4 +1627,128 @@ object Reconcile {
       |WHERE COALESCE(src_count, -1) <> COALESCE(tgt_count, -2)
       |   OR COALESCE(src_digest, -1) <> COALESCE(tgt_digest, -2)
       |ORDER BY bucket, sub_bucket""".stripMargin
+
+  /** recon_day_drill — TEMPORAL drift drill-down: the bucketed-digest
+    * compare keyed by order DAY instead of a hash bucket, so a mismatch
+    * localizes in time ("drift started on the 14th") rather than in key
+    * space — the first question an operator actually asks. Same
+    * (count, Σ row-digest) discipline as recon_hash_bucket over a
+    * date-preserving drifted target; map-side combine makes each side
+    * near scan-speed, the shuffle is days-sized, and only divergent
+    * days leave the full-outer compare. Complements
+    * recon_bucket_drilldown: time-axis first, then key-axis inside the
+    * bad window. */
+  def reconDayDrill(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    // the driftedTarget drift rules, with the date column carried through
+    val tgt = o.filter(col("o_orderkey") % 1000 =!= 7)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 500 === 3, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .unionAll(o.filter(col("o_orderkey") % 1000 === 13)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+    def byDay(df: DataFrame, cnt: String, dg: String) =
+      df.withColumn("day", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .withColumn("rd", rowDigest(col("o_orderkey"), col("o_totalprice")))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as(cnt), sum(col("rd")).as(dg))
+    byDay(o, "src_count", "src_digest")
+      .join(byDay(tgt, "tgt_count", "tgt_digest"), Seq("day"), "full_outer")
+      .filter(coalesce(col("src_count"), lit(-1L)) =!= coalesce(col("tgt_count"), lit(-2L)) ||
+        coalesce(col("src_digest"), lit(-1L)) =!= coalesce(col("tgt_digest"), lit(-2L)))
+      .select(col("day"), col("src_count"), col("tgt_count"),
+        col("src_digest"), col("tgt_digest"))
+      .orderBy(col("day"))
+  }
+
+  val reconDayDrillSql: String =
+    """WITH tgt AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 500 = 3 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate
+      |  FROM orders WHERE o_orderkey % 1000 <> 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_orderkey % 1000 = 13
+      |),
+      |srcd AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS src_count,
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS src_digest
+      |  FROM orders GROUP BY 1),
+      |tgtd AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, COUNT(*) AS tgt_count,
+      |    CAST(SUM((o_orderkey * 2654435761 % 1000000007 + CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) % 1000000007) % 1000000007) AS BIGINT) AS tgt_digest
+      |  FROM tgt GROUP BY 1)
+      |SELECT COALESCE(srcd.day, tgtd.day) AS day,
+      |  src_count, tgt_count, src_digest, tgt_digest
+      |FROM srcd FULL OUTER JOIN tgtd ON srcd.day = tgtd.day
+      |WHERE COALESCE(src_count, -1) <> COALESCE(tgt_count, -2)
+      |   OR COALESCE(src_digest, -1) <> COALESCE(tgt_digest, -2)
+      |ORDER BY day""".stripMargin
+
+  /** recon_fk_orphans — referential-integrity audit over the star
+    * schema's FK edges, plus the drift-simulated target as one parent
+    * (the planted-deletion case MUST surface orphans, proving the audit
+    * detects what it claims to). Each edge is one keyed left-outer join
+    * + map-combined aggregate; dimension parents broadcast, fact-sized
+    * parents shuffle on the key. Parents are PK relations (unique
+    * keys), so the left join never duplicates child rows. Output: one
+    * row per edge — child_rows, orphan_rows, distinct orphan_keys. */
+  def reconFkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def edge(rel: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val p0 = parent.select(col(pk).as("__pk"))
+      val p = if (bcast) broadcast(p0) else p0
+      child.select(col(ck).as("__ck"))
+        .join(p, col("__ck") === col("__pk"), "left_outer")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("orphan_rows"),
+          count_distinct(when(col("__pk").isNull, col("__ck"))).as("orphan_keys"))
+        .select(lit(rel).as("relationship"),
+          col("child_rows"), col("orphan_rows"), col("orphan_keys"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    edge("customer->nation", c, "c_nationkey", n, "n_nationkey", bcast = true)
+      .unionAll(edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey", bcast = false))
+      .unionAll(edge("lineitem->orders_drifted", li, "l_orderkey",
+        driftedTarget(spark, dir), "o_orderkey", bcast = false))
+      .unionAll(edge("lineitem->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey", bcast = true))
+      .unionAll(edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey", bcast = true))
+      .unionAll(edge("orders->customer", o, "o_custkey", c, "c_custkey", bcast = false))
+      .unionAll(edge("supplier->nation", s, "s_nationkey", n, "n_nationkey", bcast = true))
+      .orderBy(col("relationship"))
+  }
+
+  val reconFkOrphansSql: String = {
+    def edgeSql(rel: String, childRel: String, ck: String,
+                parentRel: String, pk: String): String =
+      s"""SELECT '$rel' AS relationship,
+        |  COUNT(*) AS child_rows,
+        |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+        |  CAST(COUNT(DISTINCT CASE WHEN p.$pk IS NULL THEN ch.$ck END) AS BIGINT) AS orphan_keys
+        |FROM $childRel ch LEFT JOIN $parentRel p ON ch.$ck = p.$pk""".stripMargin
+    s"""WITH tgt AS ($driftedTargetSql)
+      |SELECT * FROM (
+      |${edgeSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey")}
+      |UNION ALL
+      |${edgeSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+      |UNION ALL
+      |${edgeSql("lineitem->orders_drifted", "lineitem", "l_orderkey", "tgt", "o_orderkey")}
+      |UNION ALL
+      |${edgeSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey")}
+      |UNION ALL
+      |${edgeSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+      |UNION ALL
+      |${edgeSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey")}
+      |UNION ALL
+      |${edgeSql("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey")}
+      |)
+      |ORDER BY relationship""".stripMargin
+  }
 }

@@ -2838,4 +2838,248 @@ object Analytics {
       |FROM per_order
       |GROUP BY 1
       |ORDER BY basket""".stripMargin
+
+  /** q50_ship_priority — TPC-H Q12 shape: did critical-priority orders
+    * ship on time, per line status? Lineitems in the 1997 ship window
+    * joined to their orders, counting urgent/high vs other priorities.
+    * The shipdate filter pushes to the lineitem scan before the
+    * orderkey shuffle join; counts are exact longs. */
+  def q50ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q50ShipPrioritySql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** q51_order_size_dist — TPC-H Q13 shape: the customer-engagement
+    * histogram. Orders per customer INCLUDING zero-order customers (the
+    * left outer join is the point — an inner join silently drops the
+    * biggest bucket), then the count of customers at each order count.
+    * Both shuffles are keyed aggregations with map-side combine; the
+    * final histogram is at most a few hundred rows. */
+  def q51OrderSizeDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q51OrderSizeDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q52_top_supplier_share — TPC-H Q15 shape, nation-extended: the top
+    * 3 revenue suppliers per nation in the 1997 ship window, with their
+    * share of nation revenue in basis points. Revenue sums exact cents;
+    * the share divides DOLLAR-quantized carriers (cents×10000 would
+    * overflow 2^63 at warehouse scale — the q46_supplier_hhi lesson),
+    * and both operands are non-negative so integer DIV agrees across
+    * engines. The per-nation window runs over supplier-count rows
+    * (pre-aggregated — bounded by the supplier dimension, never by
+    * lineitem). */
+  def q52TopSupplierShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1d) - col("l_discount")))).as("rev_c"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val byNation = Window.partitionBy(col("n_name"))
+    rev.join(broadcast(s), rev("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .withColumn("nation_c", sum(col("rev_c")).over(byNation))
+      .withColumn("rk", row_number().over(
+        byNation.orderBy(col("rev_c").desc, col("s_suppkey"))).cast("long"))
+      .filter(col("rk") <= 3L)
+      .withColumn("share_bp",
+        expr("((rev_c DIV 100) * 10000L) DIV greatest(nation_c DIV 100, 1L)"))
+      .select(col("n_name"), col("rk"), col("s_name"),
+        (col("rev_c") / lit(100d)).as("revenue"), col("share_bp"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  val q52TopSupplierShareSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  GROUP BY l_suppkey
+      |), ranked AS (
+      |  SELECT n_name, s_name, s_suppkey, rev_c,
+      |    CAST(SUM(rev_c) OVER (PARTITION BY n_name) AS BIGINT) AS nation_c,
+      |    ROW_NUMBER() OVER (PARTITION BY n_name
+      |      ORDER BY rev_c DESC, s_suppkey) AS rk
+      |  FROM rev
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |)
+      |SELECT n_name, CAST(rk AS BIGINT) AS rk, s_name,
+      |  rev_c / 100.0 AS revenue,
+      |  CAST(((rev_c // 100) * 10000) // GREATEST(nation_c // 100, 1) AS BIGINT) AS share_bp
+      |FROM ranked
+      |WHERE rk <= 3
+      |ORDER BY n_name, rk""".stripMargin
+
+  /** q53_promo_share — TPC-H Q14 shape: per ship month of 1997, the
+    * share of revenue from PROMO-type parts in basis points. Part is
+    * the broadcast dim (zero fact-side shuffle before the month
+    * rollup); revenue sums exact cents and the share divides
+    * dollar-quantized non-negative carriers. The month key is a
+    * 'yyyy-MM' string both engines derive from the same naive UTC
+    * timestamp. */
+  def q53PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L)).as("promo_c"),
+           sum(col("rev_c")).as("total_c"))
+      .select(col("ship_month"),
+        (col("promo_c") / lit(100d)).as("promo_rev"),
+        (col("total_c") / lit(100d)).as("total_rev"),
+        expr("((promo_c DIV 100) * 10000L) DIV greatest(total_c DIV 100, 1L)").as("promo_bp"))
+      .orderBy(col("ship_month"))
+  }
+
+  val q53PromoShareSql: String =
+    """WITH m AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS promo_c,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS total_c
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  GROUP BY 1
+      |)
+      |SELECT ship_month, promo_c / 100.0 AS promo_rev, total_c / 100.0 AS total_rev,
+      |  CAST(((promo_c // 100) * 10000) // GREATEST(total_c // 100, 1) AS BIGINT) AS promo_bp
+      |FROM m
+      |ORDER BY ship_month""".stripMargin
+
+  /** q54_big_orders — TPC-H Q18 shape: the top-100 largest orders by
+    * total quantity, with their customer. The HAVING filter reduces at
+    * the per-order aggregate (map-combined) BEFORE any join; only
+    * qualifying orders join to orders/customer. Quantities are
+    * integral-valued doubles quantized to exact longs; top-100 is
+    * totally ordered by (qty DESC, orderkey). */
+  def q54BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_quantity") + lit(0.5d)).cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 150L)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    qty.join(o, qty("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q54BigOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS total_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 150
+      |)
+      |SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** q55_region_revenue — TPC-H Q5 shape: revenue per nation from LOCAL
+    * trade (customer and supplier in the same nation) within one region
+    * and one order year. The join graph is the canonical star+self
+    * constraint: lineitem⋈orders⋈customer shuffle on their keys,
+    * supplier/nation/region broadcast, and the same-nation equality
+    * applied as a post-join filter Catalyst pushes into the supplier
+    * join condition. Exact cent sums, one terminal divide. */
+  def q55RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .filter(c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev_c")) / lit(100d)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q55RegionRevenueSql: String =
+    """SELECT n_name,
+      |  SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
 }

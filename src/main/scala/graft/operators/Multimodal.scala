@@ -403,4 +403,63 @@ object Multimodal {
       |FROM pf
       |GROUP BY 1
       |ORDER BY ref_band""".stripMargin
+
+  /** mm_stride_coverage — frame-sampling coverage audit: per (source,
+    * stride ∈ {1,2,4,8}), what fraction of payload bytes the sampled
+    * frames actually touch — the budget question BEFORE running a frame
+    * pipeline ("stride 4 sees 25 % of frames, but how many BYTES given
+    * ragged tails?"). Pure closed-form integer arithmetic on payload
+    * lengths — no frame materialization, no kernel, no explode of
+    * chunks: sampled = ⌈frames/stride⌉ and the tail frame's short bytes
+    * subtract only when the stride lands on it. The ×4 stride explode
+    * carries (source, len) longs into one map-combined aggregation;
+    * contrast with mm_frames, which pays the fan-out because it needs
+    * per-frame fingerprints. coverage_bp divides non-negative longs. */
+  def mmStrideCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val strides = Seq(1L, 2L, 4L, 8L)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        octet_length(col("text").cast("binary")).cast("long").as("len"))
+      .withColumn("n_frames", expr("(len + 255L) DIV 256L"))
+      .withColumn("stride", explode(array(strides.map(lit): _*)))
+      .withColumn("sampled", expr("(n_frames + stride - 1L) DIV stride"))
+      .withColumn("tail_short",
+        expr("""CASE WHEN n_frames > 0 AND (n_frames - 1L) % stride = 0
+               |       AND len % 256L <> 0
+               |     THEN 256L - (len % 256L) ELSE 0L END""".stripMargin))
+      .withColumn("covered", col("sampled") * 256L - col("tail_short"))
+      .groupBy(col("source"), col("stride"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("payload_bytes"),
+        sum(col("sampled")).as("frames_sampled"),
+        sum(col("covered")).as("bytes_covered"))
+      .withColumn("coverage_bp",
+        expr("(bytes_covered * 10000L) DIV greatest(payload_bytes, 1L)"))
+      .orderBy(col("source"), col("stride"))
+  }
+
+  val mmStrideCoverageSql: String =
+    """WITH d AS (
+      |  SELECT source, CAST(length(text) AS BIGINT) AS len,
+      |    (CAST(length(text) AS BIGINT) + 255) // 256 AS n_frames
+      |  FROM documents
+      |), s AS (SELECT CAST(UNNEST([1, 2, 4, 8]) AS BIGINT) AS stride),
+      |y AS (
+      |  SELECT source, stride, len,
+      |    (n_frames + stride - 1) // stride AS sampled,
+      |    CASE WHEN n_frames > 0 AND (n_frames - 1) % stride = 0
+      |           AND len % 256 <> 0
+      |         THEN 256 - (len % 256) ELSE 0 END AS tail_short
+      |  FROM d, s
+      |)
+      |SELECT source, stride,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(sampled) AS BIGINT) AS frames_sampled,
+      |  CAST(SUM(sampled * 256 - tail_short) AS BIGINT) AS bytes_covered,
+      |  CAST((CAST(SUM(sampled * 256 - tail_short) AS BIGINT) * 10000)
+      |    // GREATEST(CAST(SUM(len) AS BIGINT), 1) AS BIGINT) AS coverage_bp
+      |FROM y
+      |GROUP BY source, stride
+      |ORDER BY source, stride""".stripMargin
 }

@@ -1394,4 +1394,128 @@ object Similarity {
       |GROUP BY b.m, cb_size
       |ORDER BY m""".stripMargin
   }
+
+  /** embed_lsh_entropy — LSH index-balance audit: per hash table, the
+    * bucket-size distribution's entropy and max-bucket share. A healthy
+    * random-hyperplane table spreads the corpus near-uniformly over its
+    * 2^bits buckets (entropy → ln(min(N, 2^bits))); a collapsed table
+    * (anisotropic corpus: every vector on one side of most planes)
+    * concentrates mass in few buckets, its probe cost degenerates
+    * toward brute force, and this audit names the table BEFORE queries
+    * slow down. Determinism discipline: ln quantized to integral
+    * millinats (the text_zipf/text_lm_ce convention), Σ n·ln(n) an
+    * exact BIGINT, entropy = ln(N) − Σ/N with integer division of
+    * non-negative carriers. One kernel pass + a (table, sig) count
+    * shuffle; output is LshTables rows. */
+  def embedLshEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val lnq = (c: Column) => floor(log(c.cast("double")) * 1000d + 0.5d).cast("long")
+    vecs(spark, dir)
+      .select(posexplode(org.apache.spark.sql.graftvec.VectorExpressions
+        .lshSigs(col("v"), LshTables, LshBits, Dim)).as(Seq("t", "sig")))
+      .groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("t"))
+      .agg(sum(col("n")).as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(col("n") * lnq(col("n"))).as("sum_nlnn_mn"))
+      .withColumn("max_share_bp", expr("(max_bucket * 10000L) DIV n_vectors"))
+      .withColumn("entropy_mn",
+        lnq(col("n_vectors")) - expr("sum_nlnn_mn DIV n_vectors"))
+      .orderBy(col("t"))
+  }
+
+  /** DuckDB oracle for embed_lsh_entropy: same literal-plane signature
+    * replay as knn_lsh, rolled up to per-table bucket statistics. */
+  lazy val embedLshEntropySql: String = {
+    import org.apache.spark.sql.graftvec.{LshSignatures => LS}
+    def planeList(p: Int): String =
+      (0 until Dim).map(i => if (LS.planeSign(p, i) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    def sigExpr(t: Int): String =
+      (0 until LshBits).map { k =>
+        val pl = planeList(t * LshBits + k)
+        s"""CASE WHEN list_sum(list_transform(embedding,
+           |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * ($pl)[i] * 1e9 + 0.5) AS BIGINT))) > 0
+           |  THEN ${1 << k} ELSE 0 END""".stripMargin
+      }.mkString("(", " + ", ")")
+    val sigSelects = (0 until LshTables).map { t =>
+      s"SELECT vec_id, $t AS t, ${sigExpr(t)} AS sig FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($vecsSql),
+      |sigs AS (
+      |$sigSelects
+      |),
+      |b AS (SELECT t, sig, COUNT(*) AS n FROM sigs GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT t, CAST(SUM(n) AS BIGINT) AS n_vectors, COUNT(*) AS n_buckets,
+      |    CAST(MAX(n) AS BIGINT) AS max_bucket,
+      |    CAST(SUM(n * CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_nlnn_mn
+      |  FROM b GROUP BY 1)
+      |SELECT t, n_vectors, n_buckets, max_bucket,
+      |  CAST((max_bucket * 10000) // n_vectors AS BIGINT) AS max_share_bp,
+      |  sum_nlnn_mn,
+      |  CAST(CAST(FLOOR(ln(CAST(n_vectors AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+      |    - (sum_nlnn_mn // n_vectors) AS BIGINT) AS entropy_mn
+      |FROM agg
+      |ORDER BY t""".stripMargin
+  }
+
+  /** knn_mutual_rate — kNN-graph symmetry audit: for each query's top-K
+    * edge q→n, is q in n's own top-K (a mutual edge)? Low mutuality
+    * flags hub vectors (anisotropy's graph-level symptom): hubs appear
+    * in everyone's top-K while reciprocating almost none, and retrieval
+    * built on such a graph skews toward them. Two broadcast passes of
+    * the knn_brute discipline — forward kNN for the Q queries, reverse
+    * kNN for the ≤ Q·K distinct forward neighbors (both query sets
+    * bounded and broadcast, corpus streamed, never N×N) — then a
+    * Q·K-row edge join. mutual_bp divides non-negative exact longs. */
+  def knnMutualRate(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val fwd = knnOf(q, corpus, K)
+    val revQueries = fwd.select(col("neighbor_id").as("rq")).distinct()
+      .join(e, col("rq") === col("vec_id"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val rev = knnOf(revQueries, corpus, K)
+      .select(col("query_id").as("r_q"), col("neighbor_id").as("r_n"))
+    fwd.join(rev,
+        fwd("neighbor_id") === rev("r_q") && fwd("query_id") === rev("r_n"),
+        "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_edges"),
+        sum(when(col("r_q").isNotNull, 1L).otherwise(0L)).as("mutual_edges"))
+      .withColumn("mutual_bp", expr("(mutual_edges * 10000L) DIV k_edges"))
+      .orderBy(col("query_id"))
+  }
+
+  val knnMutualRateSql: String =
+    s"""WITH e AS ($vecsSql),
+      |fwd AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC,
+      |               b.vec_id) AS rk
+      |  FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+      |  QUALIFY rk <= $K
+      |),
+      |rev AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC,
+      |               b.vec_id) AS rk
+      |  FROM e a JOIN e b ON a.vec_id IN (SELECT DISTINCT nid FROM fwd)
+      |    AND b.vec_id <> a.vec_id
+      |  QUALIFY rk <= $K
+      |)
+      |SELECT fwd.qid AS query_id,
+      |  COUNT(*) AS k_edges,
+      |  CAST(SUM(CASE WHEN rev.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mutual_edges,
+      |  CAST((CAST(SUM(CASE WHEN rev.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // COUNT(*) AS BIGINT) AS mutual_bp
+      |FROM fwd LEFT JOIN rev ON rev.qid = fwd.nid AND rev.nid = fwd.qid
+      |GROUP BY fwd.qid
+      |ORDER BY query_id""".stripMargin
 }

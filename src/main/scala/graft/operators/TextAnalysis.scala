@@ -1670,4 +1670,43 @@ object TextAnalysis {
       |    CAST((weight * 400) // wsum AS DOUBLE) AS fill_rate
       |FROM by_source, tot
       |ORDER BY source""".stripMargin
+
+  /** text_context_truncation — context-window truncation audit: per
+    * (source, window ∈ {512, 2048, 8192} tokens), how many docs exceed
+    * the window and how many tokens fall off the end — the loss a
+    * fixed-context trainer eats per source, and the signal for choosing
+    * a packing/chunking strategy instead. Token counts use the
+    * whitespace discipline of `text_tokens`; sums are exact BIGINTs and
+    * the basis-point loss share divides non-negative integers (DIV
+    * agrees across engines). Scale shape: the ×3 window explode carries
+    * only (source, toks, win) — bytes/row, never text — into one
+    * map-combined aggregation; output is sources × 3 rows. */
+  def textContextTruncation(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Seq(512L, 2048L, 8192L)
+    Tables.documents(spark, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("toks"))
+      .withColumn("win", explode(array(wins.map(lit): _*)))
+      .groupBy(col("source"), col("win"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("toks") > col("win"), 1L).otherwise(0L)).as("docs_truncated"),
+        sum(col("toks")).as("tokens_total"),
+        sum(greatest(col("toks") - col("win"), lit(0L))).as("tokens_lost"))
+      .withColumn("lost_bp",
+        expr("(tokens_lost * 10000L) DIV greatest(tokens_total, 1L)"))
+      .orderBy(col("source"), col("win"))
+  }
+
+  val textContextTruncationSql: String =
+    s"""SELECT source, win,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN toks > win THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+      |  CAST(SUM(toks) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(GREATEST(toks - win, 0)) AS BIGINT) AS tokens_lost,
+      |  CAST((CAST(SUM(GREATEST(toks - win, 0)) AS BIGINT) * 10000)
+      |    // GREATEST(CAST(SUM(toks) AS BIGINT), 1) AS BIGINT) AS lost_bp
+      |FROM (SELECT source, CAST(len(${wordsSql("text")}) AS BIGINT) AS toks
+      |      FROM documents)
+      |CROSS JOIN (SELECT CAST(UNNEST([512, 2048, 8192]) AS BIGINT) AS win)
+      |GROUP BY source, win
+      |ORDER BY source, win""".stripMargin
 }

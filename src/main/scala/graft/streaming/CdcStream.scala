@@ -632,4 +632,60 @@ object CdcStream {
           .as("mean_cv"))
       .orderBy(col("burst_class"))
   }
+
+  /** One raw event for funnel folding (ts in epoch micros). */
+  case class FunnelEvent(event_id: Long, user_id: Long, event_type: String, ts_us: Long)
+  /** Per-user funnel flags + event count; flags only ever turn on. */
+  case class FunnelState(n_events: Long, s: Int, c: Int, p: Int)
+  case class FunnelRow(user_id: Long, n_events: Long, funnel_stage: Long)
+
+  /** Stateful per-user funnel fold — the streaming twin of
+    * Analytics.eventsFunnel (signup → click-after-signup →
+    * purchase-after-click): three monotone flags per user, updated in
+    * (ts, event_id) order. State is 3 bits + a counter per live user.
+    * Order contract (same as attributeStream, pinned by StreamingSpec):
+    * disorder WITHIN a micro-batch is repaired by the sort; a stage
+    * event crossing a batch boundary late gates only FUTURE downstream
+    * events — flags never un-set, so replaying the log in offset order
+    * (the file source's contract) reproduces the batch fold exactly. */
+  def funnelCounts(spark: SparkSession, raw: DataFrame): DataFrame = {
+    import spark.implicits._
+    raw.select(col("event_id"), col("user_id"), col("event_type"),
+        tsUsCol(raw).as("ts_us"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val ordered = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(FunnelState(0L, 0, 0, 0))
+            ordered.foreach { e =>
+              var (s, c, p) = (st.s, st.c, st.p)
+              if (e.event_type == "signup") s = 1
+              else if (e.event_type == "click" && s == 1) c = 1
+              else if (e.event_type == "purchase" && c == 1) p = 1
+              st = FunnelState(st.n_events + 1L, s, c, p)
+            }
+            state.update(st)
+            Iterator.single(FunnelRow(key, st.n_events, (st.s + st.c + st.p).toLong))
+          }
+      }
+      .toDF()
+  }
+
+  /** stream_funnel — the funnel maintained live under streaming ingest;
+    * after full replay the per-user final states equal the batch
+    * events_funnel bit-for-bit (n_events is monotone, so max_by picks
+    * each user's last emission from the Update-mode sink). */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "stream_funnel_sink", OutputMode.Update,
+        df => funnelCounts(spark, df), normalize = false)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_events"), col("funnel_stage")),
+        col("n_events")).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.funnel_stage").as("funnel_stage"))
+      .orderBy(col("user_id"))
 }

@@ -202,4 +202,40 @@ class StreamingSpec extends SparkSpec {
     assert(again.exceptAll(batch).count() === 0 && batch.exceptAll(again).count() === 0)
   }
 
+  test("stream_funnel: replayed live funnel equals the batch funnel bit-for-bit") {
+    val streamed = CdcStream.streamFunnel(spark, sf)
+    val batch = graft.operators.Analytics.eventsFunnel(spark, sf)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("funnelCounts over MemoryStream: stage gating respects event-time order within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CdcStream.FunnelEvent
+    val input = MemoryStream[FunnelEvent]
+    // feed `ts` as a session-zone timestamp to exercise that decoding arm
+    val q = CdcStream.funnelCounts(spark,
+        input.toDF().withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us"))
+      .writeStream.format("memory").queryName("funnel_mem_sink")
+      .outputMode(OutputMode.Update).trigger(Trigger.AvailableNow())
+    // user 1 arrives DISORDERED: purchase before click before signup in
+    // arrival order — the in-batch event-time sort must still convert;
+    // user 2's purchase has no prior click and must NOT convert
+    input.addData(
+      FunnelEvent(3L, 1L, "purchase", 3000000L),
+      FunnelEvent(2L, 1L, "click", 2000000L),
+      FunnelEvent(1L, 1L, "signup", 1000000L),
+      FunnelEvent(10L, 2L, "signup", 1000000L),
+      FunnelEvent(11L, 2L, "purchase", 2000000L))
+    val run = q.start(); run.awaitTermination()
+    val out = spark.table("funnel_mem_sink")
+      .groupBy(col("user_id"))
+      .agg(max_by(col("funnel_stage"), col("n_events")).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 3L, "disordered batch must fully convert after the sort")
+    assert(out(2L) == 1L, "purchase without a prior click must not convert")
+    spark.catalog.dropTempView("funnel_mem_sink")
+  }
+
 }
