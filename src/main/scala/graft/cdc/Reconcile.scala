@@ -1687,6 +1687,67 @@ object Reconcile {
       |   OR COALESCE(src_digest, -1) <> COALESCE(tgt_digest, -2)
       |ORDER BY day""".stripMargin
 
+  /** recon_column_drill — WHICH-COLUMN drift localization, the third
+    * drill axis after key space (recon_bucket_drilldown) and time
+    * (recon_day_drill): inner-join source and target on the key
+    * (row presence differences are the OTHER reports' job — this one
+    * isolates value drift on common keys), then per column count exact
+    * mismatches with first/last offending key. One key-partitioned
+    * shuffle join + a map-combined aggregate; output is one row per
+    * compared column. Money compares exact cents; the planted drift
+    * (+1.00 on o_orderkey % 500 == 3) must surface ONLY in
+    * o_totalprice, proving the isolation. */
+  def reconColumnDrill(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (c: Column) => floor(c * 100d + 0.5d).cast("long")
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("s_ck"),
+        cents(col("o_totalprice")).as("s_tp"))
+    val tgt = driftedTarget(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("t_ck"),
+        cents(col("o_totalprice")).as("t_tp"))
+    val j = src.join(tgt, Seq("k"))
+    def colReport(name: String, s: Column, t: Column) =
+      j.agg(count(lit(1)).as("common_rows"),
+          sum(when(s =!= t, 1L).otherwise(0L)).as("mismatch_rows"),
+          min(when(s =!= t, col("k"))).as("first_bad_key"),
+          max(when(s =!= t, col("k"))).as("last_bad_key"))
+        .select(lit(name).as("column_name"), col("common_rows"),
+          col("mismatch_rows"),
+          expr("(mismatch_rows * 10000L) DIV common_rows").as("mismatch_bp"),
+          col("first_bad_key"), col("last_bad_key"))
+    colReport("o_custkey", col("s_ck"), col("t_ck"))
+      .unionAll(colReport("o_totalprice", col("s_tp"), col("t_tp")))
+      .orderBy(col("column_name"))
+  }
+
+  val reconColumnDrillSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |j AS (
+      |  SELECT s.o_orderkey AS k,
+      |    s.o_custkey AS s_ck, t.o_custkey AS t_ck,
+      |    CAST(FLOOR(s.o_totalprice*100 + 0.5) AS BIGINT) AS s_tp,
+      |    CAST(FLOOR(t.o_totalprice*100 + 0.5) AS BIGINT) AS t_tp
+      |  FROM orders s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+      |)
+      |SELECT * FROM (
+      |SELECT 'o_custkey' AS column_name, COUNT(*) AS common_rows,
+      |  CAST(SUM(CASE WHEN s_ck <> t_ck THEN 1 ELSE 0 END) AS BIGINT) AS mismatch_rows,
+      |  CAST((CAST(SUM(CASE WHEN s_ck <> t_ck THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // COUNT(*) AS BIGINT) AS mismatch_bp,
+      |  MIN(CASE WHEN s_ck <> t_ck THEN k END) AS first_bad_key,
+      |  MAX(CASE WHEN s_ck <> t_ck THEN k END) AS last_bad_key
+      |FROM j
+      |UNION ALL
+      |SELECT 'o_totalprice' AS column_name, COUNT(*) AS common_rows,
+      |  CAST(SUM(CASE WHEN s_tp <> t_tp THEN 1 ELSE 0 END) AS BIGINT) AS mismatch_rows,
+      |  CAST((CAST(SUM(CASE WHEN s_tp <> t_tp THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // COUNT(*) AS BIGINT) AS mismatch_bp,
+      |  MIN(CASE WHEN s_tp <> t_tp THEN k END) AS first_bad_key,
+      |  MAX(CASE WHEN s_tp <> t_tp THEN k END) AS last_bad_key
+      |FROM j
+      |)
+      |ORDER BY column_name""".stripMargin
+
   /** recon_fk_orphans — referential-integrity audit over the star
     * schema's FK edges, plus the drift-simulated target as one parent
     * (the planted-deletion case MUST surface orphans, proving the audit

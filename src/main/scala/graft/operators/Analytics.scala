@@ -3082,4 +3082,35 @@ object Analytics {
       |  AND o_orderdate <  TIMESTAMP '1998-01-01'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** events_type_overlap — behavior co-occurrence matrix: for every
+    * unordered pair of event types (diagonal included), how many users
+    * exhibit BOTH — the audience-overlap table behind "do purchasers
+    * also file errors?" and the input to any segment Venn. Shape:
+    * distinct (user, type) first (≤ users × |types| rows — the ONLY
+    * fact-sized shuffle), then a per-user self-join bounded by |types|²
+    * per user, then an exact-count rollup to a ≤ |types|²-row matrix.
+    * The diagonal doubles as the per-type audience size. */
+  def eventsTypeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") <= col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val eventsTypeOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  COUNT(*) AS n_users
+      |FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |WHERE a.event_type <= b.event_type
+      |GROUP BY 1, 2
+      |ORDER BY type_a, type_b""".stripMargin
 }

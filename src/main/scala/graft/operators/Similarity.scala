@@ -1461,6 +1461,58 @@ object Similarity {
       |ORDER BY t""".stripMargin
   }
 
+  /** knn_label_purity — neighborhood label agreement: for each query,
+    * how many of its top-K exact neighbors carry the query's own label,
+    * rolled up per label as a basis-point purity. This is the 1-NN/k-NN
+    * classifier eval run BEFORE trusting an embedding for
+    * classification or clustering: a label whose members' neighborhoods
+    * are mostly other labels is not linearly separated in the space,
+    * whatever the training loss said. Same O(Q×N) broadcast discipline
+    * as knn_brute (labels ride the corpus row — no extra join against
+    * the fact side); per-label rollup over Q·K exact-count rows. */
+  def knnLabelPurity(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("v"), col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= K)
+      .groupBy(col("q_label"))
+      .agg(count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("k_edges"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+          .as("label_matches"))
+      .withColumn("purity_bp", expr("(label_matches * 10000L) DIV k_edges"))
+      .orderBy(col("q_label"))
+  }
+
+  val knnLabelPuritySql: String =
+    s"""WITH e AS ($vecsSql),
+      |knn AS (
+      |  SELECT a.vec_id AS qid, a.label AS q_label, b.label AS n_label,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY CAST($pairDotSql AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC,
+      |               b.vec_id) AS rk
+      |  FROM e a JOIN e b ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+      |  QUALIFY rk <= $K
+      |)
+      |SELECT q_label,
+      |  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+      |  COUNT(*) AS k_edges,
+      |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS label_matches,
+      |  CAST((CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // COUNT(*) AS BIGINT) AS purity_bp
+      |FROM knn
+      |GROUP BY q_label
+      |ORDER BY q_label""".stripMargin
+
   /** knn_mutual_rate — kNN-graph symmetry audit: for each query's top-K
     * edge q→n, is q in n's own top-K (a mutual edge)? Low mutuality
     * flags hub vectors (anisotropy's graph-level symptom): hubs appear

@@ -1671,6 +1671,67 @@ object TextAnalysis {
       |FROM by_source, tot
       |ORDER BY source""".stripMargin
 
+  /** text_pack_boundaries — concat-and-chunk packing audit: when a
+    * loader concatenates each source's docs (doc_id order) and chunks
+    * the stream into 2048-token contexts, which docs STRADDLE a context
+    * boundary? Straddlers are split across training examples (partial
+    * cross-doc attention, truncated continuations) — this census is the
+    * argument for/against doc-boundary-respecting packing per source.
+    * Cumulative tokens via Prefix.runningSum (cluster-scaled slices, no
+    * single-partition window); a doc straddles iff its [start, end)
+    * token span crosses a 2048 multiple, i.e. start DIV W <
+    * (end−1) DIV W. All-integer carriers; contexts = ⌈Σtokens/W⌉;
+    * output is sources-sized. */
+  def textPackBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val W = 2048L
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("t"))
+    Prefix.runningSum(toks, Seq("source"), Seq(col("doc_id")), col("t"), "cum")
+      .withColumn("tok0", col("cum") - col("t"))
+      .withColumn("straddles",
+        when(expr(s"(tok0 DIV $W) < ((cum - 1L) DIV $W)"), 1L).otherwise(0L))
+      .withColumn("crossings", expr(s"((cum - 1L) DIV $W) - (tok0 DIV $W)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("straddles")).as("straddling_docs"),
+        sum(col("crossings")).as("boundary_crossings"),
+        max(col("cum")).as("_max_cum"))
+      .withColumn("n_contexts", expr(s"(_max_cum + ${W - 1L}) DIV $W"))
+      .withColumn("straddle_bp",
+        expr("(straddling_docs * 10000L) DIV greatest(n_docs, 1L)"))
+      .drop("_max_cum")
+      .orderBy(col("source"))
+  }
+
+  val textPackBoundariesSql: String =
+    s"""WITH b AS (
+      |  SELECT source, doc_id, CAST(len(${wordsSql("text")}) AS BIGINT) AS t
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, doc_id, t,
+      |    SUM(t) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM b
+      |), d AS (
+      |  SELECT source, t, cum, cum - t AS start,
+      |    CASE WHEN ((cum - t) // 2048) < ((cum - 1) // 2048)
+      |         THEN 1 ELSE 0 END AS straddles,
+      |    ((cum - 1) // 2048) - ((cum - t) // 2048) AS crossings
+      |  FROM c
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(straddles) AS BIGINT) AS straddling_docs,
+      |  CAST(SUM(crossings) AS BIGINT) AS boundary_crossings,
+      |  CAST((MAX(cum) + 2047) // 2048 AS BIGINT) AS n_contexts,
+      |  CAST((CAST(SUM(straddles) AS BIGINT) * 10000)
+      |    // GREATEST(COUNT(*), 1) AS BIGINT) AS straddle_bp
+      |FROM d
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** text_context_truncation — context-window truncation audit: per
     * (source, window ∈ {512, 2048, 8192} tokens), how many docs exceed
     * the window and how many tokens fall off the end — the loss a

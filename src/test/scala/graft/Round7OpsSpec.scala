@@ -1401,6 +1401,95 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("recon_column_drill: planted value drift isolates to o_totalprice; custkey is clean") {
+    val out = Reconcile.reconColumnDrill(spark, sf).cache()
+    assert(out.count() == 2)
+    val byCol = out.collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val ck = byCol("o_custkey"); val tp = byCol("o_totalprice")
+    assert(ck.getAs[Long]("mismatch_rows") == 0L)
+    assert(ck.isNullAt(ck.fieldIndex("first_bad_key")))
+    // every common key with o_orderkey % 500 == 3 drifted by +1.00
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 500 === 3 && col("o_orderkey") % 1000 =!= 7)
+      .count()
+    assert(tp.getAs[Long]("mismatch_rows") == expected)
+    assert(expected > 0, "testdata lost the planted value-drift stripe")
+    // common rows identical across column reports (same join)
+    assert(ck.getAs[Long]("common_rows") == tp.getAs[Long]("common_rows"))
+    out.unpersist()
+  }
+
+  test("text_pack_boundaries: straddle accounting is internally consistent and matches a window recompute") {
+    val out = TextAnalysis.textPackBoundaries(spark, sf).cache()
+    assert(out.count() >= 1)
+    // crossings >= straddles (a straddler crosses at least one boundary);
+    // contexts = ceil(tokens / 2048); straddlers can never exceed docs
+    assert(out.filter(col("boundary_crossings") < col("straddling_docs")).isEmpty)
+    assert(out.filter(col("straddling_docs") > col("n_docs")).isEmpty)
+    assert(out.filter(col("n_contexts") =!=
+      expr("(n_tokens + 2047L) DIV 2048L")).isEmpty)
+    // ground truth via the plain (single-partition-per-source) window
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    import graft.functions.TextFunctions.words
+    val direct = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(words(col("text"))).cast("long").as("t"))
+      .withColumn("cum", sum(col("t")).over(w))
+      .withColumn("straddles",
+        when(expr("((cum - t) DIV 2048L) < ((cum - 1L) DIV 2048L)"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(sum(col("straddles")).as("expected_straddles"))
+    val joined = out.join(direct, Seq("source"))
+    assert(joined.filter(col("straddling_docs") =!= col("expected_straddles")).isEmpty)
+    out.unpersist()
+  }
+
+  test("knn_label_purity: edge accounting closes; matches agree with a brute+label recompute") {
+    val out = Similarity.knnLabelPurity(spark, sf).cache()
+    assert(out.count() >= 1)
+    // k_edges = K per query, purity bounded
+    assert(out.filter(col("k_edges") =!= col("n_queries") * Similarity.K.toLong).isEmpty)
+    assert(out.filter(col("purity_bp") < 0L || col("purity_bp") > 10000L).isEmpty)
+    // total matches via knn_brute joined to labels
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+    val brute = Similarity.knnBrute(spark, sf)
+      .join(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "ql"), Seq("query_id"))
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nl"), Seq("neighbor_id"))
+    val expected = brute.filter(col("ql") === col("nl")).count()
+    val got = out.agg(sum(col("label_matches"))).head.getLong(0)
+    assert(got == expected)
+    out.unpersist()
+  }
+
+  test("events_type_overlap: diagonal dominates off-diagonal; symmetric pair counted once; diagonal equals audiences") {
+    val out = Analytics.eventsTypeOverlap(spark, sf).cache()
+    // canonical ordering: type_a <= type_b always
+    assert(out.filter(col("type_a") > col("type_b")).isEmpty)
+    // diagonal equals the per-type distinct-user audience
+    val audience = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("expected"))
+    val diag = out.filter(col("type_a") === col("type_b"))
+      .join(audience, col("type_a") === col("event_type"))
+    assert(diag.filter(col("n_users") =!= col("expected")).isEmpty)
+    // every off-diagonal overlap is bounded by both diagonals
+    val d = out.filter(col("type_a") === col("type_b"))
+      .select(col("type_a").as("t"), col("n_users").as("aud"))
+    val bad = out.filter(col("type_a") =!= col("type_b"))
+      .join(d, col("type_a") === col("t"))
+      .filter(col("n_users") > col("aud"))
+      .unionAll(out.filter(col("type_a") =!= col("type_b"))
+        .join(d, col("type_b") === col("t"))
+        .filter(col("n_users") > col("aud")))
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
   test("q52_top_supplier_share: ranks dense, shares bounded, rank-1 dominates within nation") {
     val out = Analytics.q52TopSupplierShare(spark, sf).cache()
     assert(out.count() >= 1)
