@@ -3083,6 +3083,52 @@ object Analytics {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q56_idle_balance — TPC-H Q22 shape: idle capital per market
+    * segment. Customers whose balance exceeds the positive-balance
+    * average but who placed no order in the trailing window — the
+    * at-risk high-value audience. The average is an exact-cents sum
+    * with ONE scalar divide broadcast to the comparison (never a
+    * correlated subquery per row); the no-recent-orders test is a
+    * left-anti join against the date-filtered orders scan (filter
+    * pushed before the join). */
+  def q56IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val avgPos = c.filter(col("bal_c") > 0L)
+      .agg((sum(col("bal_c")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_bal_c"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-08-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("bal_c").cast("double") > col("avg_bal_c"))
+      .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("bal_c")) / lit(100d)).as("idle_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q56IdleBalanceSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+      |  FROM customer
+      |), avgb AS (
+      |  SELECT CAST(SUM(bal_c) AS BIGINT) AS s, COUNT(*) AS n
+      |  FROM c WHERE bal_c > 0
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(bal_c) AS BIGINT) / 100.0 AS idle_balance
+      |FROM c, avgb
+      |WHERE CAST(bal_c AS DOUBLE) > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-08-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** events_type_overlap — behavior co-occurrence matrix: for every
     * unordered pair of event types (diagonal included), how many users
     * exhibit BOTH — the audience-overlap table behind "do purchasers

@@ -205,7 +205,8 @@ object Dedup {
     * previous bucket self-join formulation computed the same pairs via
     * a window count + cached two-sided sort-merge join — one more wide
     * shuffle and two extra cache passes; measured slower.) */
-  private[graft] def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairs(spark: SparkSession, dir: String,
+                                  minJaccard: Double = 0.35d): DataFrame = {
     import org.apache.spark.sql.graftvec.MinHashExpressions.sortedPairs
     val grouped = rareShingleGroups(spark, dir)
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
@@ -218,7 +219,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= 0.35d)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
@@ -384,6 +385,60 @@ object Dedup {
       |  CAST(SUM(detected) AS BIGINT) AS n_detected,
       |  CAST(CAST(SUM(detected) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
       |FROM joined GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** dedup_pair_precision — the PRECISION complement of the recall
+    * audits: every banded MinHash candidate pair, bucketed by its exact
+    * rare-shingle Jaccard (0.0 for pairs sharing no rare shingle at
+    * all — pure band collisions). Buckets below the 0.35 near-dup
+    * threshold ARE the wasted verification work; their mass is the
+    * operational cost of the current (bands, rows) choice, read
+    * together with the recall curve when retuning. Candidate-bounded
+    * joins only — the exact side reuses the rare-shingle pair pipeline
+    * unthresholded, never an all-pairs product. */
+  def dedupPairPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashPairsOf(corpus(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val exact = jaccardPairs(spark, dir, minJaccard = 0.0d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    cand.join(exact, Seq("doc_a", "doc_b"), "left")
+      .withColumn("j", coalesce(col("jaccard"), lit(0.0d)))
+      .withColumn("bucket", floor(col("j") * 10d).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("j") >= 0.35d, 1L).otherwise(0L)).as("n_true"))
+      .withColumn("bucket_lo", col("bucket").cast("double") / lit(10d))
+      .select(col("bucket"), col("bucket_lo"), col("n_candidates"), col("n_true"))
+      .orderBy(col("bucket"))
+  }
+
+  lazy val dedupPairPrecisionSql: String =
+    s"""WITH $docShinglesSql,
+      |$minhashCandCtes,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |exact_all AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |),
+      |graded AS (
+      |  SELECT COALESCE(e.jaccard, 0.0) AS j
+      |  FROM mh_cand m LEFT JOIN exact_all e
+      |    ON m.doc_a = e.doc_a AND m.doc_b = e.doc_b
+      |)
+      |SELECT CAST(FLOOR(j * 10) AS BIGINT) AS bucket,
+      |  CAST(FLOOR(j * 10) AS BIGINT) / 10.0 AS bucket_lo,
+      |  COUNT(*) AS n_candidates,
+      |  CAST(SUM(CASE WHEN j >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      |FROM graded
+      |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
   /** dedup_simhash_audit — the SimHash twin of [[dedupMinhashAudit]]:

@@ -1671,6 +1671,55 @@ object TextAnalysis {
       |FROM by_source, tot
       |ORDER BY source""".stripMargin
 
+  /** text_length_outliers — robust per-source length-outlier census:
+    * median/MAD of doc char lengths (exact percentile on the integral
+    * n_chars column — the stats_mad discipline on the corpus), docs
+    * beyond 5×MAD flagged with a basis-point rate. Truncated scrapes,
+    * concatenation bugs, and boilerplate explosions all surface here
+    * before they skew token budgets; MAD (not σ) so the outliers being
+    * hunted can't inflate the fence that should catch them. Two
+    * scalar-per-source broadcasts, no window. */
+  def textLengthOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("n_chars"))
+    val med = d.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5d)").as("med"))
+    val dev = d.join(broadcast(med), Seq("source"))
+      .withColumn("ad", abs(col("n_chars").cast("double") - col("med")))
+    val mad = dev.groupBy(col("source"))
+      .agg(expr("percentile(ad, 0.5d)").as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med")).as("median_chars"),
+        max(col("mad")).as("mad_chars"),
+        sum(when(col("ad") > lit(5d) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_bp",
+        expr("(n_outliers * 10000L) DIV greatest(n_docs, 1L)"))
+      .orderBy(col("source"))
+  }
+
+  val textLengthOutliersSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars FROM documents
+      |), med AS (
+      |  SELECT source, quantile_cont(n_chars, 0.5) AS med FROM d GROUP BY source
+      |), dev AS (
+      |  SELECT d.source, d.n_chars, med.med,
+      |    abs(CAST(d.n_chars AS DOUBLE) - med.med) AS ad
+      |  FROM d JOIN med USING (source)
+      |), mad AS (
+      |  SELECT source, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY source
+      |)
+      |SELECT v.source, COUNT(*) AS n_docs,
+      |  MAX(v.med) AS median_chars, MAX(m.mad) AS mad_chars,
+      |  CAST(SUM(CASE WHEN v.ad > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST((CAST(SUM(CASE WHEN v.ad > 5 * m.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // GREATEST(COUNT(*), 1) AS BIGINT) AS outlier_bp
+      |FROM dev v JOIN mad m USING (source)
+      |GROUP BY v.source
+      |ORDER BY source""".stripMargin
+
   /** text_pack_boundaries — concat-and-chunk packing audit: when a
     * loader concatenates each source's docs (doc_id order) and chunks
     * the stream into 2048-token contexts, which docs STRADDLE a context

@@ -675,6 +675,68 @@ object CdcStream {
       .toDF()
   }
 
+  /** Open-version state per key for the streaming SCD2 fold. */
+  case class Scd2State(version: Long, valid_from_id: Long, op: String, value: Double)
+  /** One SCD2 emission: the closed form of a version (valid_to set) or
+    * its open form (valid_to None) — the closed form supersedes. */
+  case class Scd2Emit(user_id: Long, version: Long, valid_from_id: Long,
+                      valid_to_id: Option[Long], op: String, value: Double,
+                      is_current: Boolean)
+
+  /** Stateful SCD2 history maintenance — the streaming twin of
+    * CdcOps.scd2History: each change CLOSES the key's open version
+    * (valid_to = the new change's offset) and opens the next one. State
+    * is one open-version row per live key. Every change emits the
+    * closed predecessor in its FINAL form plus the new open version;
+    * the sink assembles the history by preferring the closed form per
+    * (key, version) — max(valid_to) ignores the open form's null, and
+    * the remaining fields are fixed at open time, so the assembly is
+    * order-free. Within-batch disorder is repaired by the event-id
+    * sort (the log-order discipline shared with attributeStream). */
+  def scd2Fold(spark: SparkSession, changeEvents: DataFrame): DataFrame = {
+    import spark.implicits._
+    changeEvents.as[ChangeEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Emit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, events: Iterator[ChangeEvent], state: GroupState[Scd2State]) =>
+          val ordered = events.toArray.sortBy(_.event_id)
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val out = Array.newBuilder[Scd2Emit]
+            var open = state.getOption.orNull
+            ordered.foreach { e =>
+              if (open != null)
+                out += Scd2Emit(key, open.version, open.valid_from_id,
+                  Some(e.event_id), open.op, open.value, is_current = false)
+              val v = if (open == null) 1L else open.version + 1L
+              open = Scd2State(v, e.event_id, e.op, e.value)
+              out += Scd2Emit(key, v, e.event_id, None, e.op, e.value,
+                is_current = true)
+            }
+            state.update(open)
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
+  /** stream_scd2 — SCD2 history maintained live under streaming ingest;
+    * after full replay the assembled history equals the batch
+    * cdc_scd2 bit-for-bit. */
+  def streamScd2(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "stream_scd2_sink", OutputMode.Update,
+        df => scd2Fold(spark, df))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("valid_from_id")).as("valid_from_id"),
+        max(col("valid_to_id")).as("valid_to_id"),
+        min(col("op")).as("op"),
+        min(col("value")).as("value"))
+      .withColumn("is_current", col("valid_to_id").isNull)
+      .select(col("user_id"), col("version"), col("valid_from_id"),
+        col("valid_to_id"), col("op"), col("value"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+
   /** stream_funnel — the funnel maintained live under streaming ingest;
     * after full replay the per-user final states equal the batch
     * events_funnel bit-for-bit (n_events is monotone, so max_by picks

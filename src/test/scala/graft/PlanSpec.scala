@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.core.Skew
 
 /** Plan-shape regression tests: the scale properties claimed in
@@ -318,5 +318,45 @@ class PlanSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(p).size === 1)
     assert(p.contains("BroadcastExchange"))
     assert(!p.contains("SortMergeJoin") && !p.contains("SinglePartition"))
+  }
+
+  test("q55_region_revenue: dims broadcast; the only shuffle joins are on fact keys") {
+    val p = plan(Analytics.q55RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition") || p.contains("rangepartitioning"))
+  }
+
+  test("q50/q53: ship-window filter pushes to the lineitem scan") {
+    assert(plan(Analytics.q50ShipPriority(spark, sf))
+      .contains("GreaterThanOrEqual(l_shipdate"))
+    val p53 = plan(Analytics.q53PromoShare(spark, sf))
+    assert(p53.contains("GreaterThanOrEqual(l_shipdate"))
+    // part is the broadcast dim — no shuffle join against the fact
+    assert(p53.contains("BroadcastHashJoin"))
+  }
+
+  test("knn_label_purity: the query side broadcasts, the corpus streams") {
+    val p = plan(Similarity.knnLabelPurity(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("mm_stride_coverage: closed-form audit — no kernel, no payload shuffle, partial agg") {
+    val p = plan(Multimodal.mmStrideCoverage(spark, sf))
+    assert(!p.contains("chunk_hashes("), "the point is NOT paying the fan-out")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+  }
+
+  test("text_pack_boundaries: prefix discipline — no single-partition window") {
+    val p = plan(TextAnalysis.textPackBoundaries(spark, sf))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("recon_column_drill: one keyed join, no broadcast of the fact side") {
+    val p = plan(graft.cdc.Reconcile.reconColumnDrill(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    // the orders⋈target join is keyed — either shuffle-hash or sort-merge
+    assert(p.contains("Join"))
   }
 }

@@ -1490,6 +1490,69 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dedup_pair_precision: every candidate graded once; true mass agrees with the recall audit's detected pairs") {
+    val out = Dedup.dedupPairPrecision(spark, sf).cache()
+    // bucket sanity: 0..10, n_true == n_candidates above threshold, == 0 below
+    assert(out.filter(col("bucket") < 0L || col("bucket") > 10L).isEmpty)
+    assert(out.filter(col("bucket") >= 4L)
+      .filter(col("n_true") =!= col("n_candidates")).isEmpty)
+    assert(out.filter(col("bucket") <= 2L).filter(col("n_true") =!= 0L).isEmpty)
+    // total candidates equals the banded candidate-pair count
+    val cand = Dedup.minhashPairsOf(Dedup.corpus(spark, sf)).count()
+    assert(out.agg(sum(col("n_candidates"))).head.getLong(0) == cand)
+    out.unpersist()
+  }
+
+  test("q56_idle_balance: every counted customer is above-average and order-free in the window") {
+    val out = Analytics.q56IdleBalance(spark, sf).cache()
+    assert(out.count() >= 1)
+    // recompute the fence and the idle set directly
+    val cents = (c: org.apache.spark.sql.Column) =>
+      floor(c * 100d + lit(0.5d)).cast("long")
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val avg = cust.filter(col("bal_c") > 0L)
+      .agg((sum(col("bal_c")).cast("double") / count(lit(1)).cast("double")))
+      .head.getDouble(0)
+    val recentCust = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1999-08-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val expected = cust.filter(col("bal_c").cast("double") > avg)
+      .join(recentCust, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("n_customers") ==
+        expected(r.getAs[String]("c_mktsegment")))
+    }
+    out.unpersist()
+  }
+
+  test("text_length_outliers: fences behave — zero outliers iff all lengths within 5 MAD; bp consistent") {
+    val out = TextAnalysis.textLengthOutliers(spark, sf).cache()
+    assert(out.count() >= 1)
+    assert(out.filter(col("n_outliers") > col("n_docs")).isEmpty)
+    assert(out.filter(col("outlier_bp") =!=
+      expr("(n_outliers * 10000L) DIV greatest(n_docs, 1L)")).isEmpty)
+    // spot-recompute one source with a plain percentile
+    val first = out.head
+    val src = first.getAs[String]("source")
+    val lens = Tables.documents(spark, sf).filter(col("source") === src)
+      .select(col("n_chars").cast("double")).collect().map(_.getDouble(0)).sorted
+    def medianOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2d
+    }
+    val med = medianOf(lens)
+    val mad = medianOf(lens.map(x => math.abs(x - med)).sorted)
+    val expectedOut = lens.count(x => math.abs(x - med) > 5d * mad).toLong
+    assert(first.getAs[Double]("median_chars") == med)
+    assert(first.getAs[Double]("mad_chars") == mad)
+    assert(first.getAs[Long]("n_outliers") == expectedOut)
+    out.unpersist()
+  }
+
   test("q52_top_supplier_share: ranks dense, shares bounded, rank-1 dominates within nation") {
     val out = Analytics.q52TopSupplierShare(spark, sf).cache()
     assert(out.count() >= 1)

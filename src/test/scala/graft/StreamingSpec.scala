@@ -202,6 +202,16 @@ class StreamingSpec extends SparkSpec {
     assert(again.exceptAll(batch).count() === 0 && batch.exceptAll(again).count() === 0)
   }
 
+  test("stream_scd2: replayed live history equals the batch SCD2 bit-for-bit") {
+    val streamed = CdcStream.streamScd2(spark, sf)
+    val batch = CdcOps.scd2History(spark, sf)
+      .select(col("user_id"), col("version").cast("long").as("version"),
+        col("valid_from_id"), col("valid_to_id"), col("op"), col("value"),
+        col("is_current"))
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stream_funnel: replayed live funnel equals the batch funnel bit-for-bit") {
     val streamed = CdcStream.streamFunnel(spark, sf)
     val batch = graft.operators.Analytics.eventsFunnel(spark, sf)
