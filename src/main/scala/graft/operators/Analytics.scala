@@ -3129,6 +3129,48 @@ object Analytics {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q57_ship_delay — order-to-ship latency census per priority: exact
+    * integral day deltas (datediff on the date-truncated naive
+    * timestamps — identical in both engines), exact percentiles on the
+    * integer grid (the stats_mad discipline; the q34 histogram path is
+    * the 100 TB alternative), and an exact-sum mean with one terminal
+    * divide. THE fulfillment-SLA report: does 1-URGENT actually ship
+    * faster, and by how much at p95? */
+  def q57ShipDelay(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("delay_days"))
+    d.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(delay_days, 0.5d)").as("p50_delay"),
+        expr("percentile(delay_days, 0.95d)").as("p95_delay"),
+        max(col("delay_days")).as("max_delay"),
+        (sum(col("delay_days")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_delay"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q57ShipDelaySql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  quantile_cont(delay_days, 0.5) AS p50_delay,
+      |  quantile_cont(delay_days, 0.95) AS p95_delay,
+      |  MAX(delay_days) AS max_delay,
+      |  CAST(SUM(delay_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_delay
+      |FROM d
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** events_type_overlap — behavior co-occurrence matrix: for every
     * unordered pair of event types (diagonal included), how many users
     * exhibit BOTH — the audience-overlap table behind "do purchasers

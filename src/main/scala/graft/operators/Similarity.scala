@@ -1461,6 +1461,71 @@ object Similarity {
       |ORDER BY t""".stripMargin
   }
 
+  /** embed_ivf_balance — IVF cell-occupancy census, the coarse-quantizer
+    * twin of embed_lsh_entropy: every vector assigned to its rank-1
+    * centroid (the knn_ivf assignment, replayed), cell sizes banded
+    * 1 / 2-4 / 5-16 / 17-64 / 65+ with cell counts, vector mass, and
+    * basis-point share. Heavy bands mean Nprobe scans too much per
+    * probe (cells too big); a fat singleton band means wasted centroids
+    * and recall cliffs. One broadcast assignment pass + a cells-sized
+    * rollup; the scalar total broadcasts back for the share divide. */
+  def embedIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfSampleMod === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    val cellSizes = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos", qcos(qdot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .groupBy(col("cent_id"))
+      .agg(count(lit(1)).as("n"))
+    val banded = cellSizes
+      .withColumn("band",
+        when(col("n") === 1L, "1")
+          .when(col("n") <= 4L, "2-4")
+          .when(col("n") <= 16L, "5-16")
+          .when(col("n") <= 64L, "17-64")
+          .otherwise("65+"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vectors"))
+    val total = banded.agg(sum(col("n_vectors")).as("total_vectors"))
+    banded.crossJoin(broadcast(total))
+      .withColumn("share_bp",
+        expr("(n_vectors * 10000L) DIV greatest(total_vectors, 1L)"))
+      .select(col("band"), col("n_cells"), col("n_vectors"), col("share_bp"))
+      .orderBy(col("band"))
+  }
+
+  val embedIvfBalanceSql: String = {
+    val centDot = dotSql("n.embedding", "c.ce")
+    s"""WITH e AS ($vecsSql),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0),
+      |asg AS (
+      |  SELECT vec_id, cent_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
+      |  FROM (
+      |    SELECT n.vec_id, c.cent_id,
+      |      CAST($centDot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cent_cos
+      |    FROM e n CROSS JOIN cents c)
+      |),
+      |cellsz AS (
+      |  SELECT cent_id, COUNT(*) AS n FROM asg WHERE rnk = 1 GROUP BY 1
+      |),
+      |banded AS (
+      |  SELECT CASE WHEN n = 1 THEN '1' WHEN n <= 4 THEN '2-4'
+      |              WHEN n <= 16 THEN '5-16' WHEN n <= 64 THEN '17-64'
+      |              ELSE '65+' END AS band,
+      |    COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vectors
+      |  FROM cellsz GROUP BY 1
+      |), tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total_vectors FROM banded)
+      |SELECT band, n_cells, n_vectors,
+      |  CAST((n_vectors * 10000) // GREATEST(total_vectors, 1) AS BIGINT) AS share_bp
+      |FROM banded, tot
+      |ORDER BY band""".stripMargin
+  }
+
   /** knn_label_purity — neighborhood label agreement: for each query,
     * how many of its top-K exact neighbors carry the query's own label,
     * rolled up per label as a basis-point purity. This is the 1-NN/k-NN

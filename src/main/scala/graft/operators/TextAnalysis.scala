@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1670,6 +1670,60 @@ object TextAnalysis {
       |    CAST((weight * 400) // wsum AS DOUBLE) AS fill_rate
       |FROM by_source, tot
       |ORDER BY source""".stripMargin
+
+  /** text_char_entropy — per-language character-unigram entropy of the
+    * normalized text, in millinats: the cheapest corpus-integrity
+    * signal there is. Mojibake, base64 blobs, and wrong-language
+    * contamination all move H(char) before any tokenizer runs; each
+    * language has a stable band, so the per-lang value is a drift gate.
+    * Shape: the char explode is fact×chars rows but the (lang, char)
+    * count shuffle is bounded by the alphabet (map-side combine does
+    * the heavy lifting); entropy uses the millinat-quantized ln
+    * discipline (Σ n·ln n exact BIGINT, H = ln N − Σ/N, non-negative
+    * integer DIV). Alphabet size and the modal character ride along. */
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val lnq = (c: Column) => floor(log(c.cast("double")) * 1000d + 0.5d).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(normText(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("lang"), col("ch"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_chars"),
+        count(lit(1)).as("alphabet_size"),
+        sum(col("n") * lnq(col("n"))).as("sum_nlnn_mn"),
+        max(struct(col("n"), col("ch"))).as("m"))
+      .withColumn("entropy_mn",
+        lnq(col("n_chars")) - expr("sum_nlnn_mn DIV n_chars"))
+      .select(col("lang"), col("n_chars"), col("alphabet_size"),
+        col("sum_nlnn_mn"), col("entropy_mn"),
+        col("m.ch").as("top_char"), col("m.n").as("top_char_n"))
+      .orderBy(col("lang"))
+  }
+
+  val textCharEntropySql: String =
+    s"""WITH chars AS (
+      |  SELECT lang, unnest(string_split(${normTextSql("text")}, '')) AS ch
+      |  FROM documents
+      |), counts AS (
+      |  SELECT lang, ch, COUNT(*) AS n FROM chars WHERE ch <> '' GROUP BY 1, 2
+      |), rolled AS (
+      |  SELECT lang,
+      |    CAST(SUM(n) AS BIGINT) AS n_chars,
+      |    COUNT(*) AS alphabet_size,
+      |    CAST(SUM(n * CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_nlnn_mn
+      |  FROM counts GROUP BY lang
+      |), top AS (
+      |  SELECT lang, ch AS top_char, n AS top_char_n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, ch DESC) AS rn
+      |  FROM counts
+      |)
+      |SELECT r.lang, r.n_chars, r.alphabet_size, r.sum_nlnn_mn,
+      |  CAST(CAST(FLOOR(ln(CAST(r.n_chars AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+      |    - (r.sum_nlnn_mn // r.n_chars) AS BIGINT) AS entropy_mn,
+      |  t.top_char, CAST(t.top_char_n AS BIGINT) AS top_char_n
+      |FROM rolled r JOIN top t ON r.lang = t.lang AND t.rn = 1
+      |ORDER BY r.lang""".stripMargin
 
   /** text_length_outliers — robust per-source length-outlier census:
     * median/MAD of doc char lengths (exact percentile on the integral

@@ -1553,6 +1553,53 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q57_ship_delay: percentile ordering holds; line accounting closes; mean inside [p50-adjacent] bounds") {
+    val out = Analytics.q57ShipDelay(spark, sf).cache()
+    assert(out.count() == 5) // all five priorities ship lines
+    assert(out.filter(col("p50_delay") > col("p95_delay")).isEmpty)
+    assert(out.filter(col("p95_delay") > col("max_delay").cast("double")).isEmpty)
+    // Σ n_lines = joined row count
+    val joined = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(out.agg(sum(col("n_lines"))).head.getLong(0) == joined)
+    out.unpersist()
+  }
+
+  test("text_char_entropy: space dominates normalized text; entropy in sane band; mass conserved") {
+    val out = TextAnalysis.textCharEntropy(spark, sf).cache()
+    assert(out.count() >= 1)
+    // normalized text is space-joined lowercase words: ' ' is modal in
+    // every natural-language slice of this corpus
+    assert(out.filter(col("top_char") =!= " ").isEmpty)
+    // 0 <= H <= ln(alphabet) (+1 mn quantization slack)
+    val bad = out.filter(col("entropy_mn") < -1L ||
+      col("entropy_mn").cast("double") >
+        log(col("alphabet_size").cast("double")) * 1000d + 1d)
+    assert(bad.isEmpty)
+    // character mass equals a direct length sum of normalized text
+    import graft.functions.TextFunctions.normText
+    val direct = Tables.documents(spark, sf)
+      .select(col("lang"), length(normText(col("text"))).cast("long").as("l"))
+      .groupBy(col("lang")).agg(sum(col("l")).as("expected"))
+    assert(out.join(direct, Seq("lang"))
+      .filter(col("n_chars") =!= col("expected")).isEmpty)
+    out.unpersist()
+  }
+
+  test("embed_ivf_balance: vector mass conserved across bands; shares sum to ~10000; cells bounded by centroids") {
+    val out = Similarity.embedIvfBalance(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.agg(sum(col("n_vectors"))).head.getLong(0) == n)
+    val nCents = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % Similarity.IvfSampleMod === 0).count()
+    assert(out.agg(sum(col("n_cells"))).head.getLong(0) <= nCents)
+    val bpSum = out.agg(sum(col("share_bp"))).head.getLong(0)
+    // integer DIV truncation: sum within bands-count of 10000
+    assert(bpSum <= 10000L && bpSum >= 10000L - out.count())
+    out.unpersist()
+  }
+
   test("q52_top_supplier_share: ranks dense, shares bounded, rank-1 dominates within nation") {
     val out = Analytics.q52TopSupplierShare(spark, sf).cache()
     assert(out.count() >= 1)
