@@ -3171,6 +3171,60 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q58_one_off_buyers — single-purchase customer census per market
+    * segment: how many customers ever bought exactly once, and what
+    * revenue share they carry — the acquisition-quality counterpart of
+    * q48's repeat-share (that one slices revenue by month; this one
+    * profiles the CUSTOMER population). Two keyed map-combined
+    * shuffles (orders→per-customer, then segment rollup); shares are
+    * dollar-quantized non-negative integer DIVs. */
+  def q58OneOffBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("rev_c"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    perCust.join(c, perCust("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("n_orders") === 1L, 1L).otherwise(0L)).as("n_one_off"),
+        sum(col("rev_c")).as("total_rev_c"),
+        sum(when(col("n_orders") === 1L, col("rev_c")).otherwise(0L))
+          .as("one_off_rev_c"))
+      .withColumn("one_off_bp",
+        expr("(n_one_off * 10000L) DIV greatest(n_buyers, 1L)"))
+      .withColumn("one_off_rev_bp",
+        expr("((one_off_rev_c DIV 100) * 10000L) DIV greatest(total_rev_c DIV 100, 1L)"))
+      .select(col("c_mktsegment"), col("n_buyers"), col("n_one_off"),
+        col("one_off_bp"),
+        (col("one_off_rev_c") / lit(100d)).as("one_off_revenue"),
+        (col("total_rev_c") / lit(100d)).as("total_revenue"),
+        col("one_off_rev_bp"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q58OneOffBuyersSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1
+      |), seg AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n_buyers,
+      |    CAST(SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_one_off,
+      |    CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+      |    CAST(SUM(CASE WHEN n_orders = 1 THEN rev_c ELSE 0 END) AS BIGINT) AS one_off_rev_c
+      |  FROM pc JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1
+      |)
+      |SELECT c_mktsegment, n_buyers, n_one_off,
+      |  CAST((n_one_off * 10000) // GREATEST(n_buyers, 1) AS BIGINT) AS one_off_bp,
+      |  one_off_rev_c / 100.0 AS one_off_revenue,
+      |  total_rev_c / 100.0 AS total_revenue,
+      |  CAST(((one_off_rev_c // 100) * 10000) // GREATEST(total_rev_c // 100, 1) AS BIGINT) AS one_off_rev_bp
+      |FROM seg
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** events_type_overlap — behavior co-occurrence matrix: for every
     * unordered pair of event types (diagonal included), how many users
     * exhibit BOTH — the audience-overlap table behind "do purchasers

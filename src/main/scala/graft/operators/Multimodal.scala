@@ -404,6 +404,68 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY ref_band""".stripMargin
 
+  /** mm_scene_changes — adjacent-frame change rate per source, the
+    * scene-cut proxy a video pipeline computes before deciding frame
+    * sampling density: consecutive 256-byte frame fingerprints compared
+    * per doc (stride 1 — every transition), transitions with a
+    * fingerprint change counted against total transitions. High change
+    * rate → dense sampling needed (every frame distinct); low → stride
+    * sampling is lossless-ish (mm_stride_coverage says what it costs).
+    * The per-doc lag window is bounded by frames-per-payload, never
+    * corpus-sized; the exploded stream carries 32-char fingerprints
+    * (ChunkHashes kernel), not payload copies. */
+  def mmSceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    import org.apache.spark.sql.expressions.Window
+    val fr = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(chunkHashes(col("text").cast("binary"), 256, 1)).as("c"))
+      .select(col("doc_id"), col("source"),
+        col("c.chunk_i").as("ci"), col("c.chunk_fp").as("fp"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ci"))
+    fr.withColumn("prev", lag(col("fp"), 1).over(w))
+      .withColumn("is_transition",
+        when(col("prev").isNotNull, 1L).otherwise(0L))
+      .withColumn("is_change",
+        when(col("prev").isNotNull && col("prev") =!= col("fp"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_frames"),
+        sum(col("is_transition")).as("n_transitions"),
+        sum(col("is_change")).as("scene_changes"))
+      .withColumn("change_bp",
+        expr("(scene_changes * 10000L) DIV greatest(n_transitions, 1L)"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle for mm_scene_changes: frame fingerprints via the
+    * same character-slicing arithmetic as the mm_frames oracle (ASCII
+    * corpus — byte slicing ≡ char slicing), LAG per doc. */
+  val mmSceneChangesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(CEIL(CAST(length(text) AS DOUBLE) / 256) AS BIGINT) AS n_frames
+      |  FROM documents
+      |), fr AS (
+      |  SELECT doc_id, source, f,
+      |    md5(substring(text, CAST(f * 256 + 1 AS INTEGER), 256)) AS fp
+      |  FROM d, LATERAL (SELECT unnest(range(0, n_frames)) AS f)
+      |), lagged AS (
+      |  SELECT source, doc_id, fp,
+      |    LAG(fp) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+      |  FROM fr
+      |)
+      |SELECT source,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_frames,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> fp THEN 1 ELSE 0 END) AS BIGINT) AS scene_changes,
+      |  CAST((CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> fp THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+      |    // GREATEST(CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 1) AS BIGINT) AS change_bp
+      |FROM lagged
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** mm_stride_coverage — frame-sampling coverage audit: per (source,
     * stride ∈ {1,2,4,8}), what fraction of payload bytes the sampled
     * frames actually touch — the budget question BEFORE running a frame

@@ -1600,6 +1600,43 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q58_one_off_buyers: one-off accounting closes against a direct per-customer recompute") {
+    val out = Analytics.q58OneOffBuyers(spark, sf).cache()
+    assert(out.count() >= 1)
+    assert(out.filter(col("n_one_off") > col("n_buyers")).isEmpty)
+    assert(out.filter(col("one_off_rev_bp") < 0L || col("one_off_rev_bp") > 10000L).isEmpty)
+    // buyers across segments = customers with >= 1 order
+    val buyers = Tables.orders(spark, sf).select(col("o_custkey")).distinct()
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    assert(out.agg(sum(col("n_buyers"))).head.getLong(0) == buyers)
+    // one-off total = customers with exactly one order
+    val oneOff = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).filter(col("n") === 1L)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    assert(out.agg(sum(col("n_one_off"))).head.getLong(0) == oneOff)
+    out.unpersist()
+  }
+
+  test("mm_scene_changes: transition accounting closes; identical-frame doc yields zero changes") {
+    val out = Multimodal.mmSceneChanges(spark, sf).cache()
+    assert(out.count() >= 1)
+    // transitions = frames - docs (each doc's first frame has no prev)
+    assert(out.filter(col("n_transitions") =!=
+      col("n_frames") - col("n_docs")).isEmpty)
+    assert(out.filter(col("scene_changes") > col("n_transitions")).isEmpty)
+    out.unpersist()
+    // a synthetic payload of repeated identical frames has zero changes
+    import spark.implicits._
+    val rep = ("ab" * 128) * 4 // 4 identical 256-byte frames
+    val df = Seq((1L, "s", rep)).toDF("doc_id", "source", "text")
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    val fps = df.select(explode(chunkHashes(col("text").cast("binary"), 256, 1)).as("c"))
+      .select(col("c.chunk_fp")).distinct().count()
+    assert(fps == 1L)
+  }
+
   test("q52_top_supplier_share: ranks dense, shares bounded, rank-1 dominates within nation") {
     val out = Analytics.q52TopSupplierShare(spark, sf).cache()
     assert(out.count() >= 1)
