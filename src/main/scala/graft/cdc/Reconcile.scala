@@ -1748,6 +1748,58 @@ object Reconcile {
       |)
       |ORDER BY column_name""".stripMargin
 
+  /** recon_null_audit — per-column null census of the replicated
+    * target, against the source's (null-free) baseline: replication
+    * layers that mis-map types or lose fields usually degrade to NULL,
+    * not to wrong values, so the null rate per column is the cheapest
+    * column-fidelity alarm there is — and the planted null stripe
+    * (o_custkey NULLed where o_orderkey % 777 == 0 in the simulated
+    * target) proves the audit detects what it claims. One map-combined
+    * aggregate per side, no join; output one row per (side, column). */
+  def reconNullAudit(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val tgt = src.withColumn("o_custkey",
+      when(col("o_orderkey") % 777 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")))
+    def audit(df: DataFrame, side: String) = {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val agg = df.agg(count(lit(1)).as("n_rows"),
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c")): _*)
+      cols.map { c =>
+        agg.select(lit(side).as("side"), lit(c).as("column_name"),
+          col("n_rows"), col(s"n_$c").as("n_nulls"),
+          expr(s"(n_$c * 10000L) DIV greatest(n_rows, 1L)").as("null_bp"))
+      }.reduce(_ unionAll _)
+    }
+    audit(src, "source").unionAll(audit(tgt, "target"))
+      .orderBy(col("side"), col("column_name"))
+  }
+
+  val reconNullAuditSql: String = {
+    def sideSql(rel: String, side: String): String =
+      Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+        s"""SELECT '$side' AS side, '$c' AS column_name,
+          |  COUNT(*) AS n_rows,
+          |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          |  CAST((CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+          |    // GREATEST(COUNT(*), 1) AS BIGINT) AS null_bp
+          |FROM $rel""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH tgt AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 777 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+      |    o_totalprice
+      |  FROM orders
+      |)
+      |SELECT * FROM (
+      |${sideSql("orders", "source")}
+      |UNION ALL
+      |${sideSql("tgt", "target")}
+      |)
+      |ORDER BY side, column_name""".stripMargin
+  }
+
   /** recon_fk_orphans — referential-integrity audit over the star
     * schema's FK edges, plus the drift-simulated target as one parent
     * (the planted-deletion case MUST surface orphans, proving the audit

@@ -1637,6 +1637,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(fps == 1L)
   }
 
+  test("recon_null_audit: source is null-free; only the planted target column shows nulls, at the exact stripe count") {
+    val out = Reconcile.reconNullAudit(spark, sf).cache()
+    assert(out.count() == 6)
+    assert(out.filter(col("side") === "source")
+      .filter(col("n_nulls") =!= 0L).isEmpty)
+    val planted = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 777 === 0).count()
+    val tgtByCol = out.filter(col("side") === "target").collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_nulls")).toMap
+    assert(tgtByCol("o_custkey") == planted)
+    assert(planted > 0, "testdata lost the planted null stripe")
+    assert(tgtByCol("o_orderkey") == 0L && tgtByCol("o_totalprice") == 0L)
+    out.unpersist()
+  }
+
   test("q52_top_supplier_share: ranks dense, shares bounded, rank-1 dominates within nation") {
     val out = Analytics.q52TopSupplierShare(spark, sf).cache()
     assert(out.count() >= 1)
