@@ -1713,7 +1713,8 @@ object Reconcile {
           max(when(s =!= t, col("k"))).as("last_bad_key"))
         .select(lit(name).as("column_name"), col("common_rows"),
           col("mismatch_rows"),
-          expr("(mismatch_rows * 10000L) DIV common_rows").as("mismatch_bp"),
+          expr("(mismatch_rows * 10000L) DIV greatest(common_rows, 1L)")
+            .as("mismatch_bp"),
           col("first_bad_key"), col("last_bad_key"))
     colReport("o_custkey", col("s_ck"), col("t_ck"))
       .unionAll(colReport("o_totalprice", col("s_tp"), col("t_tp")))
@@ -1733,7 +1734,7 @@ object Reconcile {
       |SELECT 'o_custkey' AS column_name, COUNT(*) AS common_rows,
       |  CAST(SUM(CASE WHEN s_ck <> t_ck THEN 1 ELSE 0 END) AS BIGINT) AS mismatch_rows,
       |  CAST((CAST(SUM(CASE WHEN s_ck <> t_ck THEN 1 ELSE 0 END) AS BIGINT) * 10000)
-      |    // COUNT(*) AS BIGINT) AS mismatch_bp,
+      |    // GREATEST(COUNT(*), 1) AS BIGINT) AS mismatch_bp,
       |  MIN(CASE WHEN s_ck <> t_ck THEN k END) AS first_bad_key,
       |  MAX(CASE WHEN s_ck <> t_ck THEN k END) AS last_bad_key
       |FROM j
@@ -1741,7 +1742,7 @@ object Reconcile {
       |SELECT 'o_totalprice' AS column_name, COUNT(*) AS common_rows,
       |  CAST(SUM(CASE WHEN s_tp <> t_tp THEN 1 ELSE 0 END) AS BIGINT) AS mismatch_rows,
       |  CAST((CAST(SUM(CASE WHEN s_tp <> t_tp THEN 1 ELSE 0 END) AS BIGINT) * 10000)
-      |    // COUNT(*) AS BIGINT) AS mismatch_bp,
+      |    // GREATEST(COUNT(*), 1) AS BIGINT) AS mismatch_bp,
       |  MIN(CASE WHEN s_tp <> t_tp THEN k END) AS first_bad_key,
       |  MAX(CASE WHEN s_tp <> t_tp THEN k END) AS last_bad_key
       |FROM j

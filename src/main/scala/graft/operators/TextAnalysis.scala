@@ -1794,7 +1794,10 @@ object TextAnalysis {
       .withColumn("tok0", col("cum") - col("t"))
       .withColumn("straddles",
         when(expr(s"(tok0 DIV $W) < ((cum - 1L) DIV $W)"), 1L).otherwise(0L))
-      .withColumn("crossings", expr(s"((cum - 1L) DIV $W) - (tok0 DIV $W)"))
+      // greatest(…, 0): a zero-token doc whose start sits exactly on a
+      // boundary would otherwise evaluate to -1 crossings.
+      .withColumn("crossings",
+        expr(s"greatest(((cum - 1L) DIV $W) - (tok0 DIV $W), 0L)"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("t")).as("n_tokens"),
@@ -1821,7 +1824,7 @@ object TextAnalysis {
       |  SELECT source, t, cum, cum - t AS start,
       |    CASE WHEN ((cum - t) // 2048) < ((cum - 1) // 2048)
       |         THEN 1 ELSE 0 END AS straddles,
-      |    ((cum - 1) // 2048) - ((cum - t) // 2048) AS crossings
+      |    GREATEST(((cum - 1) // 2048) - ((cum - t) // 2048), 0) AS crossings
       |  FROM c
       |)
       |SELECT source, COUNT(*) AS n_docs,

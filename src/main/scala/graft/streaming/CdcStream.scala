@@ -41,13 +41,6 @@ case class BurstState(user_id: Long, n_gaps: Long, sx: Long, sxx: Long,
   */
 object CdcStream {
 
-  /** Normalize the raw events table into the typed change-event stream.
-    * `ts` arrives as long nanos (generator versions writing
-    * TIMESTAMP(NANOS), read raw under nanosAsLong), as TIMESTAMP_NTZ
-    * (micros, isAdjustedToUTC=false), or as a session-zone timestamp —
-    * the same three encodings Tables.events absorbs for batch reads;
-    * all collapse to the identical micros epoch under the pinned-UTC
-    * session. */
   /** Epoch-micros column for the `ts` field under any of the three
     * parquet encodings the generator has shipped (long nanos,
     * TIMESTAMP_NTZ micros, session-zone timestamp). */
@@ -60,6 +53,13 @@ object CdcStream {
     }
   }
 
+  /** Normalize the raw events table into the typed change-event stream.
+    * `ts` arrives as long nanos (generator versions writing
+    * TIMESTAMP(NANOS), read raw under nanosAsLong), as TIMESTAMP_NTZ
+    * (micros, isAdjustedToUTC=false), or as a session-zone timestamp —
+    * the same three encodings Tables.events absorbs for batch reads;
+    * all collapse to the identical micros epoch under the pinned-UTC
+    * session. */
   def toChangeEvents(events: DataFrame): DataFrame = {
     val tsUs = tsUsCol(events)
     events.select(

@@ -1,0 +1,125 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for the driver's testdata layout.
+  *
+  * Reads an existing sf directory (e.g. /root/testdata/sf0.1) and writes a
+  * FACTOR× replica-with-key-offset scale-up (e.g. target/sf1): every fact
+  * row is emitted FACTOR times with `key → key*FACTOR + copy` applied
+  * uniformly to every key/FK column, so referential integrity, per-key
+  * group sizes, and join fan-outs are preserved exactly while key-space
+  * cardinality, row counts, and scan bytes grow FACTOR×. The fixed
+  * dimensions (region, nation) are copied verbatim — their FKs
+  * (c_nationkey, s_nationkey, n_regionkey) are left untouched.
+  *
+  * Text and vectors get a tiny deterministic per-copy perturbation
+  * (a 3-char `c<copy> ` prefix on documents.text; +0.001*copy on one
+  * vector component) so exact-hash dedup does not collapse the copies,
+  * while near-dup/ANN structure scales realistically: each original doc
+  * or vector becomes a FACTOR-sized near-dup cluster — exactly the
+  * adversarial shape (bigger clusters, hotter LSH buckets) a 100 TB
+  * corpus scale-up produces.
+  *
+  * No wall-clock or RNG anywhere: output is a pure function of the
+  * input and FACTOR, so oracle replays (DuckDB over the same parquet)
+  * are reproducible run-to-run.
+  *
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <dstDir> [factor=10]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("target/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  /** Replicate `df` `factor`× with `copy` ∈ [0, factor) joined in. */
+  private def fanOut(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("copy", explode(lit((0 until factor).toArray)))
+
+  /** key*factor + copy — keeps keys unique and FK-consistent across all
+    * tables (the same transform is applied to both sides of every FK). */
+  private def scaleKey(name: String, factor: Int): Column =
+    col(name) * factor + col("copy")
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, files: Int): Unit =
+      df.repartition(files).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dst/$t.parquet")
+
+    // Fixed dimensions: verbatim.
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    write(fanOut(read("customer"), factor)
+      .withColumn("c_custkey", scaleKey("c_custkey", factor))
+      .drop("copy"), "customer", 8)
+
+    write(fanOut(read("supplier"), factor)
+      .withColumn("s_suppkey", scaleKey("s_suppkey", factor))
+      .drop("copy"), "supplier", 4)
+
+    write(fanOut(read("part"), factor)
+      .withColumn("p_partkey", scaleKey("p_partkey", factor))
+      .drop("copy"), "part", 8)
+
+    write(fanOut(read("orders"), factor)
+      .withColumn("o_orderkey", scaleKey("o_orderkey", factor))
+      .withColumn("o_custkey", scaleKey("o_custkey", factor))
+      .drop("copy"), "orders", 16)
+
+    write(fanOut(read("lineitem"), factor)
+      .withColumn("l_orderkey", scaleKey("l_orderkey", factor))
+      .withColumn("l_partkey", scaleKey("l_partkey", factor))
+      .withColumn("l_suppkey", scaleKey("l_suppkey", factor))
+      .drop("copy"), "lineitem", 32)
+
+    // Events: same timestamps per copy (FACTOR× traffic at the same
+    // rate), distinct ids/users so sessions/funnels scale in user count
+    // not in per-user depth. `ts` passes through in whatever parquet
+    // encoding the source shipped.
+    write(fanOut(read("events"), factor)
+      .withColumn("event_id", scaleKey("event_id", factor))
+      .withColumn("user_id", scaleKey("user_id", factor))
+      .drop("copy"), "events", 16)
+
+    // Documents: 3-char deterministic prefix on copies > 0 keeps exact
+    // hashes distinct while leaving minhash/simhash similarity ≈ 1, so
+    // every original doc becomes a FACTOR-sized near-dup cluster.
+    write(fanOut(read("documents"), factor)
+      .withColumn("doc_id", scaleKey("doc_id", factor))
+      .withColumn("text",
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(lit("c"), col("copy").cast("string"), lit(" "),
+            col("text"))))
+      .withColumn("n_chars",
+        when(col("copy") === 0, col("n_chars"))
+          .otherwise(col("n_chars") + 3L))
+      .drop("copy"), "documents", 8)
+
+    // Embeddings: nudge one component by 0.001*copy — vectors stay
+    // near-identical (each original is a FACTOR-sized ANN twin set)
+    // but never bit-equal across copies.
+    write(fanOut(read("embeddings"), factor)
+      .withColumn("vec_id", scaleKey("vec_id", factor))
+      .withColumn("embedding", expr(
+        """transform(embedding, (x, i) ->
+          |  CAST(x + IF(i = copy % size(embedding),
+          |              0.001D * copy, 0D) AS FLOAT))""".stripMargin))
+      .withColumn("label", col("label"))
+      .drop("copy"), "embeddings", 8)
+  }
+}
