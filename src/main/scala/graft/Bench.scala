@@ -47,7 +47,8 @@ object Bench {
     val fullLine =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jsonMap(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     try {
-      val pw = new java.io.PrintWriter("BENCH_QUERIES.json")
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+      val pw = new java.io.PrintWriter(out)
       pw.write(fullLine + "\n"); pw.close()
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(fullLine)

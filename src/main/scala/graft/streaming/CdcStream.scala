@@ -377,7 +377,19 @@ object CdcStream {
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
-    val q = applyLatest(spark, toChangeEvents(stream)).writeStream
+    streamApplyToLakeOf(spark, toChangeEvents(stream), path, buckets)
+  }
+
+  /** [[streamApplyToLake]] over ANY streaming change-event frame
+    * (event_id, user_id, op, value, ts_us) — the generic apply→lake
+    * path the end-to-end lifecycle test drives from a CSV feed stream.
+    * Draining is AvailableNow: each call applies everything currently
+    * readable and returns the resulting snapshot; re-running after more
+    * input arrives is the reference's catch-up replication cycle (the
+    * LWW bucket merge makes reprocessing idempotent). */
+  def streamApplyToLakeOf(spark: SparkSession, changeEvents: DataFrame,
+                          path: String, buckets: Int = 16): DataFrame = {
+    val q = applyLatest(spark, changeEvents).writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val updates = batch.toDF().persist()
