@@ -497,6 +497,72 @@ object CdcStream {
       .orderBy(col("bucket"))
   }
 
+  /** stream_recon_incremental — recon_incremental maintained under
+    * streaming ingest: the watermark ("key deciles 0-7 were verified
+    * last run") restricts re-verification to the RECENT slice, and the
+    * slice's digest state is folded per micro-batch instead of being
+    * recomputed from the full table. Each arriving batch filters to
+    * keys above the watermark AT SCAN SPEED (the watermark is one
+    * driver-side scalar from the ledger, captured before the replay —
+    * never a per-batch re-aggregation), reduces to ≤16 (count, digest)
+    * partials with map-side combine, and folds them into the same
+    * versioned-swap parquet state table stream_recon_digest uses
+    * (idempotent under foreachBatch retries; per-batch cost ∝ the
+    * batch's recent rows, state rows ∝ buckets). Rows below the
+    * watermark cost a codegen'd comparison and nothing else — exactly
+    * the "daily verify proportional to the day's churn" contract of
+    * the batch op, now paid as the churn ARRIVES.
+    *
+    * Oracle ≡ batch recon_incremental (Reconcile.scala:201): after
+    * replay the folded slice digests join the target's recent digests
+    * into the identical 16-bucket compare, bit-for-bit. */
+  def streamReconIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Reconcile
+    val src = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // Verified watermark from the ledger: one scalar, captured once.
+    val mxKey = src.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    def recent(df: DataFrame) =
+      df.filter(floor(col("o_orderkey") * 10 / lit(mxKey + 1)) >= 8)
+    val digest = Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-recon-inc-stream")
+    src.repartition(4).write.mode("overwrite").parquet(s"$stage/feed")
+    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-inc-state")
+    def statePath(v: Long) = s"$stateBase/state_v$v"
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$stage/feed")
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val partial = Reconcile.bucketDigestsOf(recent(batch.toDF()), "o_orderkey",
+          digest, 16, "src_count", "src_digest")
+        val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev = new org.apache.hadoop.fs.Path(statePath(batchId - 1))
+        val merged =
+          if (!fs.exists(prev)) partial
+          else spark.read.parquet(prev.toString).unionByName(partial)
+            .groupBy(col("bucket"))
+            .agg(sum(col("src_count")).as("src_count"),
+              sum(col("src_digest")).as("src_digest"))
+        merged.write.mode("overwrite").parquet(statePath(batchId))
+        if (fs.exists(prev)) fs.delete(prev, true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalState = fs.listStatus(new org.apache.hadoop.fs.Path(stateBase.toString))
+      .map(_.getPath.toString).filter(_.contains("state_v"))
+      .maxBy(p => p.substring(p.lastIndexOf("_v") + 2).toLong)
+    Reconcile.digestJoin(
+      spark.read.parquet(finalState),
+      Reconcile.bucketDigestsOf(recent(Reconcile.driftedTarget(spark, dir)),
+        "o_orderkey", digest, 16, "tgt_count", "tgt_digest"))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-purchase attribution emitted by the stateful stream. */
   case class TouchEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
   case class TouchState(first_code: Long, last_code: Long)

@@ -115,6 +115,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(!_._3))
   }
 
+  test("stream_recon_incremental: watermark-sliced streaming fold equals batch incremental verify") {
+    val streamed = CdcStream.streamReconIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("src_count"), r.getAs[Long]("src_digest"),
+        r.getAs[Boolean]("bucket_match")))).toMap
+    val batch = graft.cdc.Reconcile.reconIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("src_count"), r.getAs[Long]("src_digest"),
+        r.getAs[Boolean]("bucket_match")))).toMap
+    assert(streamed === batch)
+    // the recent slice covers only the top key deciles: strictly fewer
+    // rows than the full table flowed through the fold
+    val sliceRows = streamed.values.map(_._1).sum
+    val fullRows = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(sliceRows > 0 && sliceRows < fullRows)
+  }
+
   test("stream_cdc_apply replay matches batch latest-state") {
     val streamed = CdcStream.streamCdcApply(spark, sf)
       .select("user_id", "last_event_id").collect()
