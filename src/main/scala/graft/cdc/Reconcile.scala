@@ -108,6 +108,29 @@ object Reconcile {
       |WHERE (t2.key IS NULL OR src.key IS NULL OR src.src_amount <> t2.tgt_amount)
       |ORDER BY key""".stripMargin
 
+  /** recon_bucketed_diff — recon_row_diff over the CO-BUCKETED lake
+    * layout, the actual 100 TB deployment shape: both sides are
+    * materialized bucketed+sorted on the key (Sinks.writeBucketed — the
+    * layout the ingest sink writes anyway), so the full-outer compare
+    * join runs with ZERO exchange on either side (PlanSpec pins this).
+    * The one shuffle each side ever pays is at write time, amortized
+    * over every subsequent verify cycle — a daily re-verify of a
+    * 100 TB pair becomes pure co-located scan work, no network. Here
+    * the materialization cost is INCLUDED in the query (the tables are
+    * rebuilt per run), so the bench number is the worst case; steady
+    * state pays only the join. Output ≡ recon_row_diff, same oracle. */
+  def reconBucketedDiff(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 16
+    graft.sources.Sinks.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice")),
+      "graft_bk_recon_src", "o_orderkey", buckets)
+    graft.sources.Sinks.writeBucketed(
+      driftedTarget(spark, dir), "graft_bk_recon_tgt", "o_orderkey", buckets)
+    rowDiffOf(spark.table("graft_bk_recon_src"), spark.table("graft_bk_recon_tgt"),
+      "o_orderkey", "o_totalprice")
+      .orderBy(col("key"))
+  }
+
   /** Portable per-row digest used by the bucketed compare: engine-agnostic
     * modular arithmetic over (key, exact cents). The library-facing variant
     * would use xxhash64; the oracle needs a hash both engines compute

@@ -217,6 +217,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("recon_bucketed_diff: the compare join is exchange-free on both sides") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = graft.cdc.Reconcile.reconBucketedDiff(spark, sf)
+      // inspect the compare join subtree, below the presentation sort:
+      // the full-outer join over co-bucketed scans must not shuffle
+      val p = d.queryExecution.executedPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a sort-merge compare in:\n$p")
+      assert(!p.substring(joinIdx).contains("Exchange"),
+        s"unexpected exchange under the compare join in:\n$p")
+      // and it still finds the planted drift
+      assert(d.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bk_recon_src")
+      spark.sql("DROP TABLE IF EXISTS graft_bk_recon_tgt")
+    }
+  }
+
   test("saltedJoin: equals the plain join, salt column not leaked") {
     import spark.implicits._
     // hot key 1 dominates
