@@ -101,6 +101,13 @@ object GraftExtensions {
         ""),
       (children: Seq[Expression]) => CollectCapped(children(0),
         intArg(children(1), "collect_capped.cap")).toAggregateExpression()),
+    (FunctionIdentifier("shingles_k_hashed_seq"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graftvec.ShinglesKHashedSeq].getName,
+        null, "shingles_k_hashed_seq",
+        "shingles_k_hashed_seq(words, k) - positional polyhashes of every k-word window (duplicates kept); k must be a literal INT",
+        ""),
+      (children: Seq[Expression]) => org.apache.spark.sql.graftvec.ShinglesKHashedSeq(
+        children(0), intArg(children(1), "shingles_k_hashed_seq.k"))),
     (FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, null, "kmv_distinct",
         "kmv_distinct(h, k) - KMV approximate distinct count over a BIGINT hash column",

@@ -57,6 +57,11 @@ object TextFunctions {
   def shingles3HashedSeqFromWords(ws: Column): Column =
     org.apache.spark.sql.graftvec.StringExpressions.shingles3HashedSeq(ws)
 
+  /** Positional k-gram window polyhashes (duplicates kept) — the
+    * exact-substring dedup carrier (graftvec.ShinglesKHashedSeq). */
+  def shinglesKHashedSeqFromWords(ws: Column, k: Int): Column =
+    org.apache.spark.sql.graftvec.StringExpressions.shinglesKHashedSeq(ws, k)
+
   /** Word 3-gram shingles of normalized text. (With the native
     * expression the words array is evaluated once per row either way —
     * pre-materializing it with withColumn is no longer required.) */

@@ -981,6 +981,16 @@ object Dedup {
     * text_dup_coverage only says what FRACTION of a doc is duplicated
     * — spans say WHERE and HOW LONG, the actual drop/trim signal.
     *
+    * APPROXIMATION, precisely: each 3-gram in the run is duplicated
+    * SOMEWHERE, but not necessarily all against the same place — a
+    * chain of independently-duplicated 3-grams can merge into a
+    * phantom span that no other document (or position) contains as a
+    * whole, so reported spans OVER-cover the true exact-substring set
+    * (never under: every true duplicated ≥10-word substring does
+    * produce a qualifying run). [[dupSpansExactOf]] removes the
+    * over-coverage by hashing whole k-word windows; DedupSpec pins
+    * both behaviors on hand-built adversarial docs.
+    *
     * Scale shape: positional shingle hashes come from ONE codegen
     * kernel pass (graftvec.Shingles3HashedSeq — duplicates kept, so
     * runs are detectable); the document-frequency rollup is the same
@@ -1049,6 +1059,102 @@ object Dedup {
       |  MAX(run_len) + 2 >= $DropSpanWords AS drop_candidate
       |FROM rk GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** Exact-substring window width in words: a span is reported iff a
+    * WHOLE k-word substring is duplicated (Lee et al. use 50 BPE
+    * tokens; 10 words ≈ the same granularity at this corpus's doc
+    * length, and equals text_dup_spans' minimum reportable span so the
+    * two ops are directly comparable). */
+  val ExactSpanWords = 10
+
+  /** text_dup_spans_exact — the EXACT Lee-et-al substring dedup signal,
+    * upgrading [[dupSpansOf]]'s shingle-run approximation: positions
+    * carry the polyhash of their whole k-word window (one
+    * ShinglesKHashedSeq kernel pass), a position is duplicated iff its
+    * k-window hash occurs ≥ 2 times corpus-wide, and maximal runs of
+    * consecutive duplicated positions are reported as spans of
+    * run+k−1 words.
+    *
+    * Why this is exact (hash collisions aside): a duplicated substring
+    * of length L ≥ k contributes L−k+1 consecutive duplicated
+    * k-windows, and conversely every duplicated k-window IS a
+    * duplicated k-word substring — so the union of reported spans
+    * equals the union of all duplicated substrings of length ≥ k,
+    * which is precisely ExactSubstr's removal set at threshold k
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * §4.1, the suffix-array dedup), including self-repeats within one
+    * document (the paper dedups those too). The 3-shingle
+    * approximation in [[dupSpansOf]] instead certifies only each
+    * 3-word piece: a chain of independently-duplicated 3-grams can
+    * merge into a phantom span no other document contains as a whole
+    * (DedupSpec pins the divergence on hand-built docs).
+    *
+    * Scale shape identical to dupSpansOf: one codegen kernel pass, one
+    * count-only groupBy(h) shuffle (counts travel, never doc lists),
+    * per-doc windows for island detection, output ∝ offending spans. */
+  def dupSpansExactOf(docs: DataFrame, k: Int = ExactSpanWords,
+                      dropSpanWords: Int = DropSpanWords): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val psh = docs
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"),
+        posexplode(shinglesKHashedSeqFromWords(col("ws"), k)).as(Seq("pos", "h")))
+      .withColumn("pos", col("pos").cast("long"))
+    val dfreq = psh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = psh.join(dfreq, Seq("h"))
+      .filter(col("df") >= 2)
+      .withColumn("grp", col("pos") - row_number().over(wPos))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"), min(col("pos")).as("span_start"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("run_len").desc, col("span_start"))
+    runs.withColumn("rn", row_number().over(wBest))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("run_len") + lit(k - 1).cast("long")).as("dup_span_words"),
+        (max(col("run_len")) + lit(k - 1).cast("long")).as("longest_span_words"),
+        min(when(col("rn") === 1, col("span_start"))).as("longest_span_start"),
+        (max(col("run_len")) + lit(k - 1).cast("long") >= dropSpanWords.toLong)
+          .as("drop_candidate"))
+  }
+
+  def textDupSpansExact(spark: SparkSession, dir: String): DataFrame =
+    dupSpansExactOf(corpus(spark, dir)).orderBy(col("doc_id"))
+
+  val textDupSpansExactSql: String = {
+    val k = ExactSpanWords
+    val win = (0 until k).map(j => s"ws[i+$j]").mkString(" || '_' || ")
+    s"""WITH corpus AS ($corpusSql),
+      |toks AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM corpus),
+      |psh AS (
+      |  SELECT doc_id, i - 1 AS pos, ${baseHashSql.format(win)} AS h
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - $k + 2, 1))) AS i)
+      |  WHERE len(ws) >= $k
+      |),
+      |dfreq AS (SELECT h, COUNT(*) AS df FROM psh GROUP BY h),
+      |dup AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM psh JOIN dfreq USING (h) WHERE df >= 2
+      |),
+      |runs AS (
+      |  SELECT doc_id, grp, COUNT(*) AS run_len, MIN(pos) AS span_start
+      |  FROM dup GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY run_len DESC, span_start) AS rn
+      |  FROM runs
+      |)
+      |SELECT doc_id, COUNT(*) AS n_dup_spans,
+      |  CAST(SUM(run_len + ${k - 1}) AS BIGINT) AS dup_span_words,
+      |  CAST(MAX(run_len) + ${k - 1} AS BIGINT) AS longest_span_words,
+      |  CAST(MIN(CASE WHEN rn = 1 THEN span_start END) AS BIGINT) AS longest_span_start,
+      |  MAX(run_len) + ${k - 1} >= $DropSpanWords AS drop_candidate
+      |FROM rk GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** Words per synthetic line for [[textLineDedup]] — the corpus is
     * flat word soup, so the C4-style "line" is a fixed word window. */

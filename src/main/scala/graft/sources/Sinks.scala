@@ -38,11 +38,23 @@ object Sinks {
     * recon_hash_bucket's drill-down become scan-speed, shuffle-free.
     * PlanSpec asserts the exchange-free plan. */
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    // Idempotent across sessions: a fresh in-memory catalog doesn't know
+    // a previous session's managed table, but its warehouse directory
+    // survives on disk and CREATE TABLE AS refuses the stale location —
+    // drop both the entry and the directory before writing.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, keyCol)
       .sortBy(keyCol)
       .saveAsTable(table)
+  }
 }

@@ -162,6 +162,35 @@ object ShingleOps {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Positional (non-distinct) polyhashes of every k-gram window in
+    * start-position order — the exact-substring dedup carrier: a
+    * position's k-window hash having corpus frequency ≥ 2 certifies a
+    * WHOLE duplicated k-word substring (unlike a chain of duplicated
+    * 3-shingles, which certifies only its 3-word pieces). O(n·k) byte
+    * hashing; '_'-joined with null words skipped, matching concat_ws. */
+  def computeHashedSeqK(ws: ArrayData, kk: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < kk) return Empty
+    val out = new Array[Any](n - kk + 1)
+    var i = 0
+    while (i <= n - kk) {
+      var acc = 0L
+      var emitted = false
+      var j = 0
+      while (j < kk) {
+        if (!ws.isNullAt(i + j)) {
+          if (emitted) acc = (acc * B + '_') % M
+          acc = hashWord(acc, ws.getUTF8String(i + j))
+          emitted = true
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Positional (non-distinct) polyhashes: hash of every 3-gram shingle
     * in start-position order. */
   def computeHashedSeq(ws: ArrayData): ArrayData = {
@@ -225,6 +254,46 @@ case class Shingles3HashedSeq(child: Expression)
     copy(child = newChild)
 }
 
+/** POSITIONAL polyhashes of the k-gram windows, duplicates kept in
+  * order — Shingles3HashedSeq generalized to window width `k`. A
+  * position whose k-window hash is duplicated corpus-wide sits inside
+  * an EXACT duplicated substring of ≥ k words, so maximal runs of such
+  * positions are precisely the union of all duplicated ≥k-word
+  * substrings (the Lee-et-al ExactSubstr removal set at threshold k —
+  * see Dedup.dupSpansExactOf). `k` must be a literal; same byte
+  * hashing and null-word skipping as the 3-gram kernels. */
+case class ShinglesKHashedSeq(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"window width must be positive, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingles_k_hashed_seq"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleOps.empty
+    else ShingleOps.computeHashedSeqK(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ops = "org.apache.spark.sql.graftvec.ShingleOps$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          ${c.isNull} ? $ops.empty() : $ops.computeHashedSeqK(${c.value}, $k);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the graft text expressions. */
 object StringExpressions {
   def shingles3(ws: Column): Column =
@@ -235,4 +304,7 @@ object StringExpressions {
 
   def shingles3HashedSeq(ws: Column): Column =
     ExpressionUtils.column(Shingles3HashedSeq(ExpressionUtils.expression(ws)))
+
+  def shinglesKHashedSeq(ws: Column, k: Int): Column =
+    ExpressionUtils.column(ShinglesKHashedSeq(ExpressionUtils.expression(ws), k))
 }

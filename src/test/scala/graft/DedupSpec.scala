@@ -149,6 +149,75 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dupSpansExactOf: exact spans, merged overlaps, period-3 self-repeats") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"s$i")
+    val doc1 = ((1 to 15).map(i => s"a$i") ++ shared).mkString(" ")
+    val doc2 = (shared ++ (1 to 15).map(i => s"b$i")).mkString(" ")
+    // overlapping duplicated substrings: doc5 holds t1..t15, doc6 holds
+    // t6..t20, doc7 holds all of t1..t20 — in doc7 the two overlapping
+    // 15-word duplications must merge into ONE maximal 20-word span
+    val t = (1 to 20).map(i => s"t$i")
+    val doc5 = (t.take(15) ++ (1 to 12).map(i => s"c$i")).mkString(" ")
+    val doc6 = ((1 to 12).map(i => s"d$i") ++ t.drop(5)).mkString(" ")
+    val doc7 = t.mkString(" ")
+    // period-3 self-repeat: "x y z" × 12 = 36 words; every 10-window
+    // recurs within the doc itself (Lee et al. dedup self-repeats too)
+    val doc8 = Seq.fill(12)("x y z").mkString(" ")
+    val unique = (1 to 30).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (5L, doc5), (6L, doc6),
+      (7L, doc7), (8L, doc8), (9L, unique)).toDF("doc_id", "text")
+    val res = Dedup.dupSpansExactOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("longest_span_words"),
+          r.getAs[Long]("longest_span_start"), r.getAs[Boolean]("drop_candidate")))).toMap
+    // the 12-word shared substring: one span, exact length and offset
+    assert(res(1L) === ((1L, 12L, 15L, false)))
+    assert(res(2L) === ((1L, 12L, 0L, false)))
+    // overlap merge: doc7 reports ONE 20-word span covering both copies
+    assert(res(7L) === ((1L, 20L, 0L, false)))
+    assert(res(5L)._2 === 15L && res(6L)._2 === 15L)
+    // self-repeat: the whole 36-word doc is one duplicated span → drop
+    assert(res(8L) === ((1L, 36L, 0L, true)))
+    assert(!res.contains(9L))
+  }
+
+  test("dupSpansExactOf kills the phantom chain dupSpansOf reports") {
+    import spark.implicits._
+    // doc 100 is stitched from 3-word pieces, each duplicated in a
+    // DIFFERENT donor doc; no 10-word window of it exists anywhere else
+    val p = (1 to 12).map(i => s"p$i")
+    val stitched = p.mkString(" ")
+    val donors = (0 to 9).map { i =>
+      (200L + i, ((1 to 8).map(j => s"f${i}_$j") ++ p.slice(i, i + 3)).mkString(" "))
+    }
+    val docs = ((100L, stitched) +: donors).toDF("doc_id", "text")
+    // the 3-shingle approximation chains the independently-duplicated
+    // pieces into a phantom 12-word span…
+    val approx = Dedup.dupSpansOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("longest_span_words")).toMap
+    assert(approx(100L) === 12L)
+    // …the exact op reports nothing: no whole 10-word window recurs
+    val exact = Dedup.dupSpansExactOf(docs).collect()
+    assert(exact.isEmpty)
+  }
+
+  test("shinglesKHashedSeq kernel matches the portable polyhash of the joined window") {
+    import spark.implicits._
+    val df = Seq((1 to 14).map(i => s"m$i").mkString(" ")).toDF("text")
+      .withColumn("ws", graft.functions.TextFunctions.words(col("text")))
+    val k = 10
+    val kernel = df.select(
+      org.apache.spark.sql.graftvec.StringExpressions.shinglesKHashedSeq(col("ws"), k).as("hs"))
+      .collect()(0).getSeq[Long](0)
+    def polyhash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((a, b) => (a * 131L + (b & 0xFF)) % 1000000007L)
+    val ws = df.select("ws").collect()(0).getSeq[String](0)
+    val oracle = (0 to ws.length - k).map(i => polyhash(ws.slice(i, i + k).mkString("_")))
+    assert(kernel.length === 5)
+    assert(kernel === oracle)
+  }
+
   test("connectedComponentsOf: 256-node path converges in O(log n) rounds, not diameter") {
     import spark.implicits._
     // worst case for min-label propagation: a path needs diameter
