@@ -52,8 +52,16 @@ object Bench {
       pw.write(fullLine + "\n"); pw.close()
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
     println(fullLine)
-    val slowest = results.toSeq.sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jsonMap(slowest)},"queries_shown":${slowest.size},"queries_total":${results.size},"full_results":"BENCH_QUERIES.json","sf":"$sfDir"}""")
+    // Self-contained tail line (round-7 directive): the driver archives
+    // only the LAST 2000 chars, so the full named map (~6 KB at 225
+    // queries) can never fit. Instead `qv` carries every per-query time
+    // (2-decimal) ordered by SORTED query name — ~1.5 KB, recoverable
+    // exactly via sorted(SparkEntry.queries.keys) — plus the 5 slowest
+    // by name for at-a-glance reads.
+    def num2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qv = results.toSeq.sortBy(_._1).map(r => num2(r._2)).mkString("[", ",", "]")
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jsonMap(slowest)},"queries_shown":${slowest.size},"queries_total":${results.size},"qv":$qv,"qv_order":"sorted_query_names","full_results":"BENCH_QUERIES.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,8 +18,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    query automatically; callers should filter/select on the result
   *    before any action.
   *
-  * Untested in this environment (no database in the container) — the
-  * method only assembles the standard public DataFrameReader options. */
+  * Integration-tested live against embedded Apache Derby (the one JDBC
+  * engine in the Spark distribution): stripe count, bounds-don't-filter
+  * semantics, filter/projection pushdown into the JDBC scan, and a
+  * write→read round-trip (JdbcIntegrationSpec). */
 object JdbcSource {
 
   def readPartitioned(spark: SparkSession, url: String, table: String,
