@@ -488,7 +488,15 @@ object Similarity {
 
   val PqSub = 8 // subspaces
   val PqDim = 8 // dims per subspace (PqSub * PqDim = Dim)
-  val PqCentMod = 25 // codebook entries: vec_id % 25 == 0 (sample density scales with corpus)
+  val PqCentMod = 25 // codebook sample stride: vec_id % 25 == 0
+  // Codebook size cap: production PQ trains a FIXED number of codewords per
+  // subspace (8-bit PQ = 256); an uncapped corpus-density sample (C = N/25)
+  // makes the encode join O(N x M x C) = O(N^2) — the sf1 scale bench
+  // measured exactly that (knn_pq grew 13.8x on 10x data, the one
+  // super-linear query of 225). Capping at the first 256 sampled ids keeps
+  // behavior bit-for-bit identical below N = 6400 (every correctness-gate
+  // SF) and makes encode linear beyond it.
+  val PqCentCap = 256 // codewords per subspace (8-bit PQ)
   val PqShortlist = 50 // ADC candidates per query before exact re-rank
 
   /** knn_pq — product-quantization ANN with exact re-rank: split each
@@ -508,10 +516,10 @@ object Similarity {
     *
     * Scale shape (100 TB): codes are 8 small ints per vector versus a
     * 256-byte raw vector — the ADC scan reads ~32× less than brute
-    * force, and encoding is a broadcast map-side pass (the codebook is
-    * the N/`PqCentMod` sampled vectors per subspace — corpus-density
-    * sampled here; a deployed variant would train a fixed-C codebook
-    * offline) plus one (vec, subspace)-keyed aggregation. The declarative ADC
+    * force, and encoding is a broadcast map-side pass against a
+    * FIXED-size codebook (min(N/`PqCentMod`, `PqCentCap`) sampled
+    * vectors per subspace — capped so encode stays O(N), the 8-bit-PQ
+    * production shape) plus one (vec, subspace)-keyed aggregation. The declarative ADC
     * here materializes Q×N×M rows; a production kernel would fold the
     * per-query distance LUT into one native expression (the
     * LshSignatures pattern), which changes cost, not results. */
@@ -527,7 +535,8 @@ object Similarity {
         .withColumn("snrm", qdot(col("sv"), col("sv")))
     }
     val subs = subsOf(e, "vec_id").persist() // feeds encoding, codebook, and query sides
-    val cb = subs.filter(col("vec_id") % PqCentMod === 0)
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0 &&
+        col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sv").as("cv"), col("snrm").as("cnrm"))
     // encode: nearest codeword per (vector, subspace); min(struct) keeps
@@ -584,7 +593,7 @@ object Similarity {
       |  FROM subs
       |),
       |cb AS (SELECT vec_id AS cent_id, m, sv AS cv, snrm AS cnrm FROM subn
-      |       WHERE vec_id % $PqCentMod = 0),
+      |       WHERE vec_id % $PqCentMod = 0 AND vec_id < ${PqCentMod.toLong * PqCentCap}),
       |codes AS (
       |  SELECT vec_id, m, cent_id AS code FROM (
       |    SELECT s.vec_id, s.m, c.cent_id,
@@ -669,7 +678,8 @@ object Similarity {
         .withColumn("snrm", qdot(col("sv"), col("sv")))
     }
     val subs = subsOf(e, "vec_id").persist()
-    val cb = subs.filter(col("vec_id") % PqCentMod === 0)
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0 &&
+        col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sv").as("cv"), col("snrm").as("cnrm"))
     val codes = subs.join(broadcast(cb), Seq("m"))
@@ -742,7 +752,7 @@ object Similarity {
       |  FROM subs
       |),
       |cb AS (SELECT vec_id AS cent_id, m, sv AS cv, snrm AS cnrm FROM subn
-      |       WHERE vec_id % $PqCentMod = 0),
+      |       WHERE vec_id % $PqCentMod = 0 AND vec_id < ${PqCentMod.toLong * PqCentCap}),
       |codes AS (
       |  SELECT vec_id, m, cent_id AS code FROM (
       |    SELECT s.vec_id, s.m, c.cent_id,
@@ -1337,7 +1347,8 @@ object Similarity {
     val subs = e.select(col("vec_id"), explode(array(parts: _*)).as("p"))
       .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
       .withColumn("snrm", qdot(col("sv"), col("sv")))
-    val cb = subs.filter(col("vec_id") % PqCentMod === 0)
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0 &&
+        col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sv").as("cv"), col("snrm").as("cnrm"))
     val best = subs.join(broadcast(cb), Seq("m"))
@@ -1373,7 +1384,7 @@ object Similarity {
       |  FROM subs
       |),
       |cb AS (SELECT vec_id AS cent_id, m, sv AS cv, snrm AS cnrm FROM subn
-      |       WHERE vec_id % $PqCentMod = 0),
+      |       WHERE vec_id % $PqCentMod = 0 AND vec_id < ${PqCentMod.toLong * PqCentCap}),
       |best AS (
       |  SELECT vec_id, m, d2 AS best_d2, cent_id AS code FROM (
       |    SELECT s.vec_id, s.m, c.cent_id,
