@@ -22,7 +22,13 @@ object Bench {
       spark.catalog.clearCache() // drop per-query persisted candidate sets
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for targeted scale spot-benches
+    // (e.g. the sf10 = 100x-data run over the scale-critical set); absent →
+    // the full surface, which is what the driver measures.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // best of the successful attempts; -1 only if all attempts failed
       // (min(-1, good) would otherwise mask a transient failure). A slow
       // best-of-2 (>1 s) gets a third attempt: this VM's noise spikes can

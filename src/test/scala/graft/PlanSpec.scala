@@ -30,10 +30,15 @@ class PlanSpec extends SparkSpec {
     assert(plan(Analytics.q5AntiJoin(spark, sf)).contains("LeftAnti"))
   }
 
-  test("dedup_embedding: label join broadcasts, qdot is a native expression") {
+  test("dedup_embedding: banded LSH candidates, never a label self-join") {
     val p = plan(Similarity.dedupEmbedding(spark, sf))
-    assert(p.contains("BroadcastHashJoin"))
+    // signatures from the native kernel; pairs from grouped capped-bucket
+    // expansion (sorted_pairs), not an N²/labels self-join; exact re-check
+    // through the native qdot
+    assert(p.contains("lsh_sigs"))
+    assert(p.contains("sorted_pairs"))
     assert(p.contains("qdot("))
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("qdot participates in whole-stage codegen") {
