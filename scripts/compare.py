@@ -16,7 +16,9 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # Spark-written table: a directory of part files
+        p = f"{p}/*.parquet"
+    if os.path.exists(f"{sf_dir}/{t}.parquet"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 with open(f"{out_dir}/oracle_sql.json") as f:
