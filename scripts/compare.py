@@ -29,8 +29,13 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+only = set(os.environ.get("COMPARE_ONLY", "").split(",")) - {""}
+skip = set(os.environ.get("COMPARE_SKIP", "").split(",")) - {""}
+
 fails = 0
 for name in sorted(oracles):
+    if (only and name not in only) or name in skip:
+        continue
     res_dir = f"{out_dir}/{name}"
     files = glob.glob(f"{res_dir}/*.parquet")
     if not files:

@@ -523,6 +523,14 @@ object Similarity {
   val LshTables = 16
   val LshBits = 6
   val Dim = 64
+  // Hot-bucket cap, matching the oracle's [2, cap] bound: a (table, sig)
+  // bucket above this is dropped whole — at corpus scale an oversized
+  // bucket means the bit geometry is under-sized for N (bits should grow
+  // ~log2(N / target_bucket)); joining it would cost O(bucket²) per
+  // table. knn_recall_audit quantifies the recall cost of the drop.
+  // The sf1 oracle replay caught the Spark side missing this bound (every
+  // bucket fits below it at the gate SFs, so sf0.01/sf0.1 are unchanged).
+  val LshBucketCap = 100
 
   /** knn_lsh — bucketed approximate kNN: L hash tables of b-bit
     * random-hyperplane signatures; candidates = same-bucket vectors in
@@ -535,10 +543,17 @@ object Similarity {
     * Rows-only; SimilaritySpec measures recall against knn_brute. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val bucketed = e.select(col("vec_id"), col("v"), col("nrm"),
+    val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(org.apache.spark.sql.graftvec.VectorExpressions
         .lshSigs(col("v"), LshTables, LshBits, Dim)).as(Seq("t", "sig")))
       .persist() // signature computation feeds both the corpus and query side
+    // bucket-size bound [2, LshBucketCap]: the size table is ∝ distinct
+    // buckets (tables × 2^bits rows), broadcast back onto the stream
+    val okBuckets = sigs.groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") >= 2 && col("bs") <= LshBucketCap)
+      .select(col("t"), col("sig"))
+    val bucketed = sigs.join(broadcast(okBuckets), Seq("t", "sig"))
     val q = bucketed.filter(isQuery(col("vec_id")))
       .select(col("t"), col("sig"), col("vec_id").as("query_id"),
         col("v").as("qv"), col("nrm").as("qn"))
@@ -583,7 +598,7 @@ object Similarity {
       |$sigSelects
       |),
       |b AS (SELECT *, COUNT(*) OVER (PARTITION BY t, sig) AS bs FROM sigs),
-      |bounded AS (SELECT vec_id, t, sig FROM b WHERE bs BETWEEN 2 AND 100),
+      |bounded AS (SELECT vec_id, t, sig FROM b WHERE bs BETWEEN 2 AND $LshBucketCap),
       |q AS (SELECT t, sig, vec_id AS query_id FROM bounded WHERE vec_id % 100 = 0 AND vec_id < $QueryCap),
       |cands AS (
       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id

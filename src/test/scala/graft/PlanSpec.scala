@@ -385,4 +385,12 @@ class PlanSpec extends SparkSpec {
     // the orders⋈target join is keyed — either shuffle-hash or sort-merge
     assert(p.contains("Join"))
   }
+
+  test("events_power_users: rank<=20 becomes a distributed top-k, not a global sort") {
+    // Catalyst's window-group-limit rewrite: the per-user aggregate feeds a
+    // TakeOrderedAndProject (per-partition top-20, then a 20-row merge) before
+    // the single-partition row_number window — the billion-user-safe shape.
+    val p = plan(Analytics.eventsPowerUsers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
