@@ -632,6 +632,42 @@ object Similarity {
   val PqCentCap = 256 // codewords per subspace (8-bit PQ)
   val PqShortlist = 50 // ADC candidates per query before exact re-rank
 
+  /** (vec_id, m, code) PQ codes for every corpus vector, via the
+    * graftvec.PqCodes kernel: one generated loop per vector replaces
+    * the N×M×C encode join (broadcast-hash-join + hash-aggregate over
+    * 410 M rows at the sf10 spot-bench — same arithmetic, all operator
+    * overhead). The codebook is collected to the driver ONCE per query
+    * composition — bounded by construction at PqSub×PqCentCap entries
+    * (≤ 128 KiB of doubles, the offline-trained codebook a production
+    * PQ index ships to every scan worker; the Prefix boundary-array
+    * precedent for small driver-side plan inputs). Codes are emitted as
+    * codebook SLOTS and mapped back to cent_ids through the collected
+    * roster, so downstream (m, code) joins see exactly the ids the
+    * declarative argmin produced; ties break toward the lowest slot =
+    * lowest cent_id, the min(struct(d2, cent_id)) contract. */
+  private def pqCodesOf(e: DataFrame, cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftvec.PqCodes.pqCodes
+    // single-stage collect (the vec_id < 6400 cent filter pushes to the
+    // scan); the m-major ordering the kernel layout needs is applied
+    // driver-side — a Spark orderBy here would add a shuffle stage to a
+    // 2048-row job
+    val rows = cb.select(col("m"), col("cent_id"), col("cv")).collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1)))
+    val nC = rows.length / PqSub
+    val flat = new Array[Double](rows.length * PqDim)
+    var j = 0
+    rows.foreach { r =>
+      val arr = r.getSeq[Double](2)
+      var d = 0
+      while (d < PqDim) { flat(j) = arr(d); j += 1; d += 1 }
+    }
+    val centIds = rows.take(nC).map(_.getLong(1))
+    e.select(col("vec_id"),
+      posexplode(pqCodes(col("v"), flat, PqSub, nC, PqDim)).as(Seq("m", "slot")))
+      .select(col("vec_id"), col("m"),
+        element_at(typedLit(centIds), col("slot") + 1).as("code"))
+  }
+
   /** knn_pq — product-quantization ANN with exact re-rank: split each
     * vector into 8 subvectors of 8 dims; the codebook per subspace is a
     * deterministic corpus sample (as with IVF, the iterative k-means
@@ -672,13 +708,9 @@ object Similarity {
         col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sv").as("cv"), col("snrm").as("cnrm"))
-    // encode: nearest codeword per (vector, subspace); min(struct) keeps
-    // the argmin with a deterministic cent_id tiebreak, map-side combined
-    val codes = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.cent_id").as("code"))
+    // encode: nearest codeword per (vector, subspace) — one kernel pass
+    // (see pqCodesOf), bit-identical to the min(struct(d2, cent_id)) join
+    val codes = pqCodesOf(e, cb)
     // ADC: distance from each query subvector to each vector's CODEWORD
     val qsubs = subs.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("m"),
@@ -816,11 +848,8 @@ object Similarity {
         col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sv").as("cv"), col("snrm").as("cnrm"))
-    val codes = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
-      .select(col("vec_id").as("neighbor_id"), col("m"), col("best.cent_id").as("code"))
+    val codes = pqCodesOf(e, cb)
+      .withColumnRenamed("vec_id", "neighbor_id")
     val qsubs = subs.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("m"),
         col("sv").as("qv_s"), col("snrm").as("qnrm_s"))
@@ -1485,11 +1514,14 @@ object Similarity {
         col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sv").as("cv"), col("snrm").as("cnrm"))
-    val best = subs.join(broadcast(cb), Seq("m"))
-      .withColumn("d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
-      .select(col("m"), col("best.d2").as("best_d2"), col("best.cent_id").as("code"))
+    // codes via the kernel; the winning d2 is recomputed for ONLY the
+    // chosen codeword (N×M slim join vs the old N×M×C expansion) — the
+    // exact same long the argmin minimized
+    val best = subs.join(pqCodesOf(e, cb), Seq("vec_id", "m"))
+      .join(broadcast(cb.select(col("m"), col("cent_id").as("code"),
+        col("cv"), col("cnrm"))), Seq("m", "code"))
+      .withColumn("best_d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
+      .select(col("m"), col("best_d2"), col("code"))
     val cbSize = cb.groupBy(col("m")).agg(count(lit(1)).as("cb_size"))
     best.groupBy(col("m"))
       .agg(count(lit(1)).as("n_vecs"),
