@@ -245,4 +245,54 @@ class SketchKernelSpec extends SparkSpec {
       hof.foreach(r => assert(kernel(r.getLong(0))(i) === r.getInt(1), s"set $i"))
     }
   }
+
+  test("pq_codes equals the codebook-join argmin, ties toward the lowest cent_id") {
+    import org.apache.spark.sql.graftvec.PqCodes.pqCodes
+    import org.apache.spark.sql.graftvec.VectorExpressions.qdot
+    import graft.operators.Similarity.{PqCentMod, PqDim, PqSub}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // declarative form: slice → broadcast codebook join → min(struct) argmin
+    val parts = (0 until PqSub).map { m =>
+      struct(lit(m).as("m"), slice(col("v"), m * PqDim + 1, PqDim).as("sv"))
+    }
+    val subs = e.select(col("vec_id"), explode(array(parts: _*)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .withColumn("snrm", qdot(col("sv"), col("sv")))
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0)
+      .select(col("vec_id").as("cent_id"), col("m"),
+        col("sv").as("cv"), col("snrm").as("cnrm"))
+    val declarative = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("snrm") + col("cnrm") - lit(2L) * qdot(col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cent_id").as("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // kernel form, codebook collected + m-major flattened as pqCodesOf does
+    val rows = cb.select(col("m"), col("cent_id"), col("cv")).collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1)))
+    val nC = rows.length / PqSub
+    val flat = rows.flatMap(_.getSeq[Double](2))
+    val centIds = rows.take(nC).map(_.getLong(1))
+    val kernel = e.select(col("vec_id"),
+        posexplode(pqCodes(col("v"), flat, PqSub, nC, PqDim)).as(Seq("m", "slot")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> centIds(r.getInt(2))).toMap
+    assert(kernel.nonEmpty && kernel.size === declarative.size)
+    kernel.foreach { case (k, code) => assert(declarative(k) === code, s"at $k") }
+  }
+
+  test("pq_codes runs under CODEGEN_ONLY (no silent interpreted fallback)") {
+    import org.apache.spark.sql.graftvec.PqCodes.pqCodes
+    import graft.operators.Similarity.{PqDim, PqSub}
+    val saved = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val flat = Array.tabulate(PqSub * 2 * PqDim)(i => (i % 7 - 3).toDouble / 4)
+      val n = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(transform(col("embedding"), _.cast("double")).as("v"))
+        .select(posexplode(pqCodes(col("v"), flat, PqSub, 2, PqDim)).as(Seq("m", "slot")))
+        .groupBy(col("slot")).count().count()
+      assert(n >= 1 && n <= 2)
+    } finally spark.conf.set("spark.sql.codegen.fallback", saved)
+  }
 }
