@@ -653,6 +653,8 @@ object Similarity {
     // 2048-row job
     val rows = cb.select(col("m"), col("cent_id"), col("cv")).collect()
       .sortBy(r => (r.getInt(0), r.getLong(1)))
+    require(rows.nonEmpty && rows.length % PqSub == 0,
+      s"PQ codebook must hold the same codeword count per subspace; got ${rows.length} rows for $PqSub subspaces")
     val nC = rows.length / PqSub
     val flat = new Array[Double](rows.length * PqDim)
     var j = 0
@@ -662,6 +664,19 @@ object Similarity {
       while (d < PqDim) { flat(j) = arr(d); j += 1; d += 1 }
     }
     val centIds = rows.take(nC).map(_.getLong(1))
+    // slot->cent_id mapping assumes every subspace carries the SAME cent_id
+    // roster in the same order (true for a vec_id-only codebook filter);
+    // fail loudly if a subspace-dependent codebook ever breaks that.
+    var s = 1
+    while (s < PqSub) {
+      var k = 0
+      while (k < nC) {
+        require(rows(s * nC + k).getLong(1) == centIds(k),
+          s"PQ codebook cent_id roster differs between subspace 0 and $s at slot $k")
+        k += 1
+      }
+      s += 1
+    }
     e.select(col("vec_id"),
       posexplode(pqCodes(col("v"), flat, PqSub, nC, PqDim)).as(Seq("m", "slot")))
       .select(col("vec_id"), col("m"),

@@ -388,10 +388,27 @@ object CdcStream {
     * input arrives is the reference's catch-up replication cycle (the
     * LWW bucket merge makes reprocessing idempotent). */
   def streamApplyToLakeOf(spark: SparkSession, changeEvents: DataFrame,
-                          path: String, buckets: Int = 16): DataFrame = {
-    val q = applyLatest(spark, changeEvents).writeStream
+                          path: String, buckets: Int = 16): DataFrame =
+    streamApplyToLakeOf(spark, changeEvents, path, buckets, None, _ => ())
+
+  /** [[streamApplyToLakeOf]] with a durable checkpoint and a per-batch
+    * hook, the crash-recovery harness surface: `checkpoint` persists
+    * offsets + the flatMapGroupsWithState state store across restarts
+    * (a restarted query resumes at the first uncommitted batch instead
+    * of reprocessing the feed), and `onBatchApplied(batchId)` fires
+    * AFTER the bucket snapshot is written but BEFORE the micro-batch
+    * commits — a hook that throws there simulates the worst-case crash
+    * window (sink side-effect durable, offset not), which the
+    * idempotent bucket overwrite must absorb on retry. RecoverySpec
+    * kills a run mid-stream through this hook, restarts from the same
+    * checkpoint, and asserts the lake equals the uninterrupted run's. */
+  def streamApplyToLakeOf(spark: SparkSession, changeEvents: DataFrame,
+                          path: String, buckets: Int,
+                          checkpoint: Option[String],
+                          onBatchApplied: Long => Unit): DataFrame = {
+    val writer = applyLatest(spark, changeEvents).writeStream
       .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val updates = batch.toDF().persist()
         // buckets touched by this micro-batch: bounded by `buckets`, so the
         // driver-side collect is O(buckets), never O(keys)
@@ -419,11 +436,61 @@ object CdcStream {
         graft.sources.Sinks.writeSnapshot(
           merged.filter(col("last_op") =!= "D"), "user_id", path, buckets)
         updates.unpersist()
+        onBatchApplied(batchId)
         ()
       }
+    val q = checkpoint.fold(writer)(ck => writer.option("checkpointLocation", ck))
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.read.parquet(path).drop("_bucket")
+  }
+
+  /** One fold step of the versioned-swap parquet state shared by
+    * stream_recon_digest / stream_recon_incremental: state_v(k) =
+    * per-bucket sum-merge of state_v(k-1) and `partial`, then
+    * garbage-collect state_v(k-2).
+    *
+    * Retry-idempotent under foreachBatch's at-least-once contract:
+    * v(k) is a pure function of v(k-1) and the batch's rows, and only
+    * v(k-2) — whose consuming batch k-1 must have COMMITTED to the
+    * offset log before batch k could start — is deleted. A retry of
+    * batch k (crash anywhere after the fold, including after the GC
+    * and a partial or complete v(k) write, before the offset commit)
+    * therefore always finds an intact v(k-1) and overwrites the
+    * identical v(k). Deleting v(k-1) inside batch k (the round-8
+    * formulation) left a crash window between the delete and the
+    * commit in which the retry found no predecessor and silently
+    * reset the accumulated digest to the batch's own partial —
+    * ReconRecoverySpec replays exactly that schedule. Live state is
+    * at most two versions × bucket-count rows (metadata-sized). */
+  private[graft] def foldVersionedState(spark: SparkSession, stateBase: String,
+      partial: DataFrame, batchId: Long, sumCols: Seq[String]): Unit = {
+    def statePath(v: Long) = s"$stateBase/state_v$v"
+    val fs = new org.apache.hadoop.fs.Path(stateBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new org.apache.hadoop.fs.Path(statePath(batchId - 1))
+    val merged =
+      if (!fs.exists(prev)) partial
+      else {
+        val aggs = sumCols.map(c => sum(col(c)).as(c))
+        spark.read.parquet(prev.toString).unionByName(partial)
+          .groupBy(col("bucket"))
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    merged.write.mode("overwrite").parquet(statePath(batchId))
+    val gc = new org.apache.hadoop.fs.Path(statePath(batchId - 2))
+    if (fs.exists(gc)) fs.delete(gc, true)
+  }
+
+  /** The newest state_v* table under `stateBase` (see
+    * [[foldVersionedState]]). */
+  private[graft] def latestVersionedState(spark: SparkSession, stateBase: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(stateBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest = fs.listStatus(new org.apache.hadoop.fs.Path(stateBase))
+      .map(_.getPath.toString).filter(_.contains("state_v"))
+      .maxBy(p => p.substring(p.lastIndexOf("_v") + 2).toLong)
+    spark.read.parquet(newest)
   }
 
   /** stream_recon_digest — the reconciliation digest maintained
@@ -437,10 +504,11 @@ object CdcStream {
     * additivity recon_merkle's ladder exploits: digest(all rows) =
     * Σ digest(batch).
     *
-    * State is versioned-swap parquet (read v(b-1), write v(b), drop
-    * the old): a retried micro-batch re-reads its predecessor and
-    * rewrites the same successor — idempotent under foreachBatch's
-    * at-least-once contract, the same discipline as
+    * State is versioned-swap parquet (read v(b-1), write v(b),
+    * garbage-collect v(b-2) — see [[foldVersionedState]] for the
+    * retry-window proof): a retried micro-batch re-reads its intact
+    * predecessor and rewrites the same successor — idempotent under
+    * foreachBatch's at-least-once contract, the same discipline as
     * streamApplyToLake's bucket overwrite, and never reads the path
     * it is writing. State rows ∝ buckets (metadata-sized), shuffled
     * once per batch with map-side combine.
@@ -459,38 +527,23 @@ object CdcStream {
     // 4 batches exercise the fold at half the per-batch replay
     // overhead of 8 — the incremental semantics don't depend on count
     src.repartition(4).write.mode("overwrite").parquet(s"$stage/feed")
-    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-state")
-    def statePath(v: Long) = s"$stateBase/state_v$v"
+    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-state").toString
     val stream = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/feed")
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val partial = Reconcile.bucketDigestsOf(batch.toDF(), "o_orderkey",
-          Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice")), 64,
-          "src_count", "src_digest")
-        val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev = new org.apache.hadoop.fs.Path(statePath(batchId - 1))
-        val merged =
-          if (!fs.exists(prev)) partial
-          else spark.read.parquet(prev.toString).unionByName(partial)
-            .groupBy(col("bucket"))
-            .agg(sum(col("src_count")).as("src_count"),
-              sum(col("src_digest")).as("src_digest"))
-        merged.write.mode("overwrite").parquet(statePath(batchId))
-        if (fs.exists(prev)) fs.delete(prev, true)
+        foldVersionedState(spark, stateBase,
+          Reconcile.bucketDigestsOf(batch.toDF(), "o_orderkey",
+            Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice")), 64,
+            "src_count", "src_digest"),
+          batchId, Seq("src_count", "src_digest"))
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val finalState = fs.listStatus(new org.apache.hadoop.fs.Path(stateBase.toString))
-      .map(_.getPath.toString).filter(_.contains("state_v"))
-      .maxBy(p => p.substring(p.lastIndexOf("_v") + 2).toLong)
     Reconcile.digestJoin(
-      spark.read.parquet(finalState),
+      latestVersionedState(spark, stateBase),
       Reconcile.bucketDigestsOf(Reconcile.driftedTarget(spark, dir), "o_orderkey",
         Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice")), 64,
         "tgt_count", "tgt_digest"))
@@ -527,37 +580,22 @@ object CdcStream {
     val digest = Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice"))
     val stage = java.nio.file.Files.createTempDirectory("graft-recon-inc-stream")
     src.repartition(4).write.mode("overwrite").parquet(s"$stage/feed")
-    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-inc-state")
-    def statePath(v: Long) = s"$stateBase/state_v$v"
+    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-inc-state").toString
     val stream = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/feed")
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val partial = Reconcile.bucketDigestsOf(recent(batch.toDF()), "o_orderkey",
-          digest, 16, "src_count", "src_digest")
-        val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev = new org.apache.hadoop.fs.Path(statePath(batchId - 1))
-        val merged =
-          if (!fs.exists(prev)) partial
-          else spark.read.parquet(prev.toString).unionByName(partial)
-            .groupBy(col("bucket"))
-            .agg(sum(col("src_count")).as("src_count"),
-              sum(col("src_digest")).as("src_digest"))
-        merged.write.mode("overwrite").parquet(statePath(batchId))
-        if (fs.exists(prev)) fs.delete(prev, true)
+        foldVersionedState(spark, stateBase,
+          Reconcile.bucketDigestsOf(recent(batch.toDF()), "o_orderkey",
+            digest, 16, "src_count", "src_digest"),
+          batchId, Seq("src_count", "src_digest"))
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val fs = new org.apache.hadoop.fs.Path(stateBase.toString)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val finalState = fs.listStatus(new org.apache.hadoop.fs.Path(stateBase.toString))
-      .map(_.getPath.toString).filter(_.contains("state_v"))
-      .maxBy(p => p.substring(p.lastIndexOf("_v") + 2).toLong)
     Reconcile.digestJoin(
-      spark.read.parquet(finalState),
+      latestVersionedState(spark, stateBase),
       Reconcile.bucketDigestsOf(recent(Reconcile.driftedTarget(spark, dir)),
         "o_orderkey", digest, 16, "tgt_count", "tgt_digest"))
       .orderBy(col("bucket"))

@@ -62,13 +62,17 @@ case class PqCodes(child: Expression, codebook: Array[Double],
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    // Like QuantizedDot/LshSignatures: positions past the vector's actual
+    // length read as 0 instead of reading past the array.
+    val n = v.numElements()
     val codes = new Array[Int](subs)
     var m = 0
     while (m < subs) {
       var snrm = 0L
       var d = 0
       while (d < dim) {
-        val x = if (v.isNullAt(m * dim + d)) 0d else v.getDouble(m * dim + d)
+        val idx = m * dim + d
+        val x = if (idx >= n || v.isNullAt(idx)) 0d else v.getDouble(idx)
         snrm += math.floor(x * x * 1e9 + 0.5).toLong
         d += 1
       }
@@ -80,7 +84,8 @@ case class PqCodes(child: Expression, codebook: Array[Double],
         var dot = 0L
         var i = 0
         while (i < dim) {
-          val x = if (v.isNullAt(m * dim + i)) 0d else v.getDouble(m * dim + i)
+          val idx = m * dim + i
+          val x = if (idx >= n || v.isNullAt(idx)) 0d else v.getDouble(idx)
           dot += math.floor(x * codebook(off + i) * 1e9 + 0.5).toLong
           i += 1
         }
@@ -110,12 +115,14 @@ case class PqCodes(child: Expression, codebook: Array[Double],
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       val d2 = ctx.freshName("d2")
+      val n = ctx.freshName("n")
       s"""
         |int[] $codes = new int[$subs];
+        |int $n = $v.numElements();
         |for (int $m = 0; $m < $subs; $m++) {
         |  long $snrm = 0L;
         |  for (int $d = 0; $d < $dim; $d++) {
-        |    double $x = $v.isNullAt($m * $dim + $d) ? 0.0 : $v.getDouble($m * $dim + $d);
+        |    double $x = ($m * $dim + $d >= $n || $v.isNullAt($m * $dim + $d)) ? 0.0 : $v.getDouble($m * $dim + $d);
         |    $snrm += (long) java.lang.Math.floor($x * $x * 1.0E9 + 0.5);
         |  }
         |  long $best = Long.MAX_VALUE;
@@ -124,7 +131,7 @@ case class PqCodes(child: Expression, codebook: Array[Double],
         |    int $off = ($m * $cents + $c) * $dim;
         |    long $dot = 0L;
         |    for (int $i = 0; $i < $dim; $i++) {
-        |      double $x = $v.isNullAt($m * $dim + $i) ? 0.0 : $v.getDouble($m * $dim + $i);
+        |      double $x = ($m * $dim + $i >= $n || $v.isNullAt($m * $dim + $i)) ? 0.0 : $v.getDouble($m * $dim + $i);
         |      $dot += (long) java.lang.Math.floor($x * $cbRef[$off + $i] * 1.0E9 + 0.5);
         |    }
         |    long $d2 = $snrm + $cnRef[$m * $cents + $c] - 2L * $dot;

@@ -58,6 +58,46 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.30 && c <= 1.0 + 1e-9)
     }
   }
+
+  test("dedup_embedding: every true near-dup pair (cos >= 0.9) is recovered") {
+    // The gate corpus has no within-label pair above cos 0.47, so PLANT
+    // the dup regime: every 10th vector gets a same-label twin with one
+    // coordinate nudged (cos ~0.99). Ground truth is then computed HERE
+    // with plain floating-point cosine over the written table —
+    // independent of the LshSignatures kernel and of the shared-constant
+    // oracle — so this test falsifies a bug in the 16-table x 8-bit
+    // banding geometry that the oracle compare cannot see.
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.1f)),
+          slice(col("embedding"), 2, 63)).as("embedding"),
+        col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-embrecall").toString
+    base.unionByName(twins).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("string"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](2).toArray
+        (r.getLong(0), r.getString(1), v, math.sqrt(v.map(x => x * x).sum))
+      }
+    val truth = for {
+      (ida, la, va, na) <- raw
+      (idb, lb, vb, nb) <- raw
+      if la == lb && ida < idb
+      cos = va.zip(vb).map { case (x, y) => x * y }.sum / (na * nb)
+      if cos >= 0.9
+    } yield (ida, idb)
+    assert(truth.length >= 40, s"planting must create the dup regime; got ${truth.length}")
+    val found = Similarity.dedupEmbedding(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth.filterNot(found.contains)
+    assert(missed.isEmpty,
+      s"banding missed ${missed.length}/${truth.length} true near-dup pairs: ${missed.take(5).mkString(", ")}")
+  }
   test("connectedComponentsOf: chains and cycles collapse to min label") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))

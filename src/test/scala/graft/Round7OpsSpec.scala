@@ -165,12 +165,19 @@ class Round7OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("embed_sim_hist: buckets partition exactly the within-label pair count") {
+  test("embed_sim_hist: buckets partition exactly the windowed within-label pair count") {
     val out = Similarity.embedSimHist(spark, sf).cache()
-    val perLabel = Tables.embeddings(spark, sf).groupBy(col("label"))
-      .agg(count(lit(1)).as("n"))
-      .select(sum(col("n") * (col("n") - 1) / 2).cast("long")).head.getLong(0)
-    assert(out.agg(sum(col("n_pairs"))).head.getLong(0) == perLabel)
+    // expected count under the SAME `vec_b - vec_a <= SimHistBand` window
+    // predicate the op samples with — exhaustive only while max vec_id
+    // stays within the band, so the test tracks the op's semantics even
+    // if the gate dataset grows past SimHistBand
+    val ids = Tables.embeddings(spark, sf).select(col("label"), col("vec_id"))
+    val windowed = ids.toDF("label", "vec_a")
+      .join(ids.toDF("label", "vec_b"), Seq("label"))
+      .filter(col("vec_a") < col("vec_b") &&
+        col("vec_b") - col("vec_a") <= Similarity.SimHistBand)
+      .count()
+    assert(out.agg(sum(col("n_pairs"))).head.getLong(0) == windowed)
     assert(out.filter(col("bucket") < -20 || col("bucket") > 20).isEmpty)
     assert(out.filter(abs(col("bucket_lo") * 20d - col("bucket")) > 1e-12).isEmpty)
     out.unpersist()

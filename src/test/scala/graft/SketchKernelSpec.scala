@@ -281,6 +281,35 @@ class SketchKernelSpec extends SparkSpec {
     kernel.foreach { case (k, code) => assert(declarative(k) === code, s"at $k") }
   }
 
+  test("pq_codes clamps short vectors to zero-extension in eval AND codegen") {
+    import org.apache.spark.sql.graftvec.PqCodes.pqCodes
+    import graft.operators.Similarity.{PqDim, PqSub}
+    import spark.implicits._
+    val dim = PqSub * PqDim
+    val flat = Array.tabulate(PqSub * 3 * PqDim)(i => (i % 11 - 5).toDouble / 6)
+    // a short (17-element) vector must encode exactly like its 0-padded twin
+    val short = (0 until 17).map(i => (i % 5 - 2).toDouble / 3)
+    val padded = short ++ Seq.fill(dim - short.length)(0d)
+    val df = Seq(("short", short), ("padded", padded)).toDF("tag", "v")
+    def codesUnder(fallback: String): Map[String, Seq[Int]] = {
+      val saved = spark.conf.get("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.fallback", fallback)
+      try df.select(col("tag"), pqCodes(col("v"), flat, PqSub, 3, PqDim).as("c"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+      finally spark.conf.set("spark.sql.codegen.fallback", saved)
+    }
+    val gen = codesUnder("false") // CODEGEN_ONLY path
+    assert(gen("short") === gen("padded"))
+    // interpreted eval agrees with codegen on the short vector
+    val expr = org.apache.spark.sql.graftvec.PqCodes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        short, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      flat, PqSub, 3, PqDim)
+    val evald = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+    assert(evald === gen("short"))
+  }
+
   test("pq_codes runs under CODEGEN_ONLY (no silent interpreted fallback)") {
     import org.apache.spark.sql.graftvec.PqCodes.pqCodes
     import graft.operators.Similarity.{PqDim, PqSub}
