@@ -14,6 +14,13 @@ import pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+# Fail-fast resource caps for large-SF replays: an oracle that exceeds
+# these should error, not fill the VM (a runaway sf1 ADC replay was
+# measured at 109 GB RAM + 75 GB temp spill before being killed).
+if os.environ.get("COMPARE_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['COMPARE_DUCKDB_MEM']}'")
+if os.environ.get("COMPARE_MAX_TEMP"):
+    con.execute(f"SET max_temp_directory_size='{os.environ['COMPARE_MAX_TEMP']}'")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sf_dir}/{t}.parquet"
     if os.path.isdir(p):  # Spark-written table: a directory of part files

@@ -41,7 +41,7 @@ object Similarity {
       .withColumn("nrm", qdot(col("v"), col("v")))
   }
 
-  private val vecsSql: String =
+  private[graft] val vecsSql: String =
     """SELECT vec_id, label, embedding,
       |  CAST(list_sum(list_transform(embedding,
       |    (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))
@@ -49,7 +49,7 @@ object Similarity {
       |FROM embeddings""".stripMargin
 
   /** Quantized-dot SQL between two embedding expressions. */
-  private def dotSql(ae: String, be: String): String =
+  private[graft] def dotSql(ae: String, be: String): String =
     s"""CAST(list_sum(list_transform($ae,
       |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST($be[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))
       |  AS BIGINT)""".stripMargin

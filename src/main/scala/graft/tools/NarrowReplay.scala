@@ -30,15 +30,113 @@ import graft.operators.Similarity
   */
 object NarrowReplay {
 
-  private def narrowSql(sql: String, mod: Long): String =
-    s"SELECT * FROM (\n$sql\n) WHERE query_id % $mod = 0"
+  /** Narrow the serving batch INSIDE the oracle SQL: every query-batch
+    * site in the knn oracles is the literal `vec_id % 100 = 0` (the
+    * isQuery predicate; §6 guard audit confirms the sites), and an
+    * outer `WHERE query_id % mod = 0` wrapper does NOT push through
+    * DuckDB's window/union pipeline (measured: the full Q×N×M ADC
+    * still materializes, 109 GB RAM + 75 GB spill at sf1). Textual
+    * narrowing of the batch predicate is what actually shrinks the
+    * oracle's work. `mod` must be a multiple of 100 so the narrowed
+    * batch is a subset of the production one. */
+  private def narrowSql(sql: String, mod: Long): String = {
+    require(mod % 100 == 0, s"mod must be a multiple of 100, got $mod")
+    val pat = "% 100 = 0"
+    require(sql.contains(pat), "expected the query-batch predicate in the oracle SQL")
+    sql.replace(pat, s"% $mod = 0")
+  }
 
   /** knn_ivfpq restricted to the narrowed serving batch. */
   def knnIvfpqNarrow(spark: SparkSession, dir: String, mod: Long): DataFrame =
     Similarity.knnIvfPq(spark, dir).filter(col("query_id") % mod === 0)
 
-  def knnIvfpqNarrowSql(mod: Long): String =
-    narrowSql(Similarity.knnIvfPqSql, mod)
+  /** The knn_ivfpq oracle with (a) the serving batch narrowed to
+    * `% mod` and (b) the PQ-encode argmin restructured from
+    * join+window (41 M intermediate rows with list payloads at sf1 —
+    * the measured >100 GB RAM / >60 GB spill) to a per-row
+    * list-argmin over the per-subspace codeword roster: same exact
+    * quantized-L2 arithmetic, same lowest-cent_id tiebreak (the
+    * roster list is ordered by cent_id and list_position returns the
+    * FIRST minimum), memory ∝ N×M rows. Every other CTE is the
+    * production oracle's, verbatim. */
+  def knnIvfpqNarrowSql(mod: Long): String = {
+    import Similarity._
+    require(mod % 100 == 0, s"mod must be a multiple of 100, got $mod")
+    val centDot = dotSql("n.embedding", "c.ce")
+    // quantized dot of s.sv against the captured codeword c.cv
+    val lamDot =
+      """CAST(list_sum(list_transform(s.sv,
+        |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST((c.cv)[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)))
+        |  AS BIGINT)""".stripMargin
+    val qDot = dotSql("q.sv", "c.cv")
+    s"""WITH e AS ($vecsSql),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0 AND vec_id < ${IvfSampleMod.toLong * IvfCentCap}),
+      |asg AS (
+      |  SELECT vec_id, cent_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
+      |  FROM (
+      |    SELECT n.vec_id, c.cent_id,
+      |      CAST($centDot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cent_cos
+      |    FROM e n CROSS JOIN cents c)
+      |),
+      |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM asg WHERE rnk = 1),
+      |probes AS (SELECT vec_id AS query_id, cent_id FROM asg
+      |           WHERE vec_id % $mod = 0 AND vec_id < $QueryCap AND rnk <= $Nprobe),
+      |cand AS (
+      |  SELECT query_id, neighbor_id FROM probes JOIN cells USING (cent_id)
+      |  WHERE neighbor_id <> query_id
+      |),
+      |subs AS (
+      |  SELECT vec_id, m, list_slice(embedding, m * $PqDim + 1, (m + 1) * $PqDim) AS sv
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, $PqSub)) AS m)
+      |),
+      |subn AS (
+      |  SELECT vec_id, m, sv,
+      |    ${dotSql("sv", "sv")} AS snrm
+      |  FROM subs
+      |),
+      |cb AS (SELECT vec_id AS cent_id, m, sv AS cv, snrm AS cnrm FROM subn
+      |       WHERE vec_id % $PqCentMod = 0 AND vec_id < ${PqCentMod.toLong * PqCentCap}),
+      |cbl AS (SELECT m, list(struct_pack(cent_id := cent_id, cv := cv, cnrm := cnrm) ORDER BY cent_id) AS cws
+      |        FROM cb GROUP BY m),
+      |codes AS MATERIALIZED (
+      |  -- MATERIALIZED is load-bearing: inlined, the optimizer drags the
+      |  -- ~25 KiB cws roster lists through the adc join's 41 M-row
+      |  -- intermediate (measured >90 GB RAM); materialized, codes is
+      |  -- 160k skinny rows computed once in ~13 s
+      |  SELECT vec_id, m, cws[list_position(d2s, list_min(d2s))].cent_id AS code FROM (
+      |    SELECT s.vec_id, s.m, cbl.cws,
+      |      list_transform(cbl.cws, c -> s.snrm + c.cnrm - 2 * $lamDot) AS d2s
+      |    FROM subn s JOIN cbl ON cbl.m = s.m)
+      |),
+      |adc AS (
+      |  SELECT cd.query_id, cd.neighbor_id,
+      |    CAST(SUM(q.snrm + c.cnrm - 2 * ($qDot)) AS BIGINT) AS adc_d2
+      |  FROM cand cd
+      |  JOIN codes t ON t.vec_id = cd.neighbor_id
+      |  JOIN subn q ON q.m = t.m AND q.vec_id = cd.query_id
+      |  JOIN cb c ON c.m = t.m AND c.cent_id = t.code
+      |  GROUP BY 1, 2
+      |),
+      |shortlist AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adc_d2, neighbor_id) AS adc_rank
+      |    FROM adc)
+      |  WHERE adc_rank <= $PqShortlist
+      |),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE) / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cos_sim
+      |  FROM shortlist JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id
+      |)
+      |SELECT query_id, neighbor_id,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS knn_rank,
+      |  cos_sim
+      |FROM scored
+      |QUALIFY knn_rank <= $K
+      |ORDER BY query_id, knn_rank""".stripMargin
+  }
 
   /** knn_recall_audit recomputed over the narrowed query sample: recall
     * of each ANN method against exact brute force, same hit-join as the
@@ -62,17 +160,20 @@ object NarrowReplay {
   }
 
   def knnRecallAuditNarrowSql(mod: Long): String = {
-    def methodSql(name: String, sql: String): String =
+    // methodSqlPre takes an ALREADY-narrowed method SQL; methodSql narrows
+    def methodSqlPre(name: String, narrowed: String): String =
       s"""SELECT '$name' AS method,
         |  (SELECT COUNT(*) FROM brute) AS n_pairs,
-        |  (SELECT COUNT(*) FROM (SELECT query_id, neighbor_id FROM (${narrowSql(sql, mod)})) a
+        |  (SELECT COUNT(*) FROM (SELECT query_id, neighbor_id FROM ($narrowed)) a
         |     JOIN brute b ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id)
         |    AS n_hits""".stripMargin
+    def methodSql(name: String, sql: String): String =
+      methodSqlPre(name, narrowSql(sql, mod))
     s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${narrowSql(Similarity.knnBruteSql, mod)}))
       |SELECT method, n_pairs, n_hits,
       |  CAST(n_hits AS DOUBLE) / n_pairs AS recall_at_k
       |FROM (
-      |${methodSql("knn_ivfpq", Similarity.knnIvfPqSql)}
+      |${methodSqlPre("knn_ivfpq", knnIvfpqNarrowSql(mod))}
       |UNION ALL
       |${methodSql("knn_lsh", Similarity.knnLshSql)}
       |)
