@@ -487,10 +487,12 @@ object CdcStream {
   private[graft] def latestVersionedState(spark: SparkSession, stateBase: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(stateBase)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val newest = fs.listStatus(new org.apache.hadoop.fs.Path(stateBase))
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(stateBase))
       .map(_.getPath.toString).filter(_.contains("state_v"))
-      .maxBy(p => p.substring(p.lastIndexOf("_v") + 2).toLong)
-    spark.read.parquet(newest)
+    require(versions.nonEmpty,
+      s"no state_v* under $stateBase — the stream processed zero batches")
+    spark.read.parquet(
+      versions.maxBy(p => p.substring(p.lastIndexOf("_v") + 2).toLong))
   }
 
   /** stream_recon_digest — the reconciliation digest maintained
