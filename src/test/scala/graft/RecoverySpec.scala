@@ -23,6 +23,13 @@ import graft.streaming.CdcStream
   *    formulation (delete v(k-1) before commit): retry of an
   *    uncommitted batch must find an intact predecessor and rewrite
   *    the identical successor, keeping the accumulated digest exact.
+  *
+  * 3. dropDuplicatesWithinWatermark: Spark's OWN state store (the
+  *    third recovery mechanism, distinct from the idempotent sink of
+  *    #1 and the hand-rolled versioned parquet of #2) must come back
+  *    from the checkpoint on restart. Duplicates are planted ACROSS
+  *    the crash boundary — batch 2 re-delivers batch-0 event_ids — so
+  *    a restart that lost the dedup state would visibly re-emit them.
   */
 class RecoverySpec extends SparkSpec {
 
@@ -135,5 +142,104 @@ class RecoverySpec extends SparkSpec {
     val versions = new java.io.File(stateBase).listFiles()
       .map(_.getName).filter(_.startsWith("state_v")).sorted.toSeq
     assert(versions === Seq("state_v2", "state_v3"))
+  }
+
+  /** 4-file feed with duplicates planted ACROSS micro-batch
+    * boundaries: file 2 re-delivers file 0's first 20 event_ids, file
+    * 3 re-delivers file 1's first 20 — exact row copies, the
+    * at-least-once redelivery shape dropDuplicatesWithinWatermark
+    * exists to repair. All timestamps sit within ~1.1 s, far inside
+    * the 1-hour watermark, so no dedup state is evicted mid-test. */
+  private def writeDupFeed(): String = {
+    import spark.implicits._
+    def rows(ids: Seq[Long]) = ids.map { id =>
+      (id, id * 7 % 50 + 1, if (id % 13 == 0) "D" else "U",
+        (id % 997).toDouble / 10d, 1700000000000000L + id * 1000L)
+    }
+    val flat = java.nio.file.Files.createTempDirectory("graft-dup-feed").toString
+    val files = Seq(
+      rows(0L until 100L),
+      rows(1000L until 1100L),
+      rows(2000L until 2100L) ++ rows(0L until 20L),
+      rows(3000L until 3100L) ++ rows(1000L until 1020L))
+    files.zipWithIndex.foreach { case (rs, f) =>
+      rs.toDF("event_id", "user_id", "op", "value", "ts_us")
+        .coalesce(1).write.parquet(s"$flat/stage$f")
+      val d = new java.io.File(s"$flat/stage$f")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { p =>
+        java.nio.file.Files.move(p.toPath, java.nio.file.Paths.get(flat, s"f$f.parquet"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    flat
+  }
+
+  /** One exactly-once dedup run: file source (1 file per micro-batch)
+    * → watermark → dropDuplicatesWithinWatermark(event_id) →
+    * idempotent per-batch partition overwrite (batch=<id> dirs, the
+    * same retry discipline as the lake sink). `crashOn` throws after
+    * the batch's output is durable but before its offset commits. */
+  private def runDedupStream(flat: String, out: String, ck: String,
+                             crashOn: Long => Unit): Seq[Long] = {
+    val ran = scala.collection.mutable.ArrayBuffer[Long]()
+    val schema = spark.read.parquet(flat).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.toDF().drop("ts").write.mode("overwrite")
+          .parquet(s"$out/batch=$batchId")
+        ran.synchronized { ran += batchId }
+        crashOn(batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ran.toSeq
+  }
+
+  private def outIds(out: String): Seq[Long] = {
+    val df = spark.read.parquet(out)
+    val ids = df.select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size === ids.size, "output must carry no duplicate event_ids")
+    ids.sorted
+  }
+
+  test("dropDuplicatesWithinWatermark: dedup state survives kill/restart — cross-crash duplicates still filtered") {
+    val flat = writeDupFeed()
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+    // run A: uninterrupted reference
+    val outA = tmp("graft-dedupA") + "/out"
+    runDedupStream(flat, outA, tmp("graft-dedup-ckA"), _ => ())
+
+    // run B: crash in the worst-case window of batch 1 (output durable,
+    // offset not), restart from the same checkpoint
+    val outB = tmp("graft-dedupB") + "/out"
+    val ckB = tmp("graft-dedup-ckB")
+    val thrown = intercept[Exception] {
+      runDedupStream(flat, outB, ckB,
+        bid => if (bid == 1L) sys.error("injected crash: after dedup output, before offset commit"))
+    }
+    assert(thrown.getMessage != null)
+    val resumed = runDedupStream(flat, outB, ckB, _ => ())
+    assert(!resumed.contains(0L),
+      s"restart must resume from the checkpoint, not reprocess committed batch 0 (ran: $resumed)")
+    assert(resumed.contains(1L), s"the uncommitted batch must be retried (ran: $resumed)")
+
+    // recovered output == uninterrupted output == the feed's distinct
+    // event_ids: batch 2's re-delivery of batch-0 ids (emitted BEFORE
+    // the crash) is still filtered AFTER the restart, which is only
+    // possible if the dedup state store came back from the checkpoint
+    val truth = spark.read.parquet(flat)
+      .select("event_id").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    assert(outIds(outB) === outIds(outA),
+      "recovered output must equal the uninterrupted run's")
+    assert(outIds(outB) === truth,
+      "every planted duplicate must be dropped, every original kept")
   }
 }
