@@ -130,9 +130,12 @@ object Dedup {
     * key no matter how hot the shingle — a plain collect_list of a
     * billion-doc stopword shingle is an executor OOM at 100 TB. `df` is
     * the exact count, so every kept list is complete. */
-  private[graft] def rareShingleGroups(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def rareShingleGroups(spark: SparkSession, dir: String): DataFrame =
+    rareShingleGroupsOf(corpusShingles(spark, dir))
+
+  private[graft] def rareShingleGroupsOf(shingles: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftvec.MinHashExpressions.collectCapped
-    corpusShingles(spark, dir)
+    shingles
       .groupBy(col("h"))
       .agg(collectCapped(col("doc_id"), ShingleFreqCap + 1).as("ds"),
         count(lit(1)).as("df"))
@@ -206,9 +209,19 @@ object Dedup {
     * a window count + cached two-sided sort-merge join — one more wide
     * shuffle and two extra cache passes; measured slower.) */
   private[graft] def jaccardPairs(spark: SparkSession, dir: String,
-                                  minJaccard: Double = 0.35d): DataFrame = {
+                                  minJaccard: Double = 0.35d): DataFrame =
+    interSizePairs(spark, dir)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), col("jaccard"))
+
+  /** Unfiltered rare-shingle overlap pairs (inter, sizes, jaccard) —
+    * the shared candidate relation jaccardPairs and dedup_containment
+    * threshold differently. */
+  private[graft] def interSizePairs(spark: SparkSession, dir: String): DataFrame =
+    interSizePairsOf(rareShingleGroups(spark, dir))
+
+  private[graft] def interSizePairsOf(grouped: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftvec.MinHashExpressions.sortedPairs
-    val grouped = rareShingleGroups(spark, dir)
     val sizes = grouped.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = grouped.select(explode(sortedPairs(col("ds"))).as("p"))
@@ -219,9 +232,64 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"), col("jaccard"))
   }
+
+  val ContainmentMin = 0.8d
+  val ContainmentMinRare = 5L
+
+  /** dedup_containment — asymmetric near-SUPERSET detection, the pair
+    * class symmetric jaccard structurally misses: a short doc quoted
+    * whole inside a long aggregation page has containment
+    * |A∩B| / min(|A|,|B|) ≈ 1 while jaccard ≈ |A|/|B| can sit near 0,
+    * so no jaccard threshold catches it without drowning in noise
+    * (the Lee et al. dedup line treats these as distinct dup classes).
+    * Same candidate generation as dedup_ngram_jaccard — rare-shingle
+    * co-occurrence groups, df ∈ [2, ShingleFreqCap], the only
+    * full-corpus shuffle — then thresholds containment ≥ 0.8 over the
+    * rare-shingle space (both engines identically), with a ≥ 5
+    * rare-shingle floor on the contained side so two-shingle fragments
+    * don't alias as containment hits. Jaccard rides along so
+    * downstream can split true near-dups (high j) from proper
+    * subset/superset pairs (low j). Scale shape = dedup_ngram_jaccard:
+    * candidate-bounded slim rows after one groupBy(h); reference
+    * semantics: verify_replication.py's notion of "row contained in
+    * the other table" generalized to shingle sets. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(interSizePairs(spark, dir))
+
+  /** Containment thresholding over any (doc_id, text) relation's
+    * rare-shingle overlap pairs — the generic entry DedupSpec plants a
+    * true quote-in-superset corpus through. */
+  def containmentPairsOf(docs: DataFrame): DataFrame =
+    containmentOf(interSizePairsOf(rareShingleGroupsOf(shinglesOf(docs))))
+
+  private def containmentOf(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= ContainmentMin &&
+        least(col("n_a"), col("n_b")) >= ContainmentMinRare)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        col("containment"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupContainmentSql: String =
+    s"""WITH $docShinglesSql,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment,
+      |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= $ContainmentMin
+      |  AND least(sa.n_sh, sb.n_sh) >= $ContainmentMinRare
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val dedupNgramJaccardSql: String =
     s"""WITH $docShinglesSql,

@@ -1719,6 +1719,73 @@ object Similarity {
       |ORDER BY band""".stripMargin
   }
 
+  val DiversityQuota = 8
+
+  /** embed_diversity_sample — cluster-balanced coverage sampling: every
+    * vector is assigned to its rank-1 IVF centroid (the knn_ivf coarse
+    * quantizer, replayed), then each cell contributes its top-8 members
+    * by a deterministic per-id priority (the Knuth multiplicative hash
+    * sample_weighted already established engine-portably). Uniform
+    * sampling of a skewed corpus over-represents its dense modes; quota
+    * per CELL caps any mode at DiversityQuota draws, so the sample
+    * covers the embedding space rather than its density peaks — the
+    * cluster-balanced curation step of a training-data pipeline (the
+    * SemDeDup/coverage-sampling shape), with cell_size riding along so
+    * downstream reweighting can undo the flattening where it matters.
+    * Scale shape: one O(N×C) broadcast assignment pass + one shuffle on
+    * cent_id; the per-cell top-q window sorts only within cells, whose
+    * sizes embed_ivf_balance audits. Deterministic end-to-end: stable
+    * across runs, engines, and partition layouts. */
+  def embedDiversitySample(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = e.filter(col("vec_id") % IvfSampleMod === 0 &&
+        col("vec_id") < IvfSampleMod.toLong * IvfCentCap)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = e.select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos", qcos(qdot(col("v"), col("cv")), col("nrm"), col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cent_id"), col("vec_id"))
+    val cellW = Window.partitionBy(col("cent_id"))
+    val rankW = cellW.orderBy(col("priority"), col("vec_id"))
+    assigned
+      .withColumn("priority", pmod(col("vec_id") * lit(2654435761L), lit(1000000007L)))
+      .withColumn("cell_size", count(lit(1)).over(cellW))
+      .withColumn("cell_rank", row_number().over(rankW))
+      .filter(col("cell_rank") <= DiversityQuota)
+      .select(col("cent_id"), col("vec_id"), col("cell_rank"), col("cell_size"))
+      .orderBy(col("cent_id"), col("cell_rank"))
+  }
+
+  lazy val embedDiversitySampleSql: String = {
+    val centDot = dotSql("n.embedding", "c.ce")
+    s"""WITH e AS ($vecsSql),
+      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0 AND vec_id < ${IvfSampleMod.toLong * IvfCentCap}),
+      |asg AS (
+      |  SELECT vec_id, cent_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
+      |  FROM (
+      |    SELECT n.vec_id, c.cent_id,
+      |      CAST($centDot AS DOUBLE) / sqrt(CAST(n.nrm AS DOUBLE) * CAST(c.cn AS DOUBLE)) AS cent_cos
+      |    FROM e n CROSS JOIN cents c)
+      |),
+      |cells AS (SELECT cent_id, vec_id FROM asg WHERE rnk = 1),
+      |pri AS (
+      |  SELECT cent_id, vec_id,
+      |    (vec_id * 2654435761 % 1000000007) AS priority,
+      |    COUNT(*) OVER (PARTITION BY cent_id) AS cell_size
+      |  FROM cells
+      |)
+      |SELECT cent_id, vec_id,
+      |  ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY priority, vec_id) AS cell_rank,
+      |  cell_size
+      |FROM pri
+      |QUALIFY cell_rank <= $DiversityQuota
+      |ORDER BY cent_id, cell_rank""".stripMargin
+  }
+
   /** knn_label_purity — neighborhood label agreement: for each query,
     * how many of its top-K exact neighbors carry the query's own label,
     * rolled up per label as a basis-point purity. This is the 1-NN/k-NN

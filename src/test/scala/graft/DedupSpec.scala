@@ -292,4 +292,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_containment: thresholds hold and every planted exact copy is a containment-1.0 pair") {
+    val res = Dedup.dedupContainment(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      val j = r.getAs[Double]("jaccard")
+      assert(c >= 0.8d && c <= 1.0d + 1e-12)
+      assert(c >= j, "containment dominates jaccard by definition")
+      assert(math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) >= 5L)
+    }
+    // exact copies (mod-17 plants) are containment-1.0 pairs by
+    // construction — all must be recovered (ngram deletion junctions
+    // make the mod-10 plants only PARTIALLY containment-eligible; the
+    // oracle pins that boundary exactly, so no recall floor here)
+    val exact = plantedPairs(17, 1000000L)
+    val found = res.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val missed = exact.diff(found)
+    assert(missed.isEmpty, s"exact copies missing from containment: $missed")
+    exact.foreach { p =>
+      val r = res.find(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) == p).get
+      assert(r.getAs[Double]("containment") === 1.0d, s"pair $p")
+    }
+  }
+
+  test("dedup_containment: catches a full quote inside a superset that jaccard misses") {
+    import spark.implicits._
+    val quote = (0 until 30).map(i => s"alpha$i").mkString(" ")
+    val extra = (0 until 100).map(i => s"extra$i").mkString(" ")
+    // doc 2 quotes doc 1 whole; doc 3 shares doc 2's extra content so
+    // the extra shingles stay in the rare (df >= 2) space
+    val docs = Seq((1L, quote), (2L, s"$quote $extra"), (3L, extra))
+      .toDF("doc_id", "text")
+    val res = Dedup.containmentPairsOf(docs).collect()
+    val ab = res.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(ab.isDefined, s"the quote pair must be found (got ${res.toSeq})")
+    assert(ab.get.getAs[Double]("containment") === 1.0d)
+    assert(ab.get.getAs[Double]("jaccard") < 0.35d,
+      "this pair is invisible to the dedup_ngram_jaccard threshold")
+  }
+
 }

@@ -107,4 +107,24 @@ class SimilaritySpec extends SparkSpec {
     res.foreach(r => assert(r.getAs[Long]("max_err_q") <= bound))
   }
 
+  test("embed_diversity_sample: per-cell quota, dense ranks, disjoint cells") {
+    val res = Similarity.embedDiversitySample(spark, sf).collect()
+    assert(res.nonEmpty)
+    val byCell = res.groupBy(_.getAs[Long]("cent_id"))
+    byCell.foreach { case (c, rs) =>
+      val size = rs.head.getAs[Long]("cell_size")
+      assert(rs.forall(_.getAs[Long]("cell_size") === size), s"cell $c size column")
+      // a cell contributes min(quota, size) rows with ranks 1..n
+      assert(rs.length === math.min(Similarity.DiversityQuota.toLong, size), s"cell $c quota")
+      assert(rs.map(_.getAs[Int]("cell_rank")).sorted.toSeq === (1 to rs.length), s"cell $c ranks")
+    }
+    // rank-1 assignment partitions the corpus: no vector sampled twice
+    val ids = res.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === ids.length)
+    // every corpus vector belongs to some cell; cells' sizes must sum to N
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val sumSizes = byCell.values.map(_.head.getAs[Long]("cell_size")).sum
+    assert(sumSizes === n, "cell sizes must partition the corpus exactly")
+  }
+
 }
