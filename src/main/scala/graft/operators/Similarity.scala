@@ -521,16 +521,45 @@ object Similarity {
   // ---- random-hyperplane LSH ---------------------------------------------
 
   val LshTables = 16
-  val LshBits = 6
+  // Adaptive signature width (round 9): the sf1 recall audit measured
+  // the fixed 6-bit geometry at TRUE recall 0.0 on 20k vectors — every
+  // hot bucket blows past LshBucketCap and is dropped whole, so the
+  // index degenerates exactly when the corpus grows. Production LSH
+  // scales bits with N (bits ≈ log2(N / target_bucket)); here the
+  // kernel always computes the full LshBitsMax-bit signature and the
+  // query masks it down to b bits, where
+  //   b = LshBitsMin + |{ j ∈ [min, max) : N > LshTargetBucket·2^j }|
+  // — b-bit prefixes of the same plane family, so widening is a pure
+  // refinement. b derives from the corpus COUNT via exact integer
+  // comparisons, replayed identically in the DuckDB oracle (no float
+  // log2 at a threshold boundary can diverge between engines).
+  // N=500 → 6 bits, 2k → 7, 20k → 10, 200k → 12 (mean bucket 16-49).
+  val LshBitsMin = 6
+  val LshBitsMax = 12
+  val LshTargetBucket = 25
   val Dim = 64
   // Hot-bucket cap, matching the oracle's [2, cap] bound: a (table, sig)
-  // bucket above this is dropped whole — at corpus scale an oversized
-  // bucket means the bit geometry is under-sized for N (bits should grow
-  // ~log2(N / target_bucket)); joining it would cost O(bucket²) per
-  // table. knn_recall_audit quantifies the recall cost of the drop.
+  // bucket above this is dropped whole — with adaptive width this is a
+  // skew backstop (a genuinely degenerate bucket, e.g. the zero vector),
+  // not the steady-state filter it silently became at fixed width.
+  // knn_recall_audit quantifies the recall cost of the drop.
   // The sf1 oracle replay caught the Spark side missing this bound (every
   // bucket fits below it at the gate SFs, so sf0.01/sf0.1 are unchanged).
   val LshBucketCap = 100
+
+  /** Adaptive signature bit width for a corpus of n vectors. */
+  def lshBitsFor(n: Long): Int =
+    LshBitsMin + (LshBitsMin until LshBitsMax).count(j => n > (LshTargetBucket.toLong << j))
+
+  /** Bucket modulus 2^b from the corpus count as SQL — the oracle-side
+    * twin of [[lshBitsFor]]; both walk the same integer threshold chain
+    * so the width is identical across engines. The oracle computes the
+    * full LshBitsMax-bit signature and masks with this modulus; the
+    * kernel computes only the surviving b plane dots (stride indexing
+    * makes the two bit-for-bit equal — pinned in SimilaritySpec). */
+  private[graft] def lshSigModSql(nExpr: String): String =
+    s"(${1L << LshBitsMin}" + (LshBitsMin until LshBitsMax).map(j =>
+      s" * (CASE WHEN $nExpr > ${LshTargetBucket.toLong << j} THEN 2 ELSE 1 END)").mkString + ")"
 
   /** knn_lsh — bucketed approximate kNN: L hash tables of b-bit
     * random-hyperplane signatures; candidates = same-bucket vectors in
@@ -543,9 +572,14 @@ object Similarity {
     * Rows-only; SimilaritySpec measures recall against knn_brute. */
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
+    // adaptive width: the corpus count (one metadata-count job, the
+    // repo's bounded-scalar discipline) picks b; the kernel computes
+    // exactly b bits per table at stride LshBitsMax, so the geometry is
+    // the low-b-bit prefix of the full-width family the oracle masks.
+    val bits = lshBitsFor(e.count())
     val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(org.apache.spark.sql.graftvec.VectorExpressions
-        .lshSigs(col("v"), LshTables, LshBits, Dim)).as(Seq("t", "sig")))
+        .lshSigs(col("v"), LshTables, bits, Dim, LshBitsMax)).as(Seq("t", "sig")))
       .persist() // signature computation feeds both the corpus and query side
     // bucket-size bound [2, LshBucketCap]: the size table is ∝ distinct
     // buckets (tables × 2^bits rows), broadcast back onto the stream
@@ -573,30 +607,34 @@ object Similarity {
   }
   /** DuckDB oracle for knn_lsh: the signature planes are deterministic
     * (split-mix Rademacher signs), so the oracle embeds them as literal
-    * ±1 lists and replays the exact pipeline — per-table 6-bit signature
-    * from quantized plane dots, bucket-size cap via window count,
-    * distinct same-bucket candidates, exact quantized-cosine re-rank.
-    * Generated programmatically (16 tables × 6 planes × 64 dims of
-    * literals ≈ 30 KB of SQL — cheap for a once-per-run oracle). */
+    * ±1 lists and replays the exact pipeline — per-table full-width
+    * signature from quantized plane dots masked to the adaptive width
+    * (the same integer threshold chain over COUNT(*)), bucket-size cap
+    * via window count, distinct same-bucket candidates, exact
+    * quantized-cosine re-rank. Generated programmatically (16 tables ×
+    * 12 planes × 64 dims of literals ≈ 60 KB of SQL — cheap for a
+    * once-per-run oracle). */
   lazy val knnLshSql: String = {
     import org.apache.spark.sql.graftvec.{LshSignatures => LS}
     def planeList(p: Int): String =
       (0 until Dim).map(i => if (LS.planeSign(p, i) > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
     def sigExpr(t: Int): String =
-      (0 until LshBits).map { k =>
-        val pl = planeList(t * LshBits + k)
+      (0 until LshBitsMax).map { k =>
+        val pl = planeList(t * LshBitsMax + k)
         s"""CASE WHEN list_sum(list_transform(embedding,
            |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * ($pl)[i] * 1e9 + 0.5) AS BIGINT))) > 0
            |  THEN ${1 << k} ELSE 0 END""".stripMargin
       }.mkString("(", " + ", ")")
     val sigSelects = (0 until LshTables).map { t =>
-      s"SELECT vec_id, $t AS t, ${sigExpr(t)} AS sig FROM e"
+      s"SELECT vec_id, $t AS t, ${sigExpr(t)} AS sig12 FROM e"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS ($vecsSql),
-      |sigs AS (
+      |bm AS (SELECT ${lshSigModSql("COUNT(*)")} AS bmod FROM e),
+      |sigs12 AS (
       |$sigSelects
       |),
+      |sigs AS (SELECT vec_id, t, sig12 % (SELECT bmod FROM bm) AS sig FROM sigs12),
       |b AS (SELECT *, COUNT(*) OVER (PARTITION BY t, sig) AS bs FROM sigs),
       |bounded AS (SELECT vec_id, t, sig FROM b WHERE bs BETWEEN 2 AND $LshBucketCap),
       |q AS (SELECT t, sig, vec_id AS query_id FROM bounded WHERE vec_id % 100 = 0 AND vec_id < $QueryCap),
@@ -1601,9 +1639,10 @@ object Similarity {
     * shuffle; output is LshTables rows. */
   def embedLshEntropy(spark: SparkSession, dir: String): DataFrame = {
     val lnq = (c: Column) => floor(log(c.cast("double")) * 1000d + 0.5d).cast("long")
-    vecs(spark, dir)
-      .select(posexplode(org.apache.spark.sql.graftvec.VectorExpressions
-        .lshSigs(col("v"), LshTables, LshBits, Dim)).as(Seq("t", "sig")))
+    val e = vecs(spark, dir)
+    val bits = lshBitsFor(e.count())
+    e.select(posexplode(org.apache.spark.sql.graftvec.VectorExpressions
+        .lshSigs(col("v"), LshTables, bits, Dim, LshBitsMax)).as(Seq("t", "sig")))
       .groupBy(col("t"), col("sig"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("t"))
@@ -1618,26 +1657,29 @@ object Similarity {
   }
 
   /** DuckDB oracle for embed_lsh_entropy: same literal-plane signature
-    * replay as knn_lsh, rolled up to per-table bucket statistics. */
+    * replay as knn_lsh (full width masked to the adaptive width), rolled
+    * up to per-table bucket statistics. */
   lazy val embedLshEntropySql: String = {
     import org.apache.spark.sql.graftvec.{LshSignatures => LS}
     def planeList(p: Int): String =
       (0 until Dim).map(i => if (LS.planeSign(p, i) > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
     def sigExpr(t: Int): String =
-      (0 until LshBits).map { k =>
-        val pl = planeList(t * LshBits + k)
+      (0 until LshBitsMax).map { k =>
+        val pl = planeList(t * LshBitsMax + k)
         s"""CASE WHEN list_sum(list_transform(embedding,
            |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * ($pl)[i] * 1e9 + 0.5) AS BIGINT))) > 0
            |  THEN ${1 << k} ELSE 0 END""".stripMargin
       }.mkString("(", " + ", ")")
     val sigSelects = (0 until LshTables).map { t =>
-      s"SELECT vec_id, $t AS t, ${sigExpr(t)} AS sig FROM e"
+      s"SELECT vec_id, $t AS t, ${sigExpr(t)} AS sig12 FROM e"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS ($vecsSql),
-      |sigs AS (
+      |bm AS (SELECT ${lshSigModSql("COUNT(*)")} AS bmod FROM e),
+      |sigs12 AS (
       |$sigSelects
       |),
+      |sigs AS (SELECT vec_id, t, sig12 % (SELECT bmod FROM bm) AS sig FROM sigs12),
       |b AS (SELECT t, sig, COUNT(*) AS n FROM sigs GROUP BY 1, 2),
       |agg AS (
       |  SELECT t, CAST(SUM(n) AS BIGINT) AS n_vectors, COUNT(*) AS n_buckets,

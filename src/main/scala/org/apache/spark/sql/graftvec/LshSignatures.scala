@@ -26,16 +26,24 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * is package-private to Spark — the conventional placement for
   * Spark-native extension libraries.
   */
-case class LshSignatures(child: Expression, tables: Int, bits: Int, dim: Int)
+case class LshSignatures(child: Expression, tables: Int, bits: Int, dim: Int,
+    stride: Int = -1)
     extends UnaryExpression with ExpectsInputTypes {
+
+  // Plane-family stride: table t's bit k uses plane (t*S + k). With
+  // S > bits (the adaptive-width path) the computed b-bit signature is
+  // bit-for-bit the low-b-bit mask of the full S-bit signature — the
+  // oracle replays the full width and masks, the kernel computes only
+  // the b planes that survive the mask.
+  private val S: Int = math.max(bits, stride)
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lsh_sigs"
 
-  // plane (t*bits + k) lives at offset (t*bits + k)*dim, row-major
-  private lazy val planes: Array[Double] = LshSignatures.planes(tables * bits, dim)
+  // plane (t*S + k) lives at offset (t*S + k)*dim, row-major
+  private lazy val planes: Array[Double] = LshSignatures.planes(tables * S, dim)
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -46,7 +54,7 @@ case class LshSignatures(child: Expression, tables: Int, bits: Int, dim: Int)
       var sig = 0
       var k = 0
       while (k < bits) {
-        val off = (t * bits + k) * dim
+        val off = (t * S + k) * dim
         var acc = 0L
         var i = 0
         while (i < n) {
@@ -81,7 +89,7 @@ case class LshSignatures(child: Expression, tables: Int, bits: Int, dim: Int)
         |for (int $t = 0; $t < $tables; $t++) {
         |  int $sig = 0;
         |  for (int $k = 0; $k < $bits; $k++) {
-        |    int $off = ($t * $bits + $k) * $dim;
+        |    int $off = ($t * $S + $k) * $dim;
         |    long $acc = 0L;
         |    for (int $i = 0; $i < $n; $i++) {
         |      if (!$v.isNullAt($i)) {

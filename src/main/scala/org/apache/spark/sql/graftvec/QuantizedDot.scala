@@ -87,6 +87,10 @@ object VectorExpressions {
     ExpressionUtils.column(LshSignatures(
       ExpressionUtils.expression(v), tables, bits, dim))
 
+  def lshSigs(v: Column, tables: Int, bits: Int, dim: Int, stride: Int): Column =
+    ExpressionUtils.column(LshSignatures(
+      ExpressionUtils.expression(v), tables, bits, dim, stride))
+
   def polyHash(s: Column): Column =
     ExpressionUtils.column(PolyHash(ExpressionUtils.expression(s)))
 }

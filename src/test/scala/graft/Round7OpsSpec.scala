@@ -1391,12 +1391,13 @@ class Round7OpsSpec extends SparkSpec {
     val out = Similarity.embedLshEntropy(spark, sf).cache()
     assert(out.count() == Similarity.LshTables.toLong)
     val n = Tables.embeddings(spark, sf).count()
+    val bits = Similarity.lshBitsFor(n) // adaptive width audited as built
     assert(out.filter(col("n_vectors") =!= n).isEmpty)
     assert(out.filter(col("n_buckets") < 1L ||
-      col("n_buckets") > (1L << Similarity.LshBits)).isEmpty)
+      col("n_buckets") > (1L << bits)).isEmpty)
     assert(out.filter(col("max_share_bp") < 0L || col("max_share_bp") > 10000L).isEmpty)
     // entropy in [0, ln(2^bits)] millinats, with quantization slack
-    val hMax = math.floor(math.log((1 << Similarity.LshBits).toDouble) * 1000 + 0.5).toLong
+    val hMax = math.floor(math.log((1 << bits).toDouble) * 1000 + 0.5).toLong
     assert(out.filter(col("entropy_mn") < -1L || col("entropy_mn") > hMax + 1L).isEmpty)
     // a one-bucket table would have entropy 0: check the identity on a
     // synthetic single-bucket rollup instead of hoping one exists —

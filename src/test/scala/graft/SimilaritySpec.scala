@@ -107,6 +107,33 @@ class SimilaritySpec extends SparkSpec {
     res.foreach(r => assert(r.getAs[Long]("max_err_q") <= bound))
   }
 
+  test("adaptive LSH width: threshold chain and stride-prefix equivalence") {
+    import Similarity._
+    // the integer threshold chain, at and around each boundary
+    assert(lshBitsFor(500) === 6)
+    assert(lshBitsFor(1600) === 6)
+    assert(lshBitsFor(1601) === 7)
+    assert(lshBitsFor(2000) === 7)
+    assert(lshBitsFor(20000) === 10)
+    assert(lshBitsFor(200000) === 12)
+    assert(lshBitsFor(10000000L) === 12) // clamped at max width
+    // b-bit stride-indexed kernel signature == low-b-bit mask of the
+    // full-width signature — the invariant that lets the oracle replay
+    // full width while the kernel computes only b plane dots
+    import org.apache.spark.sql.graftvec.VectorExpressions.lshSigs
+    val e = graft.core.Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    for (b <- Seq(LshBitsMin, 9, LshBitsMax)) {
+      val mism = e.select(
+          lshSigs(col("v"), LshTables, b, Dim, LshBitsMax).as("pre"),
+          lshSigs(col("v"), LshTables, LshBitsMax, Dim).as("full"))
+        .select(posexplode(col("pre")).as(Seq("t", "p")), col("full"))
+        .filter(col("p") =!= pmod(element_at(col("full"), col("t") + 1), lit(1 << b)))
+        .count()
+      assert(mism === 0L, s"stride-prefix mismatch at b=$b")
+    }
+  }
+
   test("embed_diversity_sample: per-cell quota, dense ranks, disjoint cells") {
     val res = Similarity.embedDiversitySample(spark, sf).collect()
     assert(res.nonEmpty)
