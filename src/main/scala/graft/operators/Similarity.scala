@@ -56,18 +56,37 @@ object Similarity {
 
   private val pairDotSql: String = dotSql("a.embedding", "b.embedding")
 
-  // dedup_embedding LSH geometry: 16 tables × 8-bit random-hyperplane
-  // signatures (planes 0..127 of the shared deterministic Rademacher
-  // family). 16 bands give ≥ 99.9% recall for true near-dups (cos ≥
-  // 0.9) and a calibrated sample of the 0.30-tail; 8-bit bands keep
-  // buckets fine enough that the size cap stays inert far past sf1.
+  // dedup_embedding LSH geometry: 16 tables × adaptive-width
+  // random-hyperplane signatures (stride-12 planes of the shared
+  // deterministic Rademacher family — table t's bit k is plane t·12+k,
+  // so wider signatures refine narrower ones bit-for-bit). 16 bands
+  // give ≥ 99.9% recall for true near-dups (cos ≥ 0.9) and a
+  // calibrated sample of the 0.30-tail. Width scales with the mean
+  // (label, table, sig) occupancy — the knn_lsh lesson (§11) applied
+  // at the bucket key this op actually uses: at sf10 the fixed 8-bit
+  // geometry's mean bucket hit 78 and the hot-bucket cap started
+  // dropping true near-dup pairs.
   val EmbTables = 16
-  val EmbBits = 8
+  val EmbBits = 8 // minimum width; also the width at every gate SF
+  val EmbBitsMax = 12
+  val EmbTargetBucket = 25
   // Hot-bucket cap, the ShingleFreqCap discipline: a (label, table,
   // signature) bucket larger than this is dropped whole — a bucket that
   // hot means degenerate/collapsed vectors, and its O(cap²) pair
-  // expansion would dominate the shuffle at corpus scale.
+  // expansion would dominate the shuffle at corpus scale. With adaptive
+  // width it is a degenerate-bucket backstop, not a steady-state filter.
   val EmbBucketCap = 100
+
+  /** Adaptive dedup_embedding width: b grows while the mean bucket
+    * N / (labels · 2^b) would exceed EmbTargetBucket — exact integer
+    * comparisons (N > target·labels·2^j), replayed in the oracle. */
+  def embBitsFor(n: Long, labels: Long): Int =
+    EmbBits + (EmbBits until EmbBitsMax).count(j =>
+      n > EmbTargetBucket.toLong * labels * (1L << j))
+
+  private[graft] def embSigModSql(nExpr: String, lExpr: String): String =
+    s"(${1L << EmbBits}" + (EmbBits until EmbBitsMax).map(j =>
+      s" * (CASE WHEN $nExpr > ${EmbTargetBucket.toLong * (1L << j)} * $lExpr THEN 2 ELSE 1 END)").mkString + ")"
 
   /** dedup_embedding — embedding-cosine near-duplicate pairs above a
     * threshold. Candidates come from random-hyperplane LSH banding
@@ -89,8 +108,12 @@ object Similarity {
     import org.apache.spark.sql.graftvec.MinHashExpressions.{collectCapped, sortedPairs}
     import org.apache.spark.sql.graftvec.VectorExpressions.lshSigs
     val e = vecs(spark, dir)
+    // adaptive width from (corpus count, label count) — one bounded
+    // scalar aggregate, the knn_lsh §11 discipline
+    val st = e.agg(count(lit(1)), countDistinct(col("label"))).head()
+    val bits = embBitsFor(st.getLong(0), st.getLong(1))
     val banded = e.select(col("label"), col("vec_id"),
-      posexplode(lshSigs(col("v"), EmbTables, EmbBits, Dim)).as(Seq("t", "sig")))
+      posexplode(lshSigs(col("v"), EmbTables, bits, Dim, EmbBitsMax)).as(Seq("t", "sig")))
     val cand = banded
       .groupBy(col("label"), col("t"), col("sig"))
       .agg(collectCapped(col("vec_id"), EmbBucketCap + 1).as("ds"),
@@ -110,29 +133,32 @@ object Similarity {
 
   /** DuckDB oracle for dedup_embedding: replays the banded-LSH pipeline
     * with the deterministic planes embedded as ±1 literal lists (the
-    * knn_lsh oracle technique) — per-table 8-bit signatures from
-    * quantized plane dots, bucket-size window count with the same
-    * [2, cap] bound, distinct within-label same-bucket pairs, exact
-    * quantized-cosine ≥ 0.30 re-check. */
+    * knn_lsh oracle technique) — per-table full-width signatures from
+    * quantized plane dots masked to the adaptive width (integer
+    * threshold chain over the corpus/label counts), bucket-size window
+    * count with the same [2, cap] bound, distinct within-label
+    * same-bucket pairs, exact quantized-cosine ≥ 0.30 re-check. */
   lazy val dedupEmbeddingSql: String = {
     import org.apache.spark.sql.graftvec.{LshSignatures => LS}
     def planeList(p: Int): String =
       (0 until Dim).map(i => if (LS.planeSign(p, i) > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
     def sigExpr(t: Int): String =
-      (0 until EmbBits).map { k =>
-        val pl = planeList(t * EmbBits + k)
+      (0 until EmbBitsMax).map { k =>
+        val pl = planeList(t * EmbBitsMax + k)
         s"""CASE WHEN list_sum(list_transform(embedding,
            |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * ($pl)[i] * 1e9 + 0.5) AS BIGINT))) > 0
            |  THEN ${1 << k} ELSE 0 END""".stripMargin
       }.mkString("(", " + ", ")")
     val sigSelects = (0 until EmbTables).map { t =>
-      s"SELECT vec_id, label, $t AS t, ${sigExpr(t)} AS sig FROM e"
+      s"SELECT vec_id, label, $t AS t, ${sigExpr(t)} AS sig12 FROM e"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS ($vecsSql),
-      |sigs AS (
+      |bm AS (SELECT ${embSigModSql("COUNT(*)", "COUNT(DISTINCT label)")} AS bmod FROM e),
+      |sigs12 AS (
       |$sigSelects
       |),
+      |sigs AS (SELECT vec_id, label, t, sig12 % (SELECT bmod FROM bm) AS sig FROM sigs12),
       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY label, t, sig) AS bs FROM sigs),
       |bounded AS (SELECT label, t, sig, vec_id FROM sized WHERE bs BETWEEN 2 AND $EmbBucketCap),
       |cand AS (

@@ -117,6 +117,14 @@ class SimilaritySpec extends SparkSpec {
     assert(lshBitsFor(20000) === 10)
     assert(lshBitsFor(200000) === 12)
     assert(lshBitsFor(10000000L) === 12) // clamped at max width
+    // dedup_embedding's width scales with mean (label, t, sig) occupancy
+    assert(embBitsFor(500, 10) === 8)
+    assert(embBitsFor(20000, 10) === 8) // sf1: mean bucket 7.8, inert
+    assert(embBitsFor(64000, 10) === 8)
+    assert(embBitsFor(64001, 10) === 9)
+    assert(embBitsFor(200000, 10) === 10) // sf10: mean 19.5 post-fix
+    assert(embBitsFor(2000000, 10) === 12)
+    assert(embBitsFor(2000000000L, 10) === 12) // clamped
     // b-bit stride-indexed kernel signature == low-b-bit mask of the
     // full-width signature — the invariant that lets the oracle replay
     // full width while the kernel computes only b plane dots
