@@ -174,6 +174,65 @@ object Similarity {
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // Semantic-duplicate threshold: this corpus plants its near-dup band
+  // at cos ≥ 0.35 (gate SFs top out at 0.47; ScaleGen additionally
+  // plants ≥ 0.9 exact-copy mass at sf1+, where banded recall is
+  // complete — LSH_ADAPTIVE_r09.json). The clusters are the transitive
+  // closure of the pairs dedup_embedding EMITS at this threshold —
+  // identical in both engines by construction.
+  val SemDupCos = 0.35d
+
+  /** embed_dup_clusters — semantic duplicate clusters: connected
+    * components over the cos ≥ [[SemDupCos]] embedding near-dup pairs,
+    * emitted as the full corpus manifest (cluster id, size, keep flag —
+    * min vec_id per component survives). This is SemDeDup's cluster
+    * step: dedup_clusters answers "which DOCUMENTS are copies" over
+    * shingle overlap; this answers "which items SAY the same thing"
+    * over embedding geometry — paraphrases and re-encodings that share
+    * no 3-shingle cluster together here and nowhere else. Reuses
+    * dedup_embedding's adaptive banded-LSH candidates and the
+    * large-star/small-star CC loop (Dedup.connectedComponentsOf — one
+    * reused hash partitioning, endpoint-sum convergence); downstream
+    * training reads `WHERE is_kept`, exactly like dedup_canonical. */
+  def embedDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupEmbedding(spark, dir)
+      .filter(col("cos_sim") >= SemDupCos)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Dedup.connectedComponentsOf(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val man = vecs(spark, dir).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+    val sizes = man.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    man.join(sizes, Seq("cluster_id"))
+      .withColumn("is_kept", col("cluster_id") === col("vec_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"), col("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle: the dedup_embedding pipeline thresholded at
+    * [[SemDupCos]], closed transitively by a recursive CTE (the
+    * dedup_clusters oracle shape), left-joined back onto the corpus. */
+  lazy val embedDupClustersSql: String =
+    s"""WITH RECURSIVE
+      |semp AS (SELECT vec_a, vec_b FROM ($dedupEmbeddingSql) WHERE cos_sim >= $SemDupCos),
+      |edges AS (SELECT vec_a AS a, vec_b AS b FROM semp
+      |          UNION SELECT vec_b, vec_a FROM semp),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+      |),
+      |lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+      |man AS (
+      |  SELECT v.vec_id, COALESCE(l.cluster_id, v.vec_id) AS cluster_id
+      |  FROM (SELECT vec_id FROM embeddings) v LEFT JOIN lab l USING (vec_id)
+      |),
+      |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM man GROUP BY 1)
+      |SELECT vec_id, cluster_id, cluster_size, (cluster_id = vec_id) AS is_kept
+      |FROM man JOIN csz USING (cluster_id)
+      |ORDER BY vec_id""".stripMargin
+
   val K = 5
 
   /** Query-batch cap. The serving queries are `vec_id % 100 == 0 AND

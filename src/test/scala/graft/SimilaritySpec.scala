@@ -142,6 +142,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed_dup_clusters: exact manifest; every emitted pair co-clustered; min-id kept") {
+    val res = Similarity.embedDupClusters(spark, sf).collect()
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(res.length.toLong === n, "manifest covers the corpus")
+    assert(res.map(_.getAs[Long]("vec_id")).distinct.length.toLong === n)
+    val byCluster = res.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Long]("vec_id")).min === c, s"cluster $c labeled by min member")
+      assert(rs.count(_.getAs[Boolean]("is_kept")) === 1, s"cluster $c keeps exactly one")
+      assert(rs.forall(_.getAs[Long]("cluster_size") === rs.length.toLong))
+    }
+    // transitivity floor: every emitted pair must share a cluster
+    val lab = res.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pairs = Similarity.dedupEmbedding(spark, sf)
+      .filter(col("cos_sim") >= Similarity.SemDupCos).collect()
+    assert(pairs.nonEmpty, "gate corpus must plant semantic dups")
+    pairs.foreach { p =>
+      assert(lab(p.getAs[Long]("vec_a")) === lab(p.getAs[Long]("vec_b")))
+    }
+  }
+
   test("embed_diversity_sample: per-cell quota, dense ranks, disjoint cells") {
     val res = Similarity.embedDiversitySample(spark, sf).collect()
     assert(res.nonEmpty)
