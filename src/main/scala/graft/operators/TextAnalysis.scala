@@ -1498,7 +1498,25 @@ object TextAnalysis {
     * Scale shape: one (doc, word) count aggregate (∝ corpus tokens,
     * map-side combined), one (lang, word) model join — the model table
     * is Heaps-sublinear in the corpus — then a per-doc rollup. */
-  def textDocLmScore(spark: SparkSession, dir: String): DataFrame = {
+  def textDocLmScore(spark: SparkSession, dir: String): DataFrame =
+    docLmPerDoc(spark, dir)
+      .withColumn("ce_nats", col("s_millinats").cast("double") /
+        col("n_tokens").cast("double") / lit(1000d))
+      .withColumn("quality_class",
+        when(col("s_millinats") > lit(3450L) * col("n_tokens"), "JUNK")
+          .when(col("s_millinats") > lit(3420L) * col("n_tokens"), "SUSPECT")
+          .otherwise("CLEAN"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("oov_tokens"),
+        col("ce_nats"), col("quality_class"))
+      .orderBy(col("doc_id"))
+
+  /** Shared per-doc unigram-LM scoring relation: (doc_id, lang,
+    * n_tokens, oov_tokens, s_millinats) — the text_doc_lm_score
+    * pipeline up to (but excluding) classification, reused by
+    * quality_filter_sweep. s_millinats is the exact integer surprisal
+    * carrier (Σ m·⌊−ln p·1000⌉), so every downstream threshold is an
+    * exact BIGINT comparison. */
+  private def docLmPerDoc(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .withColumn("bucket",
         pmod(col("doc_id") * 2654435761L, lit(1000000007L)) % 100L)
@@ -1522,19 +1540,12 @@ object TextAnalysis {
       .agg(sum(col("m")).as("n_tokens"),
         sum(when(col("c0") === 0L, col("m")).otherwise(0L)).as("oov_tokens"),
         (-sum(col("m") * col("lnpq"))).as("s_millinats"))
-      .withColumn("ce_nats", col("s_millinats").cast("double") /
-        col("n_tokens").cast("double") / lit(1000d))
-      .withColumn("quality_class",
-        when(col("s_millinats") > lit(3450L) * col("n_tokens"), "JUNK")
-          .when(col("s_millinats") > lit(3420L) * col("n_tokens"), "SUSPECT")
-          .otherwise("CLEAN"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("oov_tokens"),
-        col("ce_nats"), col("quality_class"))
-      .orderBy(col("doc_id"))
   }
 
-  val textDocLmScoreSql: String =
-    s"""WITH toks AS (
+  /** Shared oracle CTE chain ending in
+    * `per_doc(doc_id, lang, n_tokens, oov_tokens, s_millinats)`. */
+  private val docLmPerDocCtes: String =
+    s"""toks AS (
       |  SELECT doc_id, lang, (doc_id * 2654435761 % 1000000007) % 100 AS bucket,
       |    unnest(${wordsSql("text")}) AS w
       |  FROM documents
@@ -1558,7 +1569,10 @@ object TextAnalysis {
       |    CAST(SUM(CASE WHEN c0 = 0 THEN m ELSE 0 END) AS BIGINT) AS oov_tokens,
       |    CAST(-SUM(m * lnpq) AS BIGINT) AS s_millinats
       |  FROM scored GROUP BY 1, 2
-      |)
+      |)""".stripMargin
+
+  val textDocLmScoreSql: String =
+    s"""WITH $docLmPerDocCtes
       |SELECT doc_id, lang, n_tokens, oov_tokens,
       |  CAST(s_millinats AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000 AS ce_nats,
       |  CASE WHEN s_millinats > 3450 * n_tokens THEN 'JUNK'
@@ -1566,6 +1580,53 @@ object TextAnalysis {
       |       ELSE 'CLEAN' END AS quality_class
       |FROM per_doc
       |ORDER BY doc_id""".stripMargin
+
+  /** Threshold ladder for quality_filter_sweep, in millinats/token —
+    * brackets the corpus's CLEAN/SUSPECT/JUNK band (3420/3450). */
+  val QualitySweepCuts: Seq[Long] = 3380L to 3480L by 10L
+
+  /** quality_filter_sweep — the cutoff-selection step of a
+    * perplexity-style quality filter: for each candidate cross-entropy
+    * ceiling, how many documents and how much token mass survive
+    * `s_millinats <= cut * n_tokens` (an exact BIGINT comparison on the
+    * integer surprisal carrier, so both engines agree bit-for-bit).
+    * This is the curve a pipeline owner reads before committing to a
+    * filter threshold — the quality twin of dedup_threshold_sweep.
+    * Scale shape: the per-doc scoring pass is text_doc_lm_score's; the
+    * sweep itself is a docs-sized rollup against an 11-row broadcast
+    * grid. Kept-share basis points via non-negative integer DIV. */
+  def qualityFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = spark.createDataFrame(
+      QualitySweepCuts.map(java.lang.Long.valueOf).map(Tuple1(_)))
+      .toDF("ce_cut_mn")
+    val kept = col("s_millinats") <= col("ce_cut_mn") * col("n_tokens")
+    docLmPerDoc(spark, dir)
+      .crossJoin(broadcast(cuts))
+      .groupBy(col("ce_cut_mn"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(kept, col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("docs_kept_bp", expr("(n_docs_kept * 10000L) DIV n_docs"))
+      .withColumn("tokens_kept_bp", expr("(n_tokens_kept * 10000L) DIV tot_tokens"))
+      .select(col("ce_cut_mn"), col("n_docs_kept"), col("n_tokens_kept"),
+        col("docs_kept_bp"), col("tokens_kept_bp"))
+      .orderBy(col("ce_cut_mn"))
+  }
+
+  lazy val qualityFilterSweepSql: String = {
+    val cutList = QualitySweepCuts.mkString("[", ",", "]")
+    s"""WITH $docLmPerDocCtes,
+      |cuts AS (SELECT unnest($cutList) AS ce_cut_mn)
+      |SELECT ce_cut_mn,
+      |  CAST(SUM(CASE WHEN s_millinats <= ce_cut_mn * n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+      |  CAST(SUM(CASE WHEN s_millinats <= ce_cut_mn * n_tokens THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+      |  CAST((SUM(CASE WHEN s_millinats <= ce_cut_mn * n_tokens THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS docs_kept_bp,
+      |  CAST((SUM(CASE WHEN s_millinats <= ce_cut_mn * n_tokens THEN n_tokens ELSE 0 END) * 10000) // SUM(n_tokens) AS BIGINT) AS tokens_kept_bp
+      |FROM per_doc CROSS JOIN cuts
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  }
 
   /** sample_mixture_plan — corpus-mix allocation planner: given a
     * deterministic per-source demand weight, allocate a fixed document

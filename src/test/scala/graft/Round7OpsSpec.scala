@@ -1675,4 +1675,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.filter(col("share_bp") < 0L || col("share_bp") > 10000L).isEmpty)
     out.unpersist()
   }
+
+  test("quality_filter_sweep: monotone in the cut; consistent with per-doc scores") {
+    import graft.operators.TextAnalysis
+    val sweep = TextAnalysis.qualityFilterSweep(spark, sf).collect()
+      .sortBy(_.getAs[Long]("ce_cut_mn"))
+    assert(sweep.length === TextAnalysis.QualitySweepCuts.length)
+    // kept counts/mass/shares are non-decreasing in the ceiling
+    sweep.zip(sweep.tail).foreach { case (a, b) =>
+      assert(a.getAs[Long]("n_docs_kept") <= b.getAs[Long]("n_docs_kept"))
+      assert(a.getAs[Long]("n_tokens_kept") <= b.getAs[Long]("n_tokens_kept"))
+      assert(a.getAs[Long]("docs_kept_bp") <= b.getAs[Long]("docs_kept_bp"))
+    }
+    sweep.foreach { r =>
+      assert(r.getAs[Long]("docs_kept_bp") >= 0L && r.getAs[Long]("docs_kept_bp") <= 10000L)
+      assert(r.getAs[Long]("tokens_kept_bp") >= 0L && r.getAs[Long]("tokens_kept_bp") <= 10000L)
+    }
+    // cross-check one interior cut against the per-doc relation: the 3450
+    // ceiling must keep exactly the docs text_doc_lm_score calls non-JUNK
+    val perDoc = TextAnalysis.textDocLmScore(spark, sf).collect()
+    val nonJunk = perDoc.count(_.getAs[String]("quality_class") != "JUNK")
+    val at3450 = sweep.find(_.getAs[Long]("ce_cut_mn") == 3450L).get
+    assert(at3450.getAs[Long]("n_docs_kept") === nonJunk.toLong)
+  }
 }
