@@ -48,7 +48,14 @@ object Dedup {
     * conditional-array explode of the base row (a 3-way union would scan
     * the table three times — at 100 TB, three full passes). */
   def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    corpusOf(Tables.documents(spark, dir))
+
+  /** The same augmentation over any (doc_id, text) relation — stateless
+    * per-row, so it applies unchanged to a document STREAM
+    * (stream_near_dedup ingests the identical corpus the batch dedup
+    * family analyzes). */
+  def corpusOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
       .select(explode(array_compact(array(
         struct(col("doc_id"), col("text")),
         when(col("doc_id") % 17 === 0,
@@ -354,7 +361,10 @@ object Dedup {
     * polynomial band keys → bucket-size cap → self-join requiring ≥2
     * shared bands, as `mh_cand`. Shared by the dedup_minhash oracle and
     * the dedup_minhash_audit oracle. */
-  private lazy val minhashCandCtes: String = {
+  /** MinHash band CTEs (build on `shinglesCtes`'s `sh`), ending in
+    * `bands(doc_id, band_id, band_hash)` — shared by the batch
+    * candidate chain below and the stream_near_dedup oracle. */
+  private[graft] lazy val minhashBandsCtes: String = {
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = perm(j)
       s"MIN((h * $a + $b) % $P) AS m$j"
@@ -376,7 +386,11 @@ object Dedup {
       |      $bandStructs
       |    ], recursive := true)
       |  FROM sig
-      |),
+      |)""".stripMargin
+  }
+
+  private lazy val minhashCandCtes: String = {
+    s"""$minhashBandsCtes,
       |bounded AS (
       |  SELECT doc_id, band_id, band_hash FROM (
       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bs FROM bands)
@@ -389,6 +403,42 @@ object Dedup {
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |)""".stripMargin
   }
+
+  /** Streaming near-dup bucket memory: each (band, hash) bucket
+    * remembers its first StreamBucketCap arrivals; later arrivals pair
+    * against the remembered members but are not added past the cap.
+    * An INDEX cap, not the batch drop-whole cap: a stream cannot
+    * retract already-emitted pairs, so oversize buckets degrade to
+    * "first cap members act as the bucket's index" instead of
+    * disappearing. Below the cap the two semantics coincide. */
+  val StreamBucketCap = 100
+
+  /** DuckDB oracle for stream_near_dedup: the arrival order of the
+    * replay is doc_id order (single AvailableNow batch, sorted within
+    * each bucket group), so "remembered" = ROW_NUMBER by doc_id ≤ cap
+    * and the stream's pair set is exactly {(a,b): same bucket, a < b,
+    * rank(a) ≤ cap}, confirmed at ≥ 2 shared bands like dedup_minhash.
+    * (At gate SFs no bucket exceeds the cap, so this equals the batch
+    * dedup_minhash pair set — DedupSpec pins that equality.) */
+  lazy val streamNearDedupSql: String =
+    s"""WITH $shinglesCtes,
+      |$minhashBandsCtes,
+      |ranked AS (
+      |  SELECT doc_id, band_id, band_hash,
+      |    ROW_NUMBER() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rnk
+      |  FROM bands
+      |),
+      |hits AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_id
+      |  FROM ranked a JOIN ranked b
+      |    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      |   AND b.doc_id > a.doc_id
+      |  WHERE a.rnk <= $StreamBucketCap
+      |)
+      |SELECT doc_a, doc_b, CAST(COUNT(DISTINCT band_id) AS BIGINT) AS n_shared_bands
+      |FROM hits GROUP BY 1, 2
+      |HAVING COUNT(DISTINCT band_id) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB oracle for dedup_minhash — exact replay via the shared
     * candidate CTEs. */

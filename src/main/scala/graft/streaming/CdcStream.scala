@@ -10,6 +10,16 @@ case class ChangeEvent(event_id: Long, user_id: Long, op: String, value: Double,
 /** Latest-state row maintained per key. */
 case class KeyState(user_id: Long, last_event_id: Long, last_op: String, last_value: Double)
 
+/** One MinHash band-bucket row of a streaming document. */
+case class BandRow(doc_id: Long, band_id: Int, band_hash: Long)
+
+/** Per-(band, hash) bucket memory for streaming near-dup: the first
+  * [[graft.operators.Dedup.StreamBucketCap]] arrivals. */
+case class BandBucketState(members: List[Long])
+
+/** A same-bucket candidate hit emitted when the later doc arrives. */
+case class BandPairHit(doc_a: Long, doc_b: Long, band_id: Int)
+
 /** Per-key churn counters maintained across micro-batches. */
 case class ChurnState(user_id: Long, n_changes: Long, n_inserts: Long,
                       n_updates: Long, n_deletes: Long,
@@ -122,16 +132,17 @@ object CdcStream {
   private def replay(spark: SparkSession, dir: String, name: String,
                      outputMode: OutputMode,
                      transform: DataFrame => DataFrame,
-                     normalize: Boolean = true): DataFrame = {
+                     normalize: Boolean = true,
+                     table: String = "events"): DataFrame = {
     spark.catalog.dropTempView(name) // allow re-running in one session
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     // The file stream source wants a directory; stage the single parquet
     // file behind a symlink (at deployment the source would already be a
     // directory of log segments).
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.createSymbolicLink(
-      stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      stage.resolve(s"$table.parquet"),
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     // A stateful query instantiates one state store per shuffle partition
     // per stateful operator; store init (dir + version files) dominates a
@@ -317,6 +328,65 @@ object CdcStream {
       |            WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_keys
       |FROM events GROUP BY 1 ORDER BY op""".stripMargin
+
+  /** Streaming near-dup candidate detection over a DOCUMENT stream —
+    * near-dedup at ingest, the streaming twin of dedup_minhash /
+    * dedup_incremental: each arriving document's 32 MinHash band hashes
+    * key it into LSH buckets; a stateful per-bucket memory
+    * (flatMapGroupsWithState) holds each bucket's first
+    * [[graft.operators.Dedup.StreamBucketCap]] members, and every later
+    * arrival emits a candidate hit against each remembered member.
+    * This is an INDEX cap (an append stream cannot retract pairs), so
+    * oversize buckets degrade to "first cap members index the bucket"
+    * instead of the batch drop-whole rule — identical below the cap.
+    * State per bucket is bounded by the cap; hit volume per arrival is
+    * bounded by tables × cap. Within a group the iterator is sorted by
+    * doc_id so the replay's arrival order is deterministic (a live
+    * deployment's order is its ingest order — the kernel, banding, and
+    * state discipline are unchanged). */
+  def nearDupBandHits(spark: SparkSession)(docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.MinHashExpressions.minhashBands
+    import graft.functions.TextFunctions.{shingles3HashedFromWords, words}
+    import graft.operators.Dedup
+    Dedup.corpusOf(docs) // stateless plant expansion — same corpus as the batch family
+      .withColumn("hs", shingles3HashedFromWords(words(col("text"))))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        posexplode(minhashBands(col("hs"), Dedup.NumHashes, Dedup.NumBands))
+          .as(Seq("band_id", "band_hash")))
+      .as[BandRow]
+      .groupByKey(r => (r.band_id, r.band_hash))
+      .flatMapGroupsWithState[BandBucketState, BandPairHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[BandBucketState]) =>
+          var mem = state.getOption.map(_.members).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[BandPairHit]
+          rows.map(_.doc_id).toArray.sorted.foreach { id =>
+            mem.foreach { m =>
+              if (m != id)
+                out += BandPairHit(math.min(m, id), math.max(m, id), key._1)
+            }
+            if (mem.size < Dedup.StreamBucketCap) mem = id :: mem
+          }
+          state.update(BandBucketState(mem))
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** stream_near_dedup — the candidate hits of [[nearDupBandHits]]
+    * confirmed at ≥ 2 shared bands (the dedup_minhash confirm rule),
+    * after full replay. Oracle-checked against the rank-capped batch
+    * replay (Dedup.streamNearDedupSql); at gate SFs no bucket exceeds
+    * the cap, so this equals dedup_minhash's pair set exactly. */
+  def streamNearDedup(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_near_dedup_sink", OutputMode.Append,
+      nearDupBandHits(spark), normalize = false, table = "documents")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("band_id")).as("n_shared_bands"))
+      .filter(col("n_shared_bands") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Stream-static enrichment: each change event joined to the static
     * customer→nation dimension (user_id = c_custkey in the test data's

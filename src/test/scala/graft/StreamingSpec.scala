@@ -263,4 +263,27 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("funnel_mem_sink")
   }
 
+
+  test("stream_near_dedup: streamed pair set equals the batch dedup_minhash at sub-cap scale") {
+    import graft.operators.Dedup
+    import graft.streaming.CdcStream
+    val streamed = CdcStream.streamNearDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands")))
+      .toSet
+    val batch = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared_bands")))
+      .toSet
+    // below StreamBucketCap the index-cap and drop-whole semantics
+    // coincide, so the streaming detector must reproduce the batch op
+    // exactly, shared-band counts included
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the planted exact copies (doc_id%17 -> +1_000_000) must be caught
+    val pairKeys = streamed.map(t => (t._1, t._2))
+    val planted = graft.core.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id")).collect()
+      .map(_.getLong(0)).filter(_ % 17 == 0)
+      .map(id => (id, id + 1000000L))
+    planted.foreach(p => assert(pairKeys.contains(p), s"planted exact copy $p missed"))
+  }
 }
