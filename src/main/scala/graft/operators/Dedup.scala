@@ -1032,6 +1032,60 @@ object Dedup {
       |FROM corpus c LEFT JOIN lab ON c.doc_id = lab.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** dedup_survivorship — "what did dedup delete": per-source census of
+    * the canonical manifest — documents and character mass kept vs
+    * dropped, as exact counts and basis points. The QA read-out a
+    * pipeline owner checks AFTER dedup and BEFORE training: a source
+    * whose mass collapses here is dup-heavy (mirror sites, boilerplate
+    * farms), and a source untouched by dedup deserves suspicion of the
+    * opposite failure. Plants are attributed to their base document's
+    * source via the corpus id convention (plant id = base + 1M/2M, so
+    * base = id % 1M). Cost: the CC labels the cluster family already
+    * computes + one id-keyed join + a sources-sized rollup; shares
+    * everything with dedup_canonical. */
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponentsOf(dupPairs(spark, dir))
+    val man = corpus(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("is_kept", coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("base_id"), col("source"))
+    man.withColumn("base_id", col("doc_id") % 1000000L)
+      .join(src, Seq("base_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_kept"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .withColumn("docs_kept_bp", expr("(n_kept * 10000L) DIV n_docs"))
+      .withColumn("chars_kept_bp", expr("(chars_kept * 10000L) DIV chars_total"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB oracle: the dedup_canonical label closure, char mass from
+    * the same corpus text, source attributed through id % 1M. */
+  lazy val dedupSurvivorshipSql: String =
+    s"""WITH RECURSIVE $clusterLabCtes,
+      |man AS (
+      |  SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars,
+      |    COALESCE(lab.cluster_id, c.doc_id) = c.doc_id AS is_kept
+      |  FROM corpus c LEFT JOIN lab ON c.doc_id = lab.doc_id
+      |),
+      |attr AS (
+      |  SELECT m.*, d.source
+      |  FROM man m JOIN documents d ON d.doc_id = m.doc_id % 1000000
+      |)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+      |  CAST(SUM(CASE WHEN is_kept THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+      |  CAST((SUM(CASE WHEN is_kept THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS docs_kept_bp,
+      |  CAST((SUM(CASE WHEN is_kept THEN n_chars ELSE 0 END) * 10000) // SUM(n_chars) AS BIGINT) AS chars_kept_bp
+      |FROM attr GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** text_dup_coverage — per-document duplicated-text coverage: the
     * fraction of a doc's distinct 3-gram shingles that occur in at least
     * one OTHER doc, classified NEAR_DUP (≥0.8) / PARTIAL (≥0.2) /

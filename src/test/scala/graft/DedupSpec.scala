@@ -332,4 +332,19 @@ class DedupSpec extends SparkSpec {
       "this pair is invisible to the dedup_ngram_jaccard threshold")
   }
 
+
+  test("dedup_survivorship: conserves the corpus; every source shows plant-driven drops") {
+    val res = Dedup.dedupSurvivorship(spark, sf).collect()
+    val nCorpus = Dedup.corpus(spark, sf).count()
+    assert(res.map(_.getAs[Long]("n_docs")).sum === nCorpus, "per-source docs partition the corpus")
+    res.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(k >= 1L && k <= n)
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+      assert(r.getAs[Long]("docs_kept_bp") <= 10000L)
+      assert(r.getAs[Long]("chars_kept_bp") <= 10000L)
+      // the mod-17 exact plants guarantee every populous source drops docs
+      if (n >= 17L) assert(k < n, s"source ${r.getAs[String]("source")} shows no dedup at all")
+    }
+  }
 }
