@@ -267,6 +267,42 @@ object Similarity {
   /** knn_brute — exact top-k cosine neighbors for each query vector
     * (the fixed [[QueryCap]]-bounded batch: vec_id % 100 == 0 AND
     * vec_id < QueryCap). */
+  /** Streaming retrieval transform for stream_knn: QUERY vectors arrive
+    * as a stream and retrieve their exact top-K against the static
+    * corpus — the online-serving shape (a retrieval endpoint fed by an
+    * event stream). The corpus side is a stream-static broadcast (re-read
+    * per micro-batch at deployment, so index refreshes are picked up);
+    * each query row fans out to its candidates via the broadcast
+    * cross-join, so ALL of a query's candidates live in its own
+    * micro-batch and the per-query top-K (flatMapGroupsWithState, no
+    * retained state) is batching-invariant. Output ≡ knn_brute
+    * restricted to the query batch — the oracle is knn_brute's,
+    * verbatim. */
+  def knnServe(spark: SparkSession, dir: String)(stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    val corpusB = broadcast(vecs(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")))
+    stream
+      .filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+      .crossJoin(corpusB)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[(Long, Long, Double)],
+         _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          it.toArray.sortBy(t => (-t._3, t._2)).take(K).zipWithIndex
+            .map { case ((_, nb, cs), i) => (qid, nb, i + 1, cs) }.iterator
+      }
+      .toDF("query_id", "neighbor_id", "knn_rank", "cos_sim")
+  }
+
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(isQuery(col("vec_id")))

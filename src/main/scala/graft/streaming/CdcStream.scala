@@ -375,6 +375,17 @@ object CdcStream {
       .toDF()
   }
 
+  /** stream_knn — streaming retrieval serving: query vectors arriving
+    * on a stream retrieve their exact top-K against the broadcast
+    * static corpus (Similarity.knnServe). Oracle-checked against
+    * knn_brute verbatim — the stream must reproduce the batch
+    * retrieval bit-for-bit. */
+  def streamKnn(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_knn_sink", OutputMode.Append,
+      graft.operators.Similarity.knnServe(spark, dir),
+      normalize = false, table = "embeddings")
+      .orderBy(col("query_id"), col("knn_rank"))
+
   /** stream_near_dedup — the candidate hits of [[nearDupBandHits]]
     * confirmed at ≥ 2 shared bands (the dedup_minhash confirm rule),
     * after full replay. Oracle-checked against the rank-capped batch

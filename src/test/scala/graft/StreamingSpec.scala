@@ -286,4 +286,19 @@ class StreamingSpec extends SparkSpec {
       .map(id => (id, id + 1000000L))
     planted.foreach(p => assert(pairKeys.contains(p), s"planted exact copy $p missed"))
   }
+
+  test("stream_knn: streamed retrieval equals batch knn_brute bit-for-bit") {
+    import graft.operators.Similarity
+    import graft.streaming.CdcStream
+    val streamed = CdcStream.streamKnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("knn_rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      .toSet
+    val batch = Similarity.knnBrute(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("knn_rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
