@@ -303,6 +303,52 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "knn_rank", "cos_sim")
   }
 
+  /** embed_index_plan — the index planner's decisions as data: for the
+    * corpus at hand, the adaptive parameters every ANN/dedup index in
+    * this engine would build with — knn_lsh signature width, the
+    * dedup_embedding banding width, IVF cell count, PQ codewords —
+    * derived ONLY from (N, labels) by the §11 integer threshold chains,
+    * and therefore oracle-checkable: a config drift between engines (or
+    * a silently mis-sized index after a data growth step) fails the
+    * hash gate. One bounded scalar aggregate; one output row. */
+  def embedIndexPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    e.agg(count(lit(1)).as("n_vectors"), countDistinct(col("label")).as("n_labels"))
+      .withColumn("lsh_bits",
+        (LshBitsMin until LshBitsMax).foldLeft(lit(LshBitsMin)) { (acc, j) =>
+          acc + when(col("n_vectors") > lit(LshTargetBucket.toLong << j), 1).otherwise(0)
+        })
+      .withColumn("emb_bits",
+        (EmbBits until EmbBitsMax).foldLeft(lit(EmbBits)) { (acc, j) =>
+          acc + when(col("n_vectors") >
+            lit(EmbTargetBucket.toLong * (1L << j)) * col("n_labels"), 1).otherwise(0)
+        })
+      .withColumn("ivf_cells",
+        least(lit(IvfCentCap.toLong), ceil(col("n_vectors").cast("double") / IvfSampleMod)
+          .cast("long")))
+      .withColumn("pq_codewords",
+        least(lit(PqCentCap.toLong), ceil(col("n_vectors").cast("double") / PqCentMod)
+          .cast("long")))
+      .select(col("n_vectors"), col("n_labels"), col("lsh_bits"), col("emb_bits"),
+        col("ivf_cells"), col("pq_codewords"))
+  }
+
+  lazy val embedIndexPlanSql: String = {
+    val lshBits = s"($LshBitsMin" + (LshBitsMin until LshBitsMax).map(j =>
+      s" + (CASE WHEN n_vectors > ${LshTargetBucket.toLong << j} THEN 1 ELSE 0 END)").mkString + ")"
+    val embBits = s"($EmbBits" + (EmbBits until EmbBitsMax).map(j =>
+      s" + (CASE WHEN n_vectors > ${EmbTargetBucket.toLong * (1L << j)} * n_labels THEN 1 ELSE 0 END)").mkString + ")"
+    s"""WITH st AS (
+      |  SELECT COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels FROM embeddings
+      |)
+      |SELECT n_vectors, n_labels,
+      |  CAST($lshBits AS INT) AS lsh_bits,
+      |  CAST($embBits AS INT) AS emb_bits,
+      |  CAST(LEAST($IvfCentCap, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $IvfSampleMod) AS BIGINT)) AS BIGINT) AS ivf_cells,
+      |  CAST(LEAST($PqCentCap, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $PqCentMod) AS BIGINT)) AS BIGINT) AS pq_codewords
+      |FROM st""".stripMargin
+  }
+
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(isQuery(col("vec_id")))

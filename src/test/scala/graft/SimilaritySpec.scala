@@ -183,4 +183,17 @@ class SimilaritySpec extends SparkSpec {
     assert(sumSizes === n, "cell sizes must partition the corpus exactly")
   }
 
+
+  test("embed_index_plan: one row agreeing with the planner functions") {
+    val r = Similarity.embedIndexPlan(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val n = row.getAs[Long]("n_vectors")
+    val l = row.getAs[Long]("n_labels")
+    assert(n === graft.core.Tables.embeddings(spark, sf).count())
+    assert(row.getAs[Int]("lsh_bits") === Similarity.lshBitsFor(n))
+    assert(row.getAs[Int]("emb_bits") === Similarity.embBitsFor(n, l))
+    assert(row.getAs[Long]("ivf_cells") <= Similarity.IvfCentCap.toLong)
+    assert(row.getAs[Long]("pq_codewords") <= Similarity.PqCentCap.toLong)
+  }
 }
