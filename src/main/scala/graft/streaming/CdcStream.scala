@@ -136,13 +136,31 @@ object CdcStream {
                      table: String = "events"): DataFrame = {
     spark.catalog.dropTempView(name) // allow re-running in one session
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
-    // The file stream source wants a directory; stage the single parquet
-    // file behind a symlink (at deployment the source would already be a
-    // directory of log segments).
+    // The file stream source wants a directory of data FILES; stage the
+    // table behind symlinks (at deployment the source would already be a
+    // directory of log segments). A single-file table links as-is; a
+    // directory table (the ScaleGen outputs) links each part file —
+    // the source does NOT descend into subdirectories, and silently
+    // streaming zero rows poisoned every committed stream-op time at
+    // sf1/sf10 until round 9 caught it.
+    // (absolute link targets: a relative `dir` would otherwise leave
+    // the links dangling relative to the stage directory)
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.createSymbolicLink(
-      stage.resolve(s"$table.parquet"),
-      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = java.nio.file.Files.list(src).iterator()
+      var i = 0
+      while (parts.hasNext) {
+        val f = parts.next().toAbsolutePath
+        if (f.getFileName.toString.endsWith(".parquet")) {
+          java.nio.file.Files.createSymbolicLink(
+            stage.resolve(f"part-$i%05d.parquet"), f)
+          i += 1
+        }
+      }
+    } else {
+      java.nio.file.Files.createSymbolicLink(stage.resolve(s"$table.parquet"), src)
+    }
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     // A stateful query instantiates one state store per shuffle partition
     // per stateful operator; store init (dir + version files) dominates a
@@ -166,7 +184,22 @@ object CdcStream {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // The memory sink pins every emitted row in the driver for as long
+    // as the sink table stays registered — across a multi-query bench
+    // run at sf10 those tables add up to a driver OOM (measured: six
+    // stream queries cascading to failure after stream_scd2's 10M-row
+    // sink). Materialize to a spillable local checkpoint, then drop the
+    // sink and its scratch dirs so each replay leaves nothing pinned.
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    def rmTree(p: java.nio.file.Path): Unit =
+      try {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Throwable => () }
+    rmTree(ck)
+    rmTree(stage)
+    out
   }
 
   /** stream_cdc_apply — final emitted latest-state per key after
