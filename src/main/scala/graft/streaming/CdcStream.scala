@@ -51,6 +51,18 @@ case class BurstState(user_id: Long, n_gaps: Long, sx: Long, sxx: Long,
   */
 object CdcStream {
 
+  /** File-sink dirs from prior [[replay]] calls, reclaimed lazily (next
+    * replay / JVM exit) — see the sink-lifetime note inside replay. */
+  private val staleSinks =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    staleSinks.forEach { p =>
+      try {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Throwable => () }
+    }))
+
   /** Epoch-micros column for the `ts` field under any of the three
     * parquet encodings the generator has shipped (long nanos,
     * TIMESTAMP_NTZ micros, session-zone timestamp). */
@@ -170,6 +182,18 @@ object CdcStream {
     // A real deployment sizes this to live-key volume, not CPU count.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
+    // Keyed state must NOT live as JVM objects: the default in-memory
+    // provider holds every (key → state) entry of every retained version
+    // on-heap, and at sf10 the band-bucket state of stream_near_dedup
+    // alone exceeds the 24g driver heap (measured: full-GC heartbeat
+    // timeouts, then a dead context poisoning the rest of the bench).
+    // RocksDB keeps state off-heap with native spill — the same choice a
+    // 100 TB deployment makes, where live-key volume always dwarfs any
+    // executor's heap. Restored after the replay so tests that pin the
+    // default provider's behavior are unaffected.
+    val prevStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Offset/commit logs and state-store versions fsync per micro-batch;
     // for an ephemeral replay put the checkpoint on tmpfs when present
     // (a durable deployment points this at reliable storage instead).
@@ -177,21 +201,33 @@ object CdcStream {
       "/dev/shm" else System.getProperty("java.io.tmpdir")
     val ck = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(ckBase), "graft-ck")
+    // Sink choice is a scale decision, not a convenience one. The memory
+    // sink pins every emitted row in the driver AS THE QUERY RUNS — fine
+    // for Complete/Update-mode results, whose size is the (bounded)
+    // aggregate state, fatal for Append-mode pair/event listers whose
+    // output grows with the data (measured: stream_near_dedup's candidate
+    // stream alone exhausts a 24g heap at sf10 mid-replay, killing the
+    // context and every query after it). Append replays therefore go
+    // through a parquet file sink — exactly where a production stream
+    // lands them — and are read back executor-side; only bounded-state
+    // modes keep the memory sink.
+    val transformed = transform(if (normalize) toChangeEvents(stream) else stream)
+    val fileSink = outputMode == OutputMode.Append
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-sink")
     try {
-      val q = transform(if (normalize) toChangeEvents(stream) else stream).writeStream
-        .format("memory").queryName(name).outputMode(outputMode)
+      val w = transformed.writeStream.outputMode(outputMode)
         .option("checkpointLocation", ck.toString)
-        .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow())
+      val q = if (fileSink) w.format("parquet").option("path", sinkDir.toString).start()
+              else w.format("memory").queryName(name).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    // The memory sink pins every emitted row in the driver for as long
-    // as the sink table stays registered — across a multi-query bench
-    // run at sf10 those tables add up to a driver OOM (measured: six
-    // stream queries cascading to failure after stream_scd2's 10M-row
-    // sink). Materialize to a spillable local checkpoint, then drop the
-    // sink and its scratch dirs so each replay leaves nothing pinned.
-    val out = spark.table(name).localCheckpoint(true)
-    spark.catalog.dropTempView(name)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      prevStore match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     def rmTree(p: java.nio.file.Path): Unit =
       try {
         java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -199,7 +235,26 @@ object CdcStream {
       } catch { case _: Throwable => () }
     rmTree(ck)
     rmTree(stage)
-    out
+    if (fileSink) {
+      // Hand back the file-sink output as a lazy scan — re-materializing
+      // an unbounded pair list through the block manager would pay the
+      // write twice. The dir outlives this call (the caller still scans
+      // it); it is reclaimed at the NEXT replay in this session, by which
+      // point every caller (bench attempt, verify dump, spec assertion)
+      // has consumed its result, and at JVM exit as a backstop.
+      staleSinks.forEach(rmTree); staleSinks.clear()
+      staleSinks.add(sinkDir)
+      spark.read.schema(transformed.schema).parquet(sinkDir.toString)
+    } else {
+      // Bounded aggregate state: detach from the memory sink so the
+      // driver-pinned rows are droppable, then unregister the sink table
+      // (they otherwise accumulate across a multi-query bench run —
+      // measured as a cascading driver OOM at sf10).
+      val out = spark.table(name).localCheckpoint(true)
+      spark.catalog.dropTempView(name)
+      rmTree(sinkDir)
+      out
+    }
   }
 
   /** stream_cdc_apply — final emitted latest-state per key after
