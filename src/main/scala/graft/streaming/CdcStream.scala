@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -202,24 +202,39 @@ object CdcStream {
     val ck = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(ckBase), "graft-ck")
     // Sink choice is a scale decision, not a convenience one. The memory
-    // sink pins every emitted row in the driver AS THE QUERY RUNS — fine
-    // for Complete/Update-mode results, whose size is the (bounded)
-    // aggregate state, fatal for Append-mode pair/event listers whose
-    // output grows with the data (measured: stream_near_dedup's candidate
-    // stream alone exhausts a 24g heap at sf10 mid-replay, killing the
-    // context and every query after it). Append replays therefore go
-    // through a parquet file sink — exactly where a production stream
-    // lands them — and are read back executor-side; only bounded-state
-    // modes keep the memory sink.
+    // sink pins every emitted row in the driver AS THE QUERY RUNS, and its
+    // per-batch collect is subject to spark.driver.maxResultSize — fine
+    // for Complete-mode results, whose size is the (bounded) aggregate
+    // state, fatal whenever emission volume grows with the DATA:
+    // Append-mode pair/event listers (measured: stream_near_dedup's
+    // candidate stream exhausts a 24g heap at sf10 mid-replay) and
+    // Update-mode change folds alike (measured: stream_scd2's history
+    // emissions, ∝ change volume not live keys, blow the 1 GiB
+    // maxResultSize in one sf10 micro-batch). Both therefore land in a
+    // parquet file sink — exactly where a production stream writes them —
+    // and are read back executor-side; only Complete mode keeps the
+    // memory sink. Append uses the native FileStreamSink (exactly-once
+    // via its metadata log); Update, which FileStreamSink rejects, goes
+    // through foreachBatch append — at-least-once under batch RETRY in
+    // general, but a replay is a single fresh-checkpoint AvailableNow
+    // pass, and every Update consumer in this file folds the emission
+    // union idempotently (per-key min/max/max_by), so a duplicate batch
+    // could not change a result even if one occurred.
     val transformed = transform(if (normalize) toChangeEvents(stream) else stream)
-    val fileSink = outputMode == OutputMode.Append
+    val fileSink = outputMode != OutputMode.Complete
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-sink")
     try {
       val w = transformed.writeStream.outputMode(outputMode)
         .option("checkpointLocation", ck.toString)
         .trigger(Trigger.AvailableNow())
-      val q = if (fileSink) w.format("parquet").option("path", sinkDir.toString).start()
-              else w.format("memory").queryName(name).start()
+      val q =
+        if (outputMode == OutputMode.Append)
+          w.format("parquet").option("path", sinkDir.toString).start()
+        else if (fileSink)
+          w.foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.write.mode("append").parquet(sinkDir.toString)
+          }.start()
+        else w.format("memory").queryName(name).start()
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
