@@ -159,6 +159,7 @@ object CdcStream {
     // the links dangling relative to the stage directory)
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath
+    var stagedBytes = 0L
     if (java.nio.file.Files.isDirectory(src)) {
       val parts = java.nio.file.Files.list(src).iterator()
       var i = 0
@@ -167,21 +168,31 @@ object CdcStream {
         if (f.getFileName.toString.endsWith(".parquet")) {
           java.nio.file.Files.createSymbolicLink(
             stage.resolve(f"part-$i%05d.parquet"), f)
+          stagedBytes += java.nio.file.Files.size(f)
           i += 1
         }
       }
     } else {
       java.nio.file.Files.createSymbolicLink(stage.resolve(s"$table.parquet"), src)
+      stagedBytes = java.nio.file.Files.size(src)
     }
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
     // A stateful query instantiates one state store per shuffle partition
-    // per stateful operator; store init (dir + version files) dominates a
-    // short replay's wall time. Run the replay at a lower state
-    // parallelism — the setting is sticky per query via its (fresh)
-    // checkpoint, so this does not affect batch queries in the session.
-    // A real deployment sizes this to live-key volume, not CPU count.
+    // per stateful operator, and the right parallelism is a function of
+    // INGEST VOLUME, not CPU count: per-partition store init (dir +
+    // version files) dominates a short replay's wall time (hence the
+    // floor of 8), while per-key state work dominates at scale (measured:
+    // stream_near_dedup at sf10 falls 310 → 141 s going 8 → 32
+    // partitions). Staged bytes are the replay's proxy for volume — one
+    // partition per ~2 MB of compressed input, capped at the session's
+    // parallelism. A real deployment sizes this to live-key volume; the
+    // setting is sticky per query via its (fresh) checkpoint, so batch
+    // queries in the session are unaffected. GRAFT_STREAM_PARTS overrides.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", sys.env.getOrElse("GRAFT_STREAM_PARTS", "8"))
+    val autoParts = math.max(8, math.min(spark.sparkContext.defaultParallelism,
+      (stagedBytes / (2L << 20)).toInt))
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_PARTS", autoParts.toString))
     // Keyed state must NOT live as JVM objects: the default in-memory
     // provider holds every (key → state) entry of every retained version
     // on-heap, and at sf10 the band-bucket state of stream_near_dedup
