@@ -2104,4 +2104,112 @@ object Similarity {
       |FROM fwd LEFT JOIN rev ON rev.qid = fwd.nid AND rev.nid = fwd.qid
       |GROUP BY fwd.qid
       |ORDER BY query_id""".stripMargin
+
+  // embed_rp_distortion geometry: 16 Rademacher projection planes from
+  // the shared deterministic family, DISJOINT from the LSH plane ranges
+  // (knn_lsh and dedup_embedding both use planes [0, 192)).
+  val RpDim = 16
+  val RpPlaneBase = 192
+  // projection rescale: pj ≤ 64·1e9 on the 1e-9 grid; ÷1e5 keeps every
+  // 16-term product-sum exact in int64 (|pjm| ≤ 2²⁰ ⇒ dot ≤ 2⁴⁴)
+  val RpScale = 100000d
+
+  /** embed_rp_distortion — Johnson-Lindenstrauss distortion audit of a
+    * 64 → 16 sparse random projection (Achlioptas ±1 planes): for every
+    * same-label pair within the [[SimHistBand]] id window (the
+    * embed_sim_hist pair space), the error |cos₆₄ − cos₁₆| between the
+    * original and the projected cosine, bucketed in 25-milli bands.
+    * This is the go/no-go measurement for running the CHEAP 16-dim
+    * pipeline (4× less shuffle and state in every downstream ANN/dedup
+    * pass) — JL says the histogram should concentrate near zero; the
+    * tail mass is exactly what a 100 TB operator would trade away.
+    *
+    * Determinism: projections are quantized plane dots (exact longs,
+    * the kernel's 1e-9 grid), rescaled by ⌊pⱼ/1e5⌋ via double FLOOR
+    * (pⱼ ≤ 2³⁶ is exact in double) so the 16-term dot/norms are exact
+    * int64 on both engines; each cosine is millis-quantized BEFORE the
+    * subtraction so the error carrier is an exact integer.
+    *
+    * Scale shape: 16 qdot kernel calls per row (one projection pass,
+    * map-side), the banded self-join is linear in N (each vector joins
+    * ≤ band neighbors), and the rollup is a handful of buckets. */
+  def embedRpDistortion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftvec.{LshSignatures => LS}
+    val e = vecs(spark, dir)
+    def planeCol(j: Int): Column =
+      array((0 until Dim).map(i => lit(LS.planeSign(RpPlaneBase + j, i))): _*)
+    val projected = e
+      .withColumn("pm", array((0 until RpDim).map(j =>
+        floor(qdot(col("v"), planeCol(j)).cast("double") / RpScale).cast("long")): _*))
+      .withColumn("n16", (0 until RpDim).map(j =>
+        element_at(col("pm"), j + 1) * element_at(col("pm"), j + 1))
+        .reduce(_ + _))
+    val a = projected.select(col("label"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"), col("pm").as("pa"), col("n16").as("n16a"))
+      .withColumn("band", floor(col("vec_a") / SimHistBand))
+    val b = projected.select(col("label"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"), col("pm").as("pb"), col("n16").as("n16b"))
+      .withColumn("band", explode(array(floor(col("vec_b") / SimHistBand),
+        floor(col("vec_b") / SimHistBand) - 1)))
+    val dot16 = (0 until RpDim).map(j =>
+      element_at(col("pa"), j + 1) * element_at(col("pb"), j + 1)).reduce(_ + _)
+    a.join(b, Seq("label", "band"))
+      .filter(col("vec_a") < col("vec_b") &&
+        col("vec_b") - col("vec_a") <= SimHistBand)
+      .withColumn("cos64", qcos(qdot(col("va"), col("vb")), col("na"), col("nb")))
+      .withColumn("cos16",
+        when(col("n16a") > 0L && col("n16b") > 0L,
+          dot16.cast("double") / sqrt(col("n16a").cast("double") * col("n16b").cast("double")))
+          .otherwise(lit(0d)))
+      .withColumn("err_mn",
+        abs(floor(col("cos64") * 1000d + 0.5d).cast("long")
+          - floor(col("cos16") * 1000d + 0.5d).cast("long")))
+      .withColumn("err_bucket", expr("err_mn DIV 25"))
+      .groupBy(col("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("err_mn")).as("err_min_mn"),
+        max(col("err_mn")).as("err_max_mn"))
+      .withColumn("bucket_lo_mn", col("err_bucket") * 25L)
+      .select(col("err_bucket"), col("bucket_lo_mn"), col("n_pairs"),
+        col("err_min_mn"), col("err_max_mn"))
+      .orderBy(col("err_bucket"))
+  }
+
+  lazy val embedRpDistortionSql: String = {
+    import org.apache.spark.sql.graftvec.{LshSignatures => LS}
+    def planeList(j: Int): String =
+      (0 until Dim).map(i =>
+        if (LS.planeSign(RpPlaneBase + j, i) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    val pmList = (0 until RpDim).map { j =>
+      val pl = planeList(j)
+      s"""CAST(FLOOR(CAST(list_sum(list_transform(embedding,
+         |  (x, i) -> CAST(FLOOR(CAST(x AS DOUBLE) * ($pl)[i] * 1e9 + 0.5) AS BIGINT)))
+         |  AS DOUBLE) / $RpScale) AS BIGINT)""".stripMargin
+    }.mkString("[", ",\n", "]")
+    s"""WITH e AS ($vecsSql),
+      |proj AS (
+      |  SELECT vec_id, label, embedding, nrm, $pmList AS pm FROM e
+      |), pr AS (
+      |  SELECT *, CAST(list_sum(list_transform(pm, x -> x * x)) AS BIGINT) AS n16
+      |  FROM proj
+      |), pairs AS (
+      |  SELECT
+      |    CAST(FLOOR(CAST(${dotSql("a.embedding", "b.embedding")} AS DOUBLE)
+      |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+      |    - CAST(FLOOR((CASE WHEN a.n16 > 0 AND b.n16 > 0 THEN
+      |        CAST(list_sum(list_transform(a.pm, (x, i) -> x * b.pm[i])) AS DOUBLE)
+      |          / sqrt(CAST(a.n16 AS DOUBLE) * CAST(b.n16 AS DOUBLE))
+      |        ELSE 0.0 END) * 1000 + 0.5) AS BIGINT) AS d_mn
+      |  FROM pr a JOIN pr b ON a.label = b.label AND a.vec_id < b.vec_id
+      |    AND b.vec_id - a.vec_id <= $SimHistBand
+      |)
+      |SELECT abs(d_mn) // 25 AS err_bucket,
+      |  (abs(d_mn) // 25) * 25 AS bucket_lo_mn,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(MIN(abs(d_mn)) AS BIGINT) AS err_min_mn,
+      |  CAST(MAX(abs(d_mn)) AS BIGINT) AS err_max_mn
+      |FROM pairs GROUP BY 1
+      |ORDER BY err_bucket""".stripMargin
+  }
 }

@@ -1937,4 +1937,207 @@ object TextAnalysis {
       |CROSS JOIN (SELECT CAST(UNNEST([512, 2048, 8192]) AS BIGINT) AS win)
       |GROUP BY source, win
       |ORDER BY source, win""".stripMargin
+
+  /** Context-chunk geometry for [[textChunks]]: a RAG / long-context
+    * prep step slices each doc's token stream into fixed windows with
+    * a fixed overlap — chunk k covers token span
+    * [k·stride, k·stride + ChunkTokens). */
+  val ChunkTokens = 256L
+  val ChunkStride = 224L // overlap = ChunkTokens - ChunkStride = 32 tokens
+
+  /** text_chunks — the chunk TABLE a retrieval / long-context pipeline
+    * materializes from the corpus: each doc's token stream sliced into
+    * [[ChunkTokens]]-token windows every [[ChunkStride]] tokens (32-token
+    * overlap, the RAG chunking default shape), one output row per chunk
+    * with an exact position-weighted content fingerprint
+    * (Σ polyhash(wᵢ)·(i−start+1) mod P — order-sensitive, yet computable
+    * from unordered rows because each token knows its own offset; a plain
+    * hash-of-concat would need an ordered per-chunk reduce).
+    *
+    * Scale shape: ONE posexplode (rows ∝ corpus tokens — overlap < stride
+    * means each token lands in ≤ 2 chunks, a bounded constant factor),
+    * one (doc, chunk) groupBy partitioned by doc_id, zero windows, zero
+    * joins. Output ∝ tokens / stride. At 100 TB this is a map + combine
+    * pass — the same shape a production chunker runs. */
+  def textChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftvec.VectorExpressions.polyHash
+    val S = ChunkStride
+    val ov = ChunkTokens - ChunkStride
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        polyHash(col("w")).as("h"))
+      .withColumn("k0", expr(s"p DIV $S"))
+    toks
+      .select(col("doc_id"), col("p"), col("h"),
+        explode(array_compact(array(
+          col("k0"),
+          // the first `ov` tokens of stride-window k are also the TAIL
+          // of chunk k−1 (token span [(k−1)·S + S, (k−1)·S + S + ov))
+          when(col("k0") >= 1L && col("p") % S < ov, col("k0") - 1L))))
+          .as("chunk_idx"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("h") * (col("p") - col("chunk_idx") * S + 1L))
+          % 1000000007L).as("chunk_fp"))
+      .withColumn("tok_start", col("chunk_idx") * S)
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("n_toks"), col("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val textChunksSql: String = {
+    val S = ChunkStride
+    val ov = ChunkTokens - ChunkStride
+    val baseHash = graft.operators.Dedup.baseHashSql
+    s"""WITH toks AS (
+      |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+      |), psh AS (
+      |  SELECT doc_id, i - 1 AS p, ${baseHash.format("ws[i]")} AS h
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)
+      |), a AS (
+      |  SELECT doc_id, p, h, p // $S AS k FROM psh
+      |  UNION ALL
+      |  SELECT doc_id, p, h, p // $S - 1 AS k FROM psh
+      |  WHERE p // $S >= 1 AND p % $S < $ov
+      |)
+      |SELECT doc_id, k AS chunk_idx, k * $S AS tok_start,
+      |  COUNT(*) AS n_toks,
+      |  CAST(SUM(h * (p - k * $S + 1)) % 1000000007 AS BIGINT) AS chunk_fp
+      |FROM a GROUP BY doc_id, k
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Winnowing geometry for [[textWinnowFp]] (Schleimer-Wilkerson-Aiken
+    * local fingerprinting): k-gram size and selection-window width. Any
+    * shared substring of at least WinnowK + WinnowW − 1 = 12 words is
+    * GUARANTEED to contribute at least one common fingerprint — the
+    * winnowing correctness property. */
+  val WinnowK = 5
+  val WinnowW = 8
+
+  /** text_winnow_fp — per-document winnowing fingerprints, the
+    * plagiarism/MOSS-style LOCAL document signature: positional
+    * [[WinnowK]]-gram polyhashes, then the minimum hash of each
+    * [[WinnowW]]-wide sliding window is selected, and the doc's
+    * fingerprint set is the distinct selected values. Unlike the global
+    * MinHash sketch (dedup_minhash), winnowing is position-local: two
+    * docs sharing ANY ≥ 12-word substring must share a fingerprint, so
+    * the fingerprint index supports partial-overlap retrieval, not just
+    * whole-doc near-dup. Output is the per-doc census (gram/window/
+    * fingerprint counts + an order-independent set digest); the
+    * fingerprint INDEX itself is the (doc_id, fp) pre-distinct relation
+    * this query reduces.
+    *
+    * Determinism: min-of-window needs no tiebreak (values, not
+    * positions, are selected); the set digest is Σ distinct fp mod P —
+    * exact in int64 (each fp < 2³⁰; docs hold ≪ 2³⁴ fingerprints).
+    *
+    * Scale shape: one kernel pass (ShinglesKHashedSeq), one per-doc
+    * window sorted by position (partition-local after the doc_id
+    * shuffle), one per-doc rollup. Output ∝ docs. */
+  def textWinnowFp(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .withColumn("ws", words(col("text")))
+      .select(col("doc_id"),
+        posexplode(shinglesKHashedSeqFromWords(col("ws"), WinnowK))
+          .as(Seq("pos", "h")))
+      .withColumn("pos", col("pos").cast("long"))
+      .withColumn("mn", min(col("h")).over(w.rowsBetween(0, WinnowW - 1)))
+      .withColumn("n_grams", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // only FULL windows select (the trailing < WinnowW grams are
+      // covered by earlier windows; a doc with < WinnowW grams emits none)
+      .filter(col("pos") <= col("n_grams") - WinnowW.toLong)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_windows"),
+        countDistinct(col("mn")).as("n_fps"),
+        (sum_distinct(col("mn")) % 1000000007L).as("fp_digest"),
+        min(col("mn")).as("fp_min"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textWinnowFpSql: String = {
+    val k = WinnowK
+    val win = (0 until k).map(j => s"ws[i+$j]").mkString(" || '_' || ")
+    val baseHash = graft.operators.Dedup.baseHashSql
+    s"""WITH toks AS (
+      |  SELECT doc_id, ${wordsSql("text")} AS ws FROM documents
+      |), psh AS (
+      |  SELECT doc_id, i - 1 AS pos, ${baseHash.format(win)} AS h
+      |  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ws) - $k + 2, 1))) AS i)
+      |  WHERE len(ws) >= $k
+      |), sel AS (
+      |  SELECT doc_id, pos,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS mn,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      |  FROM psh
+      |)
+      |SELECT doc_id, MAX(n_grams) AS n_grams, COUNT(*) AS n_windows,
+      |  CAST(COUNT(DISTINCT mn) AS BIGINT) AS n_fps,
+      |  CAST(SUM(DISTINCT mn) % 1000000007 AS BIGINT) AS fp_digest,
+      |  CAST(MIN(mn) AS BIGINT) AS fp_min
+      |FROM sel WHERE pos <= n_grams - $WinnowW
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** sample_curriculum — curriculum-ordering schedule: docs are ranked
+    * easy → hard by an exact integer difficulty proxy (mean word length
+    * in millichars — short-word prose reads easier than jargon), split
+    * into 10 value-banded phases at the corpus's difficulty deciles, and
+    * the schedule reports each phase's doc/token mass. The curriculum
+    * consumer trains phase 1 → 10; the token masses are the phase
+    * budget sizes.
+    *
+    * Scale discipline (the q37 pattern): NO global sort / ntile — the
+    * nine decile cuts are one percentile aggregate broadcast back, and
+    * every doc finds its phase map-side by counting cuts ≤ its
+    * difficulty. Ties at a cut land deterministically in the lower
+    * phase on both engines (identical ≤ on identical doubles). */
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(words(col("text"))).cast("long").as("n_toks"))
+      .withColumn("difficulty_mn",
+        expr("(n_chars * 1000L) DIV greatest(n_toks, 1L)"))
+    val cuts = d.agg(expr(
+      "percentile(difficulty_mn, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("qs"))
+    d.crossJoin(broadcast(cuts))
+      .withColumn("phase",
+        (lit(1) + size(filter(col("qs"),
+          c => c < col("difficulty_mn").cast("double")))).cast("long"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("difficulty_mn")).as("difficulty_min"),
+        max(col("difficulty_mn")).as("difficulty_max"))
+      .orderBy(col("phase"))
+  }
+
+  val sampleCurriculumSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(${wordsSql("text")}) AS BIGINT) AS n_toks,
+      |    (n_chars * 1000) // GREATEST(CAST(len(${wordsSql("text")}) AS BIGINT), 1)
+      |      AS difficulty_mn
+      |  FROM documents
+      |), cuts AS (
+      |  SELECT quantile_cont(difficulty_mn,
+      |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM d
+      |), b AS (
+      |  SELECT n_toks, difficulty_mn,
+      |    1 + len(list_filter((SELECT qs FROM cuts),
+      |      c -> c < CAST(difficulty_mn AS DOUBLE))) AS phase
+      |  FROM d
+      |)
+      |SELECT CAST(phase AS BIGINT) AS phase, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(MIN(difficulty_mn) AS BIGINT) AS difficulty_min,
+      |  CAST(MAX(difficulty_mn) AS BIGINT) AS difficulty_max
+      |FROM b GROUP BY phase
+      |ORDER BY phase""".stripMargin
 }

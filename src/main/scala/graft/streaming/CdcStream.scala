@@ -1063,4 +1063,57 @@ object CdcStream {
       .select(col("user_id"), col("f.n_events").as("n_events"),
         col("f.funnel_stage").as("funnel_stage"))
       .orderBy(col("user_id"))
+
+  /** Stateless per-(source, class) quality rollup — text_quality's CASE
+    * rules applied at the ingest boundary. Stateless classification +
+    * Complete-mode bounded aggregate: the state is sources × 3 rows
+    * regardless of ingest volume. */
+  def qualityGateCounts(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{markerHits, words}
+    val en = Seq("the", "a", "of", "and", "to", "is")
+    docs
+      .select(col("source"),
+        size(words(col("text"))).cast("long").as("n_words"),
+        markerHits(col("text"), en).cast("long").as("stop_hits"))
+      .withColumn("quality_class",
+        when(col("n_words") < 40L, "TOO_SHORT")
+          .when(col("stop_hits").cast("double") / col("n_words") > 0.12, "BOILERPLATE")
+          .otherwise("OK"))
+      .groupBy(col("source"), col("quality_class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+  }
+
+  /** stream_quality_gate — the pretraining quality filter AT INGEST:
+    * documents arriving on a stream classify TOO_SHORT / BOILERPLATE /
+    * OK by the same stateless rules the batch text_quality op applies,
+    * rolled up per (source, class) in Complete mode. A production crawl
+    * ingests through exactly this gate — the rollup is the live
+    * drop-rate dashboard, and the oracle pins it to the batch rules so
+    * the gate cannot drift from the offline filter. Stateless
+    * classification means no watermark and no keyed state beyond the
+    * sources × 3 aggregate rows. */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "stream_quality_gate_sink", OutputMode.Complete,
+      qualityGateCounts, normalize = false, table = "documents")
+      .orderBy(col("source"), col("quality_class"))
+
+  val streamQualityGateSql: String = {
+    import graft.functions.TextFunctions.wordsSql
+    val w = wordsSql("text")
+    val stops = "('the','a','of','and','to','is')"
+    s"""WITH d AS (
+      |  SELECT source,
+      |    CAST(len($w) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter($w, x -> x IN $stops)) AS BIGINT) AS stop_hits
+      |  FROM documents
+      |)
+      |SELECT source,
+      |  CASE WHEN n_words < 40 THEN 'TOO_SHORT'
+      |       WHEN CAST(stop_hits AS DOUBLE) / n_words > 0.12 THEN 'BOILERPLATE'
+      |       ELSE 'OK' END AS quality_class,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_words
+      |FROM d GROUP BY 1, 2
+      |ORDER BY source, quality_class""".stripMargin
+  }
 }

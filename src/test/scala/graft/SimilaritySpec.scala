@@ -196,4 +196,22 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Long]("ivf_cells") <= Similarity.IvfCentCap.toLong)
     assert(row.getAs[Long]("pq_codewords") <= Similarity.PqCentCap.toLong)
   }
+
+  test("embed_rp_distortion: covers the exact banded pair space, buckets coherent") {
+    val res = Similarity.embedRpDistortion(spark, sf).collect()
+      .map(r => (r.getAs[Long]("err_bucket"), r.getAs[Long]("bucket_lo_mn"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("err_min_mn"), r.getAs[Long]("err_max_mn")))
+    // pair space = embed_sim_hist's (same-label, id window): counts must match
+    val expectedPairs = Similarity.embedSimHist(spark, sf)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    assert(res.map(_._3).sum === expectedPairs)
+    res.foreach { case (b, lo, _, mn, mx) =>
+      assert(lo === b * 25L)
+      assert(mn >= lo && mx < lo + 25L && mn <= mx)
+    }
+    // JL sanity at 16 dims: the bulk of pair errors sits under 0.5 cosine
+    val under500 = res.filter(_._1 < 20).map(_._3).sum
+    assert(under500 * 10L >= expectedPairs * 9L,
+      s"JL distortion tail too heavy: $under500 of $expectedPairs under 500mn")
+  }
 }

@@ -301,4 +301,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream_quality_gate: streamed gate equals the batch quality rules") {
+    import graft.streaming.CdcStream
+    val streamed = CdcStream.streamQualityGate(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("quality_class"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_words")))
+      .toSet
+    val batch = CdcStream.qualityGateCounts(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("quality_class"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_words")))
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // all three classes must be exercised by the gate corpus or the
+    // thresholds aren't doing anything at this SF
+    assert(streamed.map(_._2).subsetOf(Set("TOO_SHORT", "BOILERPLATE", "OK")))
+  }
 }

@@ -190,4 +190,84 @@ class TextSpec extends SparkSpec {
         assert(r.getAs[Long]("n_docs") >= 2 * r.getAs[Long]("n_fingerprints"))
     }
   }
+
+  test("text_chunks: exact chunk geometry per doc (count, sizes, starts)") {
+    val S = TextAnalysis.ChunkStride
+    val W = TextAnalysis.ChunkTokens
+    val chunks = TextAnalysis.textChunks(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("n_toks")))
+    val nWords = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(TextFunctions.words(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === nWords.keySet) // every doc chunks (>= 1 token each)
+    byDoc.foreach { case (doc, cs) =>
+      val n = nWords(doc)
+      // chunk k exists iff its start k*S < n
+      assert(cs.map(_._2).sorted.toSeq === (0L to (n - 1) / S).toSeq)
+      cs.foreach { case (_, k, start, toks) =>
+        assert(start === k * S)
+        // chunk k holds tokens [k*S, min(k*S + W, n)) exactly
+        assert(toks === math.min(W, n - k * S))
+      }
+    }
+  }
+
+  test("text_chunks: fingerprint is position-sensitive within the chunk") {
+    // two docs, same multiset of tokens in different order, long enough
+    // for one chunk each: fingerprints must differ
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chunkfp")
+    Seq((1L, "alpha beta gamma", "x", "x", 1L), (2L, "beta alpha gamma", "x", "x", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = TextAnalysis.textChunks(spark, tmp.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("chunk_fp")).toMap
+    assert(fps(1L) !== fps(2L))
+  }
+
+  test("text_winnow_fp: census matches an independent Scala winnow") {
+    val K = TextAnalysis.WinnowK
+    val W = TextAnalysis.WinnowW
+    def polyHash(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) => (acc * 131L + (b & 0xFF)) % 1000000007L)
+    val res = TextAnalysis.textWinnowFp(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_windows"),
+          r.getAs[Long]("n_fps"), r.getAs[Long]("fp_digest"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    var covered = 0
+    docs.foreach { case (id, text) =>
+      val ws = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val grams = (0 to ws.length - K).map(i => polyHash(ws.slice(i, i + K).mkString("_")))
+      if (grams.length >= W) {
+        covered += 1
+        val mins = (0 to grams.length - W).map(i => grams.slice(i, i + W).min)
+        val (g, w, f, d) = res(id)
+        assert(g === grams.length.toLong)
+        assert(w === mins.length.toLong)
+        assert(f === mins.distinct.length.toLong)
+        assert(d === mins.distinct.sum % 1000000007L)
+      } else assert(!res.contains(id))
+    }
+    assert(covered > 0)
+  }
+
+  test("sample_curriculum: phases partition the corpus and band monotonically") {
+    val res = TextAnalysis.sampleCurriculum(spark, sf).collect()
+      .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("difficulty_min"), r.getAs[Long]("difficulty_max")))
+      .sortBy(_._1)
+    assert(res.map(_._2).sum === spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(res.forall(p => p._1 >= 1 && p._1 <= 10))
+    res.foreach(p => assert(p._3 <= p._4))
+    // value-banded: each phase's max difficulty <= the next phase's min
+    res.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3)
+      case _ =>
+    }
+  }
 }
