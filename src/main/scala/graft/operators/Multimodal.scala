@@ -524,4 +524,63 @@ object Multimodal {
       |FROM y
       |GROUP BY source, stride
       |ORDER BY source, stride""".stripMargin
+
+  /** mm_dup_manifest — the PER-ASSET dedup manifest of the blob store,
+    * the multimodal twin of text_dup_coverage: for every document
+    * payload, how many of its 128-byte content chunks also occur in at
+    * least one OTHER document (cross-asset sharing — within-asset
+    * repeats deliberately don't count), as an exact basis-point share,
+    * with assets ≥ 50 % cross-shared flagged drop candidates. The
+    * chunk-level census ops say how much a CAS store saves
+    * (mm_chunk_dedup per source, mm_chunk_popularity globally); this
+    * names WHICH assets are the redundant ones — the row a curation
+    * pipeline filters on.
+    *
+    * Scale shape: one ChunkHashes kernel pass (payload bytes never
+    * shuffle — only 16-byte fingerprints), one fp-keyed
+    * distinct-doc-count shuffle, one fp→chunk join back, one per-doc
+    * rollup. Output ∝ assets. */
+  def mmDupManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(chunkHashes(col("text").cast("binary"), 128)).as("c"))
+      .select(col("doc_id"), col("c.chunk_fp").as("fp"))
+    val fpDocs = ch.distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_docs_with"))
+    ch.join(fpDocs, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_with") >= 2L, 1L).otherwise(0L)).as("shared_chunks"))
+      .withColumn("shared_bp",
+        expr("(shared_chunks * 10000L) DIV greatest(n_chunks, 1L)"))
+      .withColumn("drop_candidate", col("shared_bp") >= 5000L)
+      .select(col("doc_id"), col("n_chunks"), col("shared_chunks"),
+        col("shared_bp"), col("drop_candidate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmDupManifestSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(CEIL(CAST(length(text) AS DOUBLE) / 128) AS BIGINT) AS n_chunks
+      |  FROM documents
+      |), ch AS (
+      |  SELECT doc_id,
+      |    md5(substring(text, CAST(ci * 128 + 1 AS INTEGER), 128)) AS fp
+      |  FROM d, LATERAL (SELECT unnest(range(0, n_chunks)) AS ci)
+      |), fpd AS (
+      |  SELECT fp, COUNT(*) AS n_docs_with
+      |  FROM (SELECT DISTINCT doc_id, fp FROM ch) GROUP BY fp
+      |)
+      |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS shared_chunks,
+      |  CAST((CAST(SUM(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 10000) // GREATEST(COUNT(*), 1) AS BIGINT) AS shared_bp,
+      |  (CAST((CAST(SUM(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 10000) // GREATEST(COUNT(*), 1) AS BIGINT)) >= 5000 AS drop_candidate
+      |FROM ch JOIN fpd f USING (fp)
+      |GROUP BY ch.doc_id
+      |ORDER BY doc_id""".stripMargin
 }

@@ -2008,6 +2008,72 @@ object TextAnalysis {
       |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  /** Token-budget multiplier for [[sampleEpochPlan]]: the planned run
+    * consumes 4× the corpus's unique token mass, so weight-favored
+    * sources must repeat (epochs > 1) while down-weighted ones
+    * undershoot — both regimes exercised at every SF. */
+  val EpochBudgetX = 4L
+
+  /** sample_epoch_plan — data-constrained repetition planning (the
+    * Muennighoff-et-al "scaling data-constrained LMs" question): given
+    * a token budget of [[EpochBudgetX]]× the corpus and the family's
+    * deterministic per-source mixture weights (sample_mixture_plan's
+    * convention), how many FULL epochs does each source repeat, how
+    * many tokens of the final partial epoch are read, and what is the
+    * repeat ratio? repeat_bp > 10000 is the multi-epoch regime where
+    * repeated-token decay sets in — the planner's signal to either
+    * re-weight or go find more data. All-integer arithmetic
+    * (weight·budget DIV Σw; DIV/MOD on exact token counts), so the
+    * plan is bit-reproducible.
+    *
+    * Scale shape: one map-side token count per doc, a sources-sized
+    * rollup, one broadcast scalar — the plan costs one corpus scan. */
+  def sampleEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("unique_tokens"))
+      .withColumn("weight",
+        lit(500L) + pmod(rollingHash(col("source")), lit(1500L)))
+    bySource
+      .crossJoin(broadcast(bySource.agg(sum(col("weight")).as("wsum"),
+        (sum(col("unique_tokens")) * EpochBudgetX).as("budget"))))
+      .withColumn("target_tokens", expr("(weight * budget) DIV wsum"))
+      .withColumn("full_epochs", expr("target_tokens DIV greatest(unique_tokens, 1L)"))
+      .withColumn("partial_tokens", expr("target_tokens % greatest(unique_tokens, 1L)"))
+      .withColumn("repeat_bp",
+        expr("(target_tokens * 10000L) DIV greatest(unique_tokens, 1L)"))
+      .select(col("source"), col("n_docs"), col("unique_tokens"), col("weight"),
+        col("target_tokens"), col("full_epochs"), col("partial_tokens"),
+        col("repeat_bp"))
+      .orderBy(col("source"))
+  }
+
+  val sampleEpochPlanSql: String = {
+    val srcHash = rollingHashSql("source")
+    s"""WITH bysrc AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(${wordsSql("text")})) AS BIGINT) AS unique_tokens,
+      |    500 + (($srcHash) % 1500 + 1500) % 1500 AS weight
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(weight) AS BIGINT) AS wsum,
+      |    CAST(SUM(unique_tokens) * $EpochBudgetX AS BIGINT) AS budget
+      |  FROM bysrc
+      |), p AS (
+      |  SELECT source, n_docs, unique_tokens, weight,
+      |    (weight * (SELECT budget FROM tot)) // (SELECT wsum FROM tot) AS target_tokens
+      |  FROM bysrc
+      |)
+      |SELECT source, n_docs, unique_tokens, CAST(weight AS BIGINT) AS weight,
+      |  CAST(target_tokens AS BIGINT) AS target_tokens,
+      |  CAST(target_tokens // GREATEST(unique_tokens, 1) AS BIGINT) AS full_epochs,
+      |  CAST(target_tokens % GREATEST(unique_tokens, 1) AS BIGINT) AS partial_tokens,
+      |  CAST((target_tokens * 10000) // GREATEST(unique_tokens, 1) AS BIGINT) AS repeat_bp
+      |FROM p
+      |ORDER BY source""".stripMargin
+  }
+
   /** Winnowing geometry for [[textWinnowFp]] (Schleimer-Wilkerson-Aiken
     * local fingerprinting): k-gram size and selection-window width. Any
     * shared substring of at least WinnowK + WinnowW − 1 = 12 words is

@@ -101,4 +101,43 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("logical_bytes") === bytes.toLong)
     assert(r.getAs[Long]("n_chunks") === math.ceil(bytes / 4.0).toLong)
   }
+
+  test("mm_dup_manifest: per-asset share exact, exact copies fully shared") {
+    val res = Multimodal.mmDupManifest(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("shared_chunks"),
+          r.getAs[Long]("shared_bp"), r.getAs[Boolean]("drop_candidate"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // every non-empty doc appears, chunk counts match ceil(bytes/128)
+    assert(res.keySet === docs.filter(_._2.nonEmpty).map(_._1).toSet)
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val n = math.ceil(text.getBytes("UTF-8").length / 128.0).toLong
+      val (nc, sc, bp, drop) = res(id)
+      assert(nc === n)
+      assert(sc >= 0L && sc <= nc)
+      assert(bp === sc * 10000L / nc)
+      assert(drop === (bp >= 5000L))
+    }
+  }
+
+  test("mm_dup_manifest: cross-asset sharing only — planted copies flagged, repeats within one asset not") {
+    import spark.implicits._
+    val block = "b" * 128
+    val tmp = java.nio.file.Files.createTempDirectory("mmdup")
+    Seq(
+      (1L, "a" * 256, "x", "x", 256L),        // copied whole into doc 2
+      (2L, "a" * 256, "x", "x", 256L),
+      (3L, block + block + block, "x", "x", 384L), // self-repeats only
+      (4L, "z" * 300, "x", "x", 300L))        // unique
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = Multimodal.mmDupManifest(spark, tmp.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shared_bp"), r.getAs[Boolean]("drop_candidate"))).toMap
+    assert(m(1L) === ((10000L, true)) && m(2L) === ((10000L, true)))
+    assert(m(3L) === ((0L, false)), "within-asset repeats must not count as shared")
+    assert(m(4L) === ((0L, false)))
+  }
 }

@@ -256,6 +256,28 @@ class TextSpec extends SparkSpec {
     assert(covered > 0)
   }
 
+  test("sample_epoch_plan: exact integer epoch arithmetic, budget conserved") {
+    val res = TextAnalysis.sampleEpochPlan(spark, sf).collect()
+    assert(res.nonEmpty)
+    val totalUnique = res.map(_.getAs[Long]("unique_tokens")).sum
+    res.foreach { r =>
+      val u = r.getAs[Long]("unique_tokens")
+      val t = r.getAs[Long]("target_tokens")
+      val fe = r.getAs[Long]("full_epochs")
+      val pt = r.getAs[Long]("partial_tokens")
+      // DIV/MOD consistency: target decomposes exactly
+      assert(fe * math.max(u, 1L) + pt === t)
+      assert(pt >= 0L && pt < math.max(u, 1L))
+      assert(r.getAs[Long]("repeat_bp") === t * 10000L / math.max(u, 1L))
+    }
+    // targets sum to <= budget (integer DIV loses at most sources-1 tokens)
+    val targets = res.map(_.getAs[Long]("target_tokens")).sum
+    val budget = totalUnique * TextAnalysis.EpochBudgetX
+    assert(targets <= budget && targets > budget - res.length)
+    // the weight spread must produce BOTH regimes at this SF
+    assert(res.exists(_.getAs[Long]("full_epochs") >= 1L))
+  }
+
   test("sample_curriculum: phases partition the corpus and band monotonically") {
     val res = TextAnalysis.sampleCurriculum(spark, sf).collect()
       .map(r => (r.getAs[Long]("phase"), r.getAs[Long]("n_docs"),
