@@ -1083,6 +1083,46 @@ object CdcStream {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
   }
 
+  /** Per-doc STATELESS chunk derivation — the text_chunks geometry
+    * computed entirely inside each document's own row (token hashes →
+    * per-chunk position-weighted fold), so chunking a stream needs no
+    * aggregation state at all: the batch op's explode + groupBy
+    * re-collects tokens it already had row-locally; here each doc emits
+    * its chunk rows directly. Identical output by construction (the
+    * fold is the same Σ h·offset mod P over the same token spans —
+    * spec-pinned bit-equal, oracle is textChunksSql verbatim). */
+  def chunkRows(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.words
+    import org.apache.spark.sql.graftvec.VectorExpressions.polyHash
+    import graft.operators.TextAnalysis.{ChunkStride => S, ChunkTokens => W}
+    docs
+      .withColumn("hs", transform(words(col("text")), w => polyHash(w)))
+      .withColumn("n", size(col("hs")).cast("long"))
+      .select(col("doc_id"), col("n"), col("hs"),
+        explode(expr(s"sequence(0L, (n - 1L) DIV $S)")).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * S)
+      .withColumn("n_toks", least(lit(W), col("n") - col("tok_start")))
+      .withColumn("chunk_fp", expr(
+        s"""aggregate(sequence(tok_start, tok_start + n_toks - 1L), 0L,
+           |  (acc, p) -> acc + element_at(hs, CAST(p + 1L AS INT)) * (p - tok_start + 1L))
+           |  % 1000000007L""".stripMargin))
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("n_toks"), col("chunk_fp"))
+  }
+
+  /** stream_chunk_index — the retrieval chunk table built AT INGEST:
+    * each arriving document emits its 256/224-token chunk rows
+    * ([[chunkRows]]) into an Append file sink — exactly how a streaming
+    * corpus keeps its RAG index current. Stateless (no watermark, no
+    * keyed state, no shuffle before the sink), so ingest cost is one
+    * map pass per doc and the sink is the only I/O; oracle-checked
+    * against the batch text_chunks SQL, and spec-pinned bit-equal to
+    * the batch operator's explode + groupBy formulation. */
+  def streamChunkIndex(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, "stream_chunk_index_sink", OutputMode.Append,
+      chunkRows, normalize = false, table = "documents")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** stream_quality_gate — the pretraining quality filter AT INGEST:
     * documents arriving on a stream classify TOO_SHORT / BOILERPLATE /
     * OK by the same stateless rules the batch text_quality op applies,

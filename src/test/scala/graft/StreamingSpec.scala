@@ -319,4 +319,17 @@ class StreamingSpec extends SparkSpec {
     // thresholds aren't doing anything at this SF
     assert(streamed.map(_._2).subsetOf(Set("TOO_SHORT", "BOILERPLATE", "OK")))
   }
+
+  test("stream_chunk_index: ingest-time chunks equal batch text_chunks bit-for-bit") {
+    import graft.streaming.CdcStream
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("n_toks"), r.getAs[Long]("chunk_fp")))
+      .toSet
+    val streamed = rows(CdcStream.streamChunkIndex(spark, sf))
+    val batch = rows(TextAnalysis.textChunks(spark, sf))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
