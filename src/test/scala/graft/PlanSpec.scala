@@ -393,4 +393,23 @@ class PlanSpec extends SparkSpec {
     val p = plan(Analytics.eventsPowerUsers(spark, sf))
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("text_chunks: one token explode, one partial-aggregated (doc,chunk) shuffle") {
+    val p = plan(TextAnalysis.textChunks(spark, sf))
+    // the chunk fold must partially aggregate map-side before its one
+    // hash shuffle; the presentation sort is the only other exchange
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("stream_chunk_index's chunkRows: STATELESS — no exchange, no aggregate at all") {
+    // the per-row fold formulation must keep the whole chunk derivation
+    // inside one map pass: any Exchange or Aggregate here would become
+    // keyed streaming state at ingest
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = plan(graft.streaming.CdcStream.chunkRows(docs))
+    assert(!p.contains("Exchange"))
+    assert(!p.contains("Aggregate"))
+  }
 }
