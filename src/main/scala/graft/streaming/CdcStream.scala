@@ -1083,32 +1083,12 @@ object CdcStream {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
   }
 
-  /** Per-doc STATELESS chunk derivation — the text_chunks geometry
-    * computed entirely inside each document's own row (token hashes →
-    * per-chunk position-weighted fold), so chunking a stream needs no
-    * aggregation state at all: the batch op's explode + groupBy
-    * re-collects tokens it already had row-locally; here each doc emits
-    * its chunk rows directly. Identical output by construction (the
-    * fold is the same Σ h·offset mod P over the same token spans —
-    * spec-pinned bit-equal, oracle is textChunksSql verbatim). */
-  def chunkRows(docs: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.words
-    import org.apache.spark.sql.graftvec.VectorExpressions.polyHash
-    import graft.operators.TextAnalysis.{ChunkStride => S, ChunkTokens => W}
-    docs
-      .withColumn("hs", transform(words(col("text")), w => polyHash(w)))
-      .withColumn("n", size(col("hs")).cast("long"))
-      .select(col("doc_id"), col("n"), col("hs"),
-        explode(expr(s"sequence(0L, (n - 1L) DIV $S)")).as("chunk_idx"))
-      .withColumn("tok_start", col("chunk_idx") * S)
-      .withColumn("n_toks", least(lit(W), col("n") - col("tok_start")))
-      .withColumn("chunk_fp", expr(
-        s"""aggregate(sequence(tok_start, tok_start + n_toks - 1L), 0L,
-           |  (acc, p) -> acc + element_at(hs, CAST(p + 1L AS INT)) * (p - tok_start + 1L))
-           |  % 1000000007L""".stripMargin))
-      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
-        col("n_toks"), col("chunk_fp"))
-  }
+  /** Per-doc STATELESS chunk derivation — text_chunks' row-local fold
+    * ([[graft.operators.TextAnalysis.chunkRowsOf]]): chunking a stream
+    * needs no aggregation state at all because every chunk row is
+    * derivable inside its document's own row. */
+  def chunkRows(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.chunkRowsOf(docs)
 
   /** stream_chunk_index — the retrieval chunk table built AT INGEST:
     * each arriving document emits its 256/224-token chunk rows

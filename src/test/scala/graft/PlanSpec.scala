@@ -394,12 +394,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("text_chunks: one token explode, one partial-aggregated (doc,chunk) shuffle") {
+  test("text_chunks: row-local fold — no hash exchange, no aggregate (sort is presentation-only)") {
+    // the explode+groupBy formulation shuffled every (token, chunk)
+    // assignment and measured 6x slower at sf10; the fold must stay
+    // shuffle-free up to the presentation sort
     val p = plan(TextAnalysis.textChunks(spark, sf))
-    // the chunk fold must partially aggregate map-side before its one
-    // hash shuffle; the presentation sort is the only other exchange
-    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+    assert(!p.contains("Exchange hashpartitioning"))
+    assert(!p.contains("HashAggregate"))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
