@@ -3255,4 +3255,74 @@ object Analytics {
       |WHERE a.event_type <= b.event_type
       |GROUP BY 1, 2
       |ORDER BY type_a, type_b""".stripMargin
+
+  /** q59_ab_lift — hash-armed A/B experiment readout: users split into
+    * two arms by the portable Knuth hash of user_id (deterministic, the
+    * sample_hash_split convention), exposure = any 'view', conversion =
+    * exposed AND any 'purchase', purchase value in exact cents. One row
+    * carries both arms' exposed/converted counts, per-arm conversion in
+    * basis points, and the A−B lift — the experiment-analysis shape a
+    * product pipeline runs next to the funnel ops, with every class
+    * boundary an exact integer (no float near the lift sign).
+    *
+    * Scale shape: one event scan → per-user conditional flags (one
+    * user-keyed map-combined aggregate), then a single-row conditional
+    * rollup. No joins, no windows. */
+  def q59AbLift(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("exposed"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100d + 0.5d).cast("long")).otherwise(0L)).as("val_cents"))
+      .withColumn("arm",
+        when(pmod(col("user_id") * 2654435761L, lit(1000000007L)) % 2L === 0L, "A")
+          .otherwise("B"))
+      .filter(col("exposed") === 1L)
+    users
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("purchased")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "A" && col("purchased") === 1L, col("val_cents"))
+          .otherwise(0L)).as("value_a_cents"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("purchased")).otherwise(0L)).as("conv_b"),
+        sum(when(col("arm") === "B" && col("purchased") === 1L, col("val_cents"))
+          .otherwise(0L)).as("value_b_cents"))
+      .withColumn("conv_a_bp", expr("(conv_a * 10000L) DIV greatest(n_a, 1L)"))
+      .withColumn("conv_b_bp", expr("(conv_b * 10000L) DIV greatest(n_b, 1L)"))
+      .withColumn("lift_bp", col("conv_a_bp") - col("conv_b_bp"))
+      .select(col("n_a"), col("conv_a"), col("value_a_cents"), col("conv_a_bp"),
+        col("n_b"), col("conv_b"), col("value_b_cents"), col("conv_b_bp"),
+        col("lift_bp"))
+  }
+
+  val q59AbLiftSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS exposed,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS val_cents,
+      |    CASE WHEN (user_id * 2654435761 % 1000000007) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY user_id
+      |), x AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN purchased ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' AND purchased = 1 THEN val_cents ELSE 0 END) AS BIGINT) AS value_a_cents,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN purchased ELSE 0 END) AS BIGINT) AS conv_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' AND purchased = 1 THEN val_cents ELSE 0 END) AS BIGINT) AS value_b_cents
+      |  FROM u WHERE exposed = 1
+      |)
+      |SELECT n_a, conv_a, value_a_cents,
+      |  (conv_a * 10000) // GREATEST(n_a, 1) AS conv_a_bp,
+      |  n_b, conv_b, value_b_cents,
+      |  (conv_b * 10000) // GREATEST(n_b, 1) AS conv_b_bp,
+      |  (conv_a * 10000) // GREATEST(n_a, 1) - (conv_b * 10000) // GREATEST(n_b, 1)
+      |    AS lift_bp
+      |FROM x""".stripMargin
 }

@@ -2105,6 +2105,103 @@ object Similarity {
       |GROUP BY fwd.qid
       |ORDER BY query_id""".stripMargin
 
+  /** Truncation widths audited by [[knnTruncationRecall]]. */
+  val TruncDims = Seq(8, 16, 32)
+
+  /** knn_truncation_recall — Matryoshka-style truncated-dimension
+    * retrieval audit: recall@K and top-1 agreement of exact search over
+    * only the FIRST d ∈ [[TruncDims]] dimensions, against full-width
+    * exact search. If an embedding holds its retrieval quality when
+    * truncated (MRL-trained models are built to), every downstream pass
+    * — ANN index, dedup banding, shuffle payload — can run at d/64 of
+    * the width; this measures exactly what that truncation costs on THE
+    * corpus at hand, per width. embed_rp_distortion asks the same
+    * question of a random projection at the cosine level; this asks it
+    * of prefix truncation at the retrieval-result level.
+    *
+    * Scale shape: one broadcast O(Q×N) pass per width (the knn_brute
+    * discipline, widths a 3-element constant); counts join on the
+    * (query, neighbor) edge key; 3-row output. Degenerate truncations
+    * (all-zero prefix) are filtered on BOTH engines before ranking so
+    * no NaN ever enters an ORDER BY. */
+  def knnTruncationRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val full = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val perDim = TruncDims.map { d =>
+      val ed = e.withColumn("vd", slice(col("v"), 1, d))
+        .withColumn("nd", qdot(col("vd"), col("vd")))
+        .filter(col("nd") > 0L)
+      val q = ed.filter(isQuery(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nd").as("qn"))
+      val top = knnOf(q,
+        ed.select(col("vec_id").as("neighbor_id"), col("vd").as("v"), col("nd").as("nrm")), K)
+      val hits = top.join(full, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          coalesce(sum(when(col("knn_rank") === 1, 1L).otherwise(0L)), lit(0L))
+            .as("top1_hits"))
+      full.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_edges"))
+        .crossJoin(hits)
+        .select(lit(d.toLong).as("trunc_dim"), col("n_queries"), col("n_edges"),
+          col("n_hits"), col("top1_hits"))
+    }
+    perDim.reduce(_ unionAll _)
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_edges").cast("double"))
+      .orderBy(col("trunc_dim"))
+  }
+
+  lazy val knnTruncationRecallSql: String = {
+    def sliceDot(a: String, b: String, d: Int): String =
+      dotSql(s"list_slice($a, 1, $d)", s"list_slice($b, 1, $d)")
+    val perDim = TruncDims.map { d =>
+      s"""SELECT $d AS trunc_dim, t.query_id, t.neighbor_id, t.knn_rank
+        |FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |      ORDER BY CAST(${sliceDot("a.embedding", "b.embedding", d)} AS DOUBLE)
+        |        / sqrt(CAST(a.nd AS DOUBLE) * CAST(b.nd AS DOUBLE)) DESC,
+        |        b.vec_id) AS knn_rank
+        |  FROM ed a JOIN ed b
+        |    ON a.vec_id % 100 = 0 AND a.vec_id < $QueryCap AND b.vec_id <> a.vec_id
+        |  WHERE a.d = $d AND b.d = $d
+        |) t WHERE t.knn_rank <= $K""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val edSelects = TruncDims.map { d =>
+      s"""SELECT vec_id, embedding, $d AS d,
+        |  ${dotSql(s"list_slice(embedding, 1, $d)", s"list_slice(embedding, 1, $d)")} AS nd
+        |FROM embeddings""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS ($vecsSql),
+      |ed0 AS (
+      |$edSelects
+      |),
+      |ed AS (SELECT * FROM ed0 WHERE nd > 0),
+      |full_knn AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |      ORDER BY CAST($pairDotSql AS DOUBLE)
+      |        / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) DESC,
+      |        b.vec_id) AS knn_rank
+      |  FROM e a JOIN e b
+      |    ON a.vec_id % 100 = 0 AND a.vec_id < $QueryCap AND b.vec_id <> a.vec_id
+      |  QUALIFY knn_rank <= $K
+      |),
+      |fk AS (SELECT query_id, neighbor_id FROM full_knn),
+      |base AS (SELECT COUNT(DISTINCT query_id) AS n_queries, COUNT(*) AS n_edges FROM fk),
+      |trunc AS (
+      |$perDim
+      |)
+      |SELECT t.trunc_dim, (SELECT n_queries FROM base) AS n_queries,
+      |  (SELECT n_edges FROM base) AS n_edges,
+      |  COUNT(*) AS n_hits,
+      |  CAST(SUM(CASE WHEN t.knn_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_edges FROM base) AS DOUBLE) AS recall
+      |FROM trunc t JOIN fk USING (query_id, neighbor_id)
+      |GROUP BY t.trunc_dim
+      |ORDER BY trunc_dim""".stripMargin
+  }
+
   // embed_rp_distortion geometry: 16 Rademacher projection planes from
   // the shared deterministic family, DISJOINT from the LSH plane ranges
   // (knn_lsh and dedup_embedding both use planes [0, 192)).

@@ -286,4 +286,24 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(e50 - exact) <= 50000d, s"$pri: $e50 vs $exact")
     }
   }
+
+  test("q59_ab_lift: arms partition exposed users, counts recompute independently") {
+    val r = Analytics.q59AbLift(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val exposed = events.filter(_._2 == "view").map(_._1).toSet
+    val purchased = events.filter(_._2 == "purchase").map(_._1).toSet
+    def arm(u: Long) = if ((u * 2654435761L % 1000000007L) % 2 == 0) "A" else "B"
+    val a = exposed.filter(arm(_) == "A")
+    val b = exposed.filter(arm(_) == "B")
+    assert(row.getAs[Long]("n_a") === a.size.toLong)
+    assert(row.getAs[Long]("n_b") === b.size.toLong)
+    assert(row.getAs[Long]("conv_a") === a.count(purchased).toLong)
+    assert(row.getAs[Long]("conv_b") === b.count(purchased).toLong)
+    assert(row.getAs[Long]("lift_bp") ===
+      row.getAs[Long]("conv_a_bp") - row.getAs[Long]("conv_b_bp"))
+  }
 }

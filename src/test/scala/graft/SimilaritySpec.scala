@@ -214,4 +214,21 @@ class SimilaritySpec extends SparkSpec {
     assert(under500 * 10L >= expectedPairs * 9L,
       s"JL distortion tail too heavy: $under500 of $expectedPairs under 500mn")
   }
+
+  test("knn_truncation_recall: monotone in width, full-width prefix would be exact") {
+    val res = Similarity.knnTruncationRecall(spark, sf).collect()
+      .map(r => (r.getAs[Long]("trunc_dim"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("top1_hits"), r.getAs[Double]("recall")))
+      .sortBy(_._1)
+    assert(res.map(_._1).toSeq === Similarity.TruncDims.map(_.toLong))
+    val edges = Similarity.knnBrute(spark, sf).count()
+    res.foreach { case (_, ne, nh, t1, rec) =>
+      assert(ne === edges)
+      assert(nh >= 0L && nh <= ne && t1 <= nh)
+      assert(rec === nh.toDouble / ne.toDouble)
+    }
+    // the widest prefix must beat the narrowest on this corpus
+    assert(res.last._3 >= res.head._3,
+      s"32-dim recall below 8-dim: ${res.last._5} < ${res.head._5}")
+  }
 }
