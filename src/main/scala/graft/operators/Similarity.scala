@@ -2105,6 +2105,67 @@ object Similarity {
       |GROUP BY fwd.qid
       |ORDER BY query_id""".stripMargin
 
+  /** Similarity floor for [[dedupSemanticDecontaminate]] — the
+    * knn_radius τ: low enough to produce a real flagged set on the gate
+    * corpus, the production knob a decontamination run tunes upward. */
+  val SemDecontTau = 0.35d
+
+  /** dedup_semantic_decontaminate — eval-set decontamination in
+    * EMBEDDING space, the semantic complement of the shingle-based
+    * dedup_decontaminate: every corpus vector whose cosine to ANY
+    * held-out eval embedding (the fixed query batch) reaches
+    * [[SemDecontTau]] is flagged with its hit count, nearest eval item
+    * and max similarity — the manifest a training run EXCLUDES so
+    * benchmark neighbors can't leak in paraphrased form (shingle
+    * overlap catches verbatim leakage; embedding similarity catches
+    * rewordings). Deterministic nearest tie-break (max cos, then min
+    * eval id) on the exact quantized-cosine grid.
+    *
+    * Scale shape: the eval set is broadcast (bounded, the knn_brute
+    * discipline) against one corpus scan — O(N·E) with no shuffle
+    * before the flagged-set window, which runs over hits only
+    * (∝ contamination, not corpus). */
+  def dedupSemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val ev = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val hits = e.filter(!isQuery(col("vec_id")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .filter(col("cos_sim") >= SemDecontTau)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("eval_id"))
+    hits
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_eval_hits", count(lit(1)).over(Window.partitionBy(col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("n_eval_hits"),
+        col("eval_id").as("nearest_eval_id"), col("cos_sim").as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  lazy val dedupSemanticDecontaminateSql: String =
+    s"""WITH e AS ($vecsSql),
+      |ev AS (SELECT vec_id AS eval_id, embedding, nrm FROM e
+      |       WHERE vec_id % 100 = 0 AND vec_id < $QueryCap),
+      |hits AS (
+      |  SELECT c.vec_id, c.label, ev.eval_id,
+      |    CAST(${dotSql("c.embedding", "ev.embedding")} AS DOUBLE)
+      |      / sqrt(CAST(c.nrm AS DOUBLE) * CAST(ev.nrm AS DOUBLE)) AS cos_sim
+      |  FROM e c CROSS JOIN ev
+      |  WHERE NOT (c.vec_id % 100 = 0 AND c.vec_id < $QueryCap)
+      |), flagged AS (
+      |  SELECT vec_id, label, eval_id, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, eval_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY vec_id) AS n_eval_hits
+      |  FROM hits WHERE cos_sim >= $SemDecontTau
+      |)
+      |SELECT vec_id, label, CAST(n_eval_hits AS BIGINT) AS n_eval_hits,
+      |  eval_id AS nearest_eval_id, cos_sim AS max_cos
+      |FROM flagged WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** Truncation widths audited by [[knnTruncationRecall]]. */
   val TruncDims = Seq(8, 16, 32)
 

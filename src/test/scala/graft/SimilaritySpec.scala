@@ -231,4 +231,26 @@ class SimilaritySpec extends SparkSpec {
     assert(res.last._3 >= res.head._3,
       s"32-dim recall below 8-dim: ${res.last._5} < ${res.head._5}")
   }
+
+  test("dedup_semantic_decontaminate: flagged set equals knn_radius's corpus-side hits") {
+    val flagged = Similarity.dedupSemanticDecontaminate(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_eval_hits"),
+        r.getAs[Long]("nearest_eval_id"), r.getAs[Double]("max_cos")))
+    assert(flagged.nonEmpty, "gate corpus produced no flagged vectors at tau")
+    // knn_radius lists (query, neighbor) pairs at the same tau over the
+    // same eval batch — its neighbor side, restricted to non-eval ids,
+    // must be exactly the flagged set with matching hit counts
+    val radius = Similarity.knnRadius(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim")))
+      .filter { case (_, n, _) => !(n % 100 == 0 && n < Similarity.QueryCap) }
+    val byNeighbor = radius.groupBy(_._2)
+    assert(flagged.map(_._1).toSet === byNeighbor.keySet)
+    flagged.foreach { case (v, n, nearest, mx) =>
+      val hits = byNeighbor(v)
+      assert(n === hits.length.toLong)
+      val best = hits.maxBy(h => (h._3, -h._1))
+      assert(mx === best._3 && nearest === best._1)
+    }
+  }
 }
