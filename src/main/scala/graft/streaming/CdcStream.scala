@@ -947,7 +947,12 @@ object CdcStream {
   }
 
   /** One raw event for funnel folding (ts in epoch micros). */
-  case class FunnelEvent(event_id: Long, user_id: Long, event_type: String, ts_us: Long)
+  case class SampleCand(source: String, doc_id: Long, hk: Long)
+case class SampleMember(hk: Long, doc_id: Long)
+case class SampleState(ver: Long, members: List[SampleMember])
+case class SampleEmit(source: String, ver: Long, members: List[SampleMember])
+
+case class FunnelEvent(event_id: Long, user_id: Long, event_type: String, ts_us: Long)
   /** Per-user funnel flags + event count; flags only ever turn on. */
   case class FunnelState(n_events: Long, s: Int, c: Int, p: Int)
   case class FunnelRow(user_id: Long, n_events: Long, funnel_stage: Long)
@@ -1082,6 +1087,66 @@ object CdcStream {
       .groupBy(col("source"), col("quality_class"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
   }
+
+  /** Per-source deterministic reservoir size for [[streamSample]]. */
+  val StreamSampleK = 8
+
+  /** stream_sample — deterministic reservoir sampling AT INGEST: each
+    * arriving doc competes for its source's [[StreamSampleK]] sample
+    * slots by Knuth-hash priority (the sample_quota_by_source
+    * discipline: smallest (hash, doc_id) win), held in bounded
+    * per-source keyed state — K longs per source, regardless of ingest
+    * volume. Because the priority is a pure function of doc_id, the
+    * final sample is ARRIVAL-ORDER-INVARIANT and equals the batch
+    * hash-rank sample exactly (the oracle): a live crawl can keep a
+    * statistically fixed per-source eyeball set without ever re-scanning.
+    * Each micro-batch emits a key's current sample with a version
+    * counter; the Update fold keeps the max version (idempotent under
+    * retries, the stream_cdc_apply discipline). */
+  def streamSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def transform(docs: DataFrame): DataFrame = {
+      docs
+        .select(col("source"), col("doc_id"),
+          pmod(col("doc_id") * 2654435741L, lit(1000000007L)).as("hk"))
+        .as[SampleCand]
+        .groupByKey(_.source)
+        .mapGroupsWithState[SampleState, SampleEmit](GroupStateTimeout.NoTimeout) {
+          (src: String, rows: Iterator[SampleCand], state: GroupState[SampleState]) =>
+            val st = state.getOption.getOrElse(SampleState(0L, Nil))
+            val merged = (st.members ++ rows.map(r => SampleMember(r.hk, r.doc_id)))
+              .distinct
+              .sortBy(m => (m.hk, m.doc_id))
+              .take(StreamSampleK)
+            val next = SampleState(st.ver + 1L, merged)
+            state.update(next)
+            SampleEmit(src, next.ver, merged)
+        }
+        .toDF()
+    }
+    replay(spark, dir, "stream_sample_sink", OutputMode.Update,
+      transform, normalize = false, table = "documents")
+      .groupBy(col("source"))
+      .agg(max_by(col("members"), col("ver")).as("members"))
+      .select(col("source"), posexplode(col("members")).as(Seq("i", "m")))
+      .select(col("source"), (col("i") + 1L).as("rank"),
+        col("m.doc_id").as("doc_id"), col("m.hk").as("hk"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val streamSampleSql: String =
+    s"""WITH h AS (
+      |  SELECT source, doc_id,
+      |    (doc_id * 2654435741 % 1000000007) AS hk
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, doc_id, hk,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
+      |  FROM h
+      |)
+      |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, hk
+      |FROM r WHERE rank <= $StreamSampleK
+      |ORDER BY source, rank""".stripMargin
 
   /** Per-doc STATELESS chunk derivation — text_chunks' row-local fold
     * ([[graft.operators.TextAnalysis.chunkRowsOf]]): chunking a stream

@@ -320,6 +320,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).subsetOf(Set("TOO_SHORT", "BOILERPLATE", "OK")))
   }
 
+  test("stream_sample: arrival-order-invariant reservoir equals the batch hash rank") {
+    import graft.streaming.CdcStream
+    val streamed = CdcStream.streamSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("hk")))
+    // independent batch recompute: bottom-K (hash, id) per source
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      ds.map { case (_, id) => (id * 2654435741L % 1000000007L, id) }
+        .sorted.take(CdcStream.StreamSampleK).zipWithIndex
+        .map { case ((hk, id), i) => (src, i + 1L, id, hk) }
+    }.toSet
+    assert(streamed.toSet === expected)
+    // every source is represented with at most K rows, ranks contiguous
+    streamed.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= CdcStream.StreamSampleK)
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   test("stream_chunk_index: ingest-time chunks equal batch text_chunks bit-for-bit") {
     import graft.streaming.CdcStream
     import graft.operators.TextAnalysis
