@@ -1888,4 +1888,74 @@ object Reconcile {
       |)
       |ORDER BY relationship""".stripMargin
   }
+
+  /** Per-batch row budget for [[reconBackfillPlan]] — small enough that
+    * the gate corpus needs several batches, the knob a production
+    * backfill sizes to its write-throughput SLA. */
+  val RepairBatchRows = 50L
+
+  /** recon_backfill_plan — the repair EXECUTION PLAN as data (the
+    * embed_index_plan discipline applied to reconciliation): the row
+    * diff rolls up per hash bucket, buckets order by severity
+    * (repair-row count desc, bucket asc — worst divergence first, the
+    * order that shrinks residual risk fastest), and a running row sum
+    * assigns each bucket to a [[RepairBatchRows]]-budget backfill batch.
+    * recon_repair says WHAT to write; this says in WHICH ORDER and
+    * BATCH — the throttled-backfill shape every production repair runs
+    * as, and oracle-checked so a planner drift between engines fails
+    * the gate.
+    *
+    * Scale shape: the diff join is the recon ladder's (key-partitioned,
+    * never broadcast-fact); the plan window runs over ≤ 64 bucket rows
+    * — bounded-constant, the SURVEY §5 small-window discipline. */
+  def reconBackfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perBucket = rowDiffOf(Tables.orders(spark, dir), driftedTarget(spark, dir),
+      "o_orderkey", "o_totalprice")
+      .withColumn("bucket", pmod(col("key"), lit(64L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_repairs"),
+        sum(when(col("diff_type") === "missing_in_target", 1L).otherwise(0L))
+          .as("n_inserts"),
+        sum(when(col("diff_type") === "missing_in_source", 1L).otherwise(0L))
+          .as("n_deletes"),
+        sum(when(col("diff_type") === "value_mismatch", 1L).otherwise(0L))
+          .as("n_updates"))
+    val w = Window.orderBy(col("n_repairs").desc, col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("cum_repairs", sum(col("n_repairs")).over(w))
+      .withColumn("batch_no",
+        expr(s"(cum_repairs - n_repairs) DIV $RepairBatchRows"))
+      .select(col("bucket"), col("n_repairs"), col("n_inserts"),
+        col("n_updates"), col("n_deletes"), col("cum_repairs"), col("batch_no"))
+      .orderBy(col("batch_no"), col("n_repairs").desc, col("bucket"))
+  }
+
+  val reconBackfillPlanSql: String =
+    s"""WITH tgt AS ($driftedTargetSql),
+      |src AS (SELECT o_orderkey AS key, o_totalprice AS src_amount FROM orders),
+      |t2  AS (SELECT o_orderkey AS key, o_totalprice AS tgt_amount FROM tgt),
+      |diff AS (
+      |  SELECT COALESCE(src.key, t2.key) AS key,
+      |    CASE WHEN t2.key IS NULL THEN 'missing_in_target'
+      |         WHEN src.key IS NULL THEN 'missing_in_source'
+      |         WHEN src.src_amount <> t2.tgt_amount THEN 'value_mismatch' END AS diff_type
+      |  FROM src FULL OUTER JOIN t2 ON src.key = t2.key
+      |), d AS (SELECT * FROM diff WHERE diff_type IS NOT NULL),
+      |pb AS (
+      |  SELECT key % 64 AS bucket, COUNT(*) AS n_repairs,
+      |    CAST(SUM(CASE WHEN diff_type = 'missing_in_target' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+      |    CAST(SUM(CASE WHEN diff_type = 'missing_in_source' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |    CAST(SUM(CASE WHEN diff_type = 'value_mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates
+      |  FROM d GROUP BY 1
+      |), c AS (
+      |  SELECT *, CAST(SUM(n_repairs) OVER (ORDER BY n_repairs DESC, bucket
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_repairs
+      |  FROM pb
+      |)
+      |SELECT bucket, n_repairs, n_inserts, n_updates, n_deletes, cum_repairs,
+      |  (cum_repairs - n_repairs) // $RepairBatchRows AS batch_no
+      |FROM c
+      |ORDER BY batch_no, n_repairs DESC, bucket""".stripMargin
 }

@@ -3256,6 +3256,73 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** q60_decile_migration — customer revenue-decile TRANSITION matrix
+    * between two consecutive years (1996 → 1997): each customer's
+    * yearly revenue lands in a decile via that year's own broadcast
+    * percentile cuts (the q37 no-global-sort discipline, applied
+    * twice), and the matrix counts customers per (from, to) cell with
+    * both years' exact-cent revenue mass. The diagonal is stability,
+    * below-diagonal cells are the churn-risk cohort a retention play
+    * targets, new/lapsed customers are deliberately out of frame (q38
+    * owns churn) — this op is about RANK movement among the retained.
+    *
+    * Scale shape: two filtered year aggregates (one orders scan), two
+    * broadcast cut arrays, one customer-keyed join, ≤ 100-cell output. */
+  def q60DecileMigration(spark: SparkSession, dir: String): DataFrame = {
+    def yearRev(y: Int): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    def withDecile(df: DataFrame, as: String): DataFrame = {
+      val cuts = df.agg(expr(
+        "percentile(rev_cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+      df.crossJoin(broadcast(cuts))
+        .withColumn(as,
+          (lit(1) + size(filter(col("qs"),
+            c => c < col("rev_cents").cast("double")))).cast("long"))
+        .drop("qs")
+    }
+    val a = withDecile(yearRev(1996), "decile_from")
+      .select(col("o_custkey"), col("decile_from"), col("rev_cents").as("rev_from_cents"))
+    val b = withDecile(yearRev(1997), "decile_to")
+      .select(col("o_custkey"), col("decile_to"), col("rev_cents").as("rev_to_cents"))
+    a.join(b, Seq("o_custkey"))
+      .groupBy(col("decile_from"), col("decile_to"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("rev_from_cents")).as("rev_from_cents"),
+        sum(col("rev_to_cents")).as("rev_to_cents"))
+      .orderBy(col("decile_from"), col("decile_to"))
+  }
+
+  val q60DecileMigrationSql: String = {
+    def yr(y: Int) =
+      s"""SELECT o_custkey,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders WHERE year(o_orderdate) = $y GROUP BY 1""".stripMargin
+    s"""WITH ya AS (${yr(1996)}),
+      |yb AS (${yr(1997)}),
+      |ca AS (SELECT quantile_cont(rev_cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM ya),
+      |cb AS (SELECT quantile_cont(rev_cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM yb),
+      |da AS (
+      |  SELECT o_custkey, rev_cents AS rev_from_cents,
+      |    1 + len(list_filter((SELECT qs FROM ca), c -> c < CAST(rev_cents AS DOUBLE))) AS decile_from
+      |  FROM ya
+      |), db AS (
+      |  SELECT o_custkey, rev_cents AS rev_to_cents,
+      |    1 + len(list_filter((SELECT qs FROM cb), c -> c < CAST(rev_cents AS DOUBLE))) AS decile_to
+      |  FROM yb
+      |)
+      |SELECT CAST(decile_from AS BIGINT) AS decile_from,
+      |  CAST(decile_to AS BIGINT) AS decile_to,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(rev_from_cents) AS BIGINT) AS rev_from_cents,
+      |  CAST(SUM(rev_to_cents) AS BIGINT) AS rev_to_cents
+      |FROM da JOIN db USING (o_custkey)
+      |GROUP BY 1, 2
+      |ORDER BY decile_from, decile_to""".stripMargin
+  }
+
   /** q59_ab_lift — hash-armed A/B experiment readout: users split into
     * two arms by the portable Knuth hash of user_id (deterministic, the
     * sample_hash_split convention), exposure = any 'view', conversion =

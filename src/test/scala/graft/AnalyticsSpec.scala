@@ -287,6 +287,19 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q60_decile_migration: matrix covers exactly the customers retained across years") {
+    val res = Analytics.q60DecileMigration(spark, sf).collect()
+    val cells = res.map(r => ((r.getAs[Long]("decile_from"), r.getAs[Long]("decile_to")),
+      r.getAs[Long]("n_customers"))).toMap
+    assert(cells.keys.forall { case (f, t) => f >= 1 && f <= 10 && t >= 1 && t <= 10 })
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val both = o.filter(col("y") === 1996).select("o_custkey").distinct()
+      .intersect(o.filter(col("y") === 1997).select("o_custkey").distinct())
+      .count()
+    assert(cells.values.sum === both)
+  }
+
   test("q59_ab_lift: arms partition exposed users, counts recompute independently") {
     val r = Analytics.q59AbLift(spark, sf).collect()
     assert(r.length === 1)

@@ -255,4 +255,24 @@ class CdcSpec extends SparkSpec {
       clock = clock, sleep = sleep)
     assert(!r.isComplete)
   }
+
+  test("recon_backfill_plan: batches cover the full repair set in severity order") {
+    import graft.cdc.Reconcile
+    val plan = Reconcile.reconBackfillPlan(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_repairs"),
+        r.getAs[Long]("n_inserts") + r.getAs[Long]("n_updates") + r.getAs[Long]("n_deletes"),
+        r.getAs[Long]("cum_repairs"), r.getAs[Long]("batch_no")))
+    assert(plan.nonEmpty)
+    // op-type split accounts for every repair row; totals match recon_repair
+    plan.foreach { case (_, n, split, _, _) => assert(n === split) }
+    assert(plan.map(_._2).sum === Reconcile.reconRepair(spark, sf).count())
+    // severity order: cum_repairs decomposes exactly, batch = prior-rows DIV budget
+    val bySeverity = plan.sortBy(p => (-p._2, p._1))
+    var cum = 0L
+    bySeverity.foreach { case (_, n, _, c, b) =>
+      assert(c === cum + n)
+      assert(b === cum / Reconcile.RepairBatchRows)
+      cum = c
+    }
+  }
 }
