@@ -539,7 +539,13 @@ object Multimodal {
     * Scale shape: one ChunkHashes kernel pass (payload bytes never
     * shuffle — only 16-byte fingerprints), one fp-keyed
     * distinct-doc-count shuffle, one fp→chunk join back, one per-doc
-    * rollup. Output ∝ assets. */
+    * rollup. Output ∝ assets.
+    *
+    * Oracle note (the chunkDedupOf assumption, restated): the Spark
+    * side chunks the UTF-8 BYTES (text cast to binary, 128-byte
+    * windows) while the DuckDB twin slices by CHARACTER — identical
+    * only on an ASCII corpus, which the synthetic documents table is.
+    * A multi-byte corpus would need a BLOB-slicing oracle. */
   def mmDupManifest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftvec.ChunkExpressions.chunkHashes
     val ch = Tables.documents(spark, dir)

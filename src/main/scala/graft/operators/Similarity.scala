@@ -324,13 +324,20 @@ object Similarity {
             lit(EmbTargetBucket.toLong * (1L << j)) * col("n_labels"), 1).otherwise(0)
         })
       .withColumn("ivf_cells",
-        least(lit(IvfCentCap.toLong), ceil(col("n_vectors").cast("double") / IvfSampleMod)
-          .cast("long")))
+        least(
+          (0 until IvfGrowSteps).foldLeft(lit(IvfCentMin.toLong)) { (acc, j) =>
+            acc * when(col("n_vectors") > lit(IvfCellThresh << (2 * j)), 2L).otherwise(1L)
+          },
+          ceil(col("n_vectors").cast("double") / IvfSampleMod).cast("long")))
+      .withColumn("ivf_nprobe",
+        (0 until IvfGrowSteps).foldLeft(lit(Nprobe)) { (acc, j) =>
+          acc + when(col("n_vectors") > lit(IvfCellThresh << (2 * j)), 2).otherwise(0)
+        })
       .withColumn("pq_codewords",
         least(lit(PqCentCap.toLong), ceil(col("n_vectors").cast("double") / PqCentMod)
           .cast("long")))
       .select(col("n_vectors"), col("n_labels"), col("lsh_bits"), col("emb_bits"),
-        col("ivf_cells"), col("pq_codewords"))
+        col("ivf_cells"), col("ivf_nprobe"), col("pq_codewords"))
   }
 
   lazy val embedIndexPlanSql: String = {
@@ -344,7 +351,8 @@ object Similarity {
       |SELECT n_vectors, n_labels,
       |  CAST($lshBits AS INT) AS lsh_bits,
       |  CAST($embBits AS INT) AS emb_bits,
-      |  CAST(LEAST($IvfCentCap, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $IvfSampleMod) AS BIGINT)) AS BIGINT) AS ivf_cells,
+      |  CAST(LEAST(${ivfCellsSqlExpr("n_vectors")}, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $IvfSampleMod) AS BIGINT)) AS BIGINT) AS ivf_cells,
+      |  CAST(${ivfNprobeSqlExpr("n_vectors")} AS INT) AS ivf_nprobe,
       |  CAST(LEAST($PqCentCap, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $PqCentMod) AS BIGINT)) AS BIGINT) AS pq_codewords
       |FROM st""".stripMargin
   }
@@ -599,48 +607,116 @@ object Similarity {
 
   val IvfSampleMod = 50 // centroid "training" sample: vec_id % 50 == 0
 
-  /** Coarse-quantizer size cap: the centroid sample is `vec_id % 50 == 0
-    * AND vec_id < 50·IvfCentCap` — at most [[IvfCentCap]] cells however
-    * large the corpus, so the O(N×C) assignment pass stays linear in N
-    * (uncapped, C = N/50 made assignment O(N²/50)). Bit-for-bit inert
-    * below N = 6400 (the correctness gate and the sf0.1 bench); beyond
-    * it, cells grow in occupancy, not count — the Nprobe/C probe
-    * fraction is unchanged. Same discipline as [[PqCentCap]]. */
-  val IvfCentCap = 128
-  val Nprobe = 8
+  // Adaptive coarse-quantizer size (round 10): the fixed 128-cell cap
+  // was the same fixed-geometry parameter class as the pre-§11 LSH
+  // width — at sf10 every cell sat in embed_ivf_balance's 65+ band and
+  // recall survived only because Nprobe/C over-scanned 6% of the
+  // corpus per query. Production IVF sizes C ≈ √N (the FAISS guideline)
+  // so per-probe cell occupancy N/C and probe count both grow as √N;
+  // here cells double when the corpus quadruples past [[IvfCellThresh]]
+  //   C = IvfCentMin · 2^|{ j ∈ [0, IvfGrowSteps) : N > thresh·4^j }|
+  // — exact integer comparisons over the corpus COUNT, replayed
+  // identically in the DuckDB oracle (no float at a threshold
+  // boundary can diverge between engines). Nprobe widens 2 per
+  // doubling so the probed MASS still shrinks ~1.6× per step while
+  // recall headroom grows. N ≤ 256k → 128 cells / 8 probes (every
+  // gate SF and sf1 — bit-for-bit the round-9 geometry); sf10's 2M →
+  // 512 cells / 12 probes; the 4.096M cap step → 1024 / 14.
+  val IvfCentMin = 128
+  val IvfCellThresh = 256000L
+  val IvfGrowSteps = 3 // cell-count cap: 128·2³ = 1024
+  val Nprobe = 8 // probe floor; +2 per doubling step
+
+  /** Adaptive IVF cell count for a corpus of n vectors. */
+  def ivfCellsFor(n: Long): Int =
+    IvfCentMin << (0 until IvfGrowSteps).count(j => n > (IvfCellThresh << (2 * j)))
+
+  /** Adaptive probe count, widening with the cell chain. */
+  def ivfNprobeFor(n: Long): Int =
+    Nprobe + 2 * (0 until IvfGrowSteps).count(j => n > (IvfCellThresh << (2 * j)))
+
+  /** Oracle-side twin of [[ivfCellsFor]] — the same integer threshold
+    * chain as a SQL expression over a COUNT. */
+  private[graft] def ivfCellsSqlExpr(nExpr: String): String =
+    s"($IvfCentMin" + (0 until IvfGrowSteps).map(j =>
+      s" * (CASE WHEN $nExpr > ${IvfCellThresh << (2 * j)} THEN 2 ELSE 1 END)").mkString + ")"
+
+  /** Oracle-side twin of [[ivfNprobeFor]]. */
+  private[graft] def ivfNprobeSqlExpr(nExpr: String): String =
+    s"($Nprobe" + (0 until IvfGrowSteps).map(j =>
+      s" + (CASE WHEN $nExpr > ${IvfCellThresh << (2 * j)} THEN 2 ELSE 0 END)").mkString + ")"
+
+  /** Shared oracle CTE: the adaptive centroid roster (expects an `e`
+    * relation from [[vecsSql]]). The sample filter is
+    * `vec_id % 50 = 0 AND vec_id < 50·C(N)` — at most C(N) cells
+    * however the ids are distributed, and exactly C(N) on the dense-id
+    * testdata layout. */
+  private[graft] lazy val ivfCentsCteSql: String =
+    s"cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e " +
+      s"WHERE vec_id % $IvfSampleMod = 0 AND vec_id < $IvfSampleMod * " +
+      s"(SELECT ${ivfCellsSqlExpr("COUNT(*)")} FROM e))"
+
+  /** Shared oracle scalar: the adaptive probe count over `e`. */
+  private[graft] lazy val ivfNprobeSubSql: String =
+    s"(SELECT ${ivfNprobeSqlExpr("COUNT(*)")} FROM e)"
+
+  /** The collected IVF coarse-quantizer roster: (cent_ids ascending,
+    * centroid vectors flattened centroid-major). Bounded by construction
+    * at ivfCellsFor ≤ 1024 centroids × [[Dim]] doubles (≤ 512 KiB) — the
+    * offline-trained quantizer a production IVF index ships to every
+    * scan worker (the [[pqCodesOf]] codebook discipline). */
+  private def ivfRoster(e: DataFrame, cells: Int): (Array[Long], Array[Double]) = {
+    val rows = e.filter(col("vec_id") % IvfSampleMod === 0 &&
+        col("vec_id") < IvfSampleMod.toLong * cells)
+      .select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "IVF centroid roster is empty")
+    val ids = rows.map(_.getLong(0))
+    val flat = new Array[Double](rows.length * Dim)
+    var j = 0
+    rows.foreach { r =>
+      val arr = r.getSeq[Double](1)
+      val len = math.min(arr.length, Dim)
+      var d = 0
+      while (d < len) { flat(j + d) = arr(d); d += 1 }
+      j += Dim
+    }
+    (ids, flat)
+  }
+
+  /** Top-`n` cell ids of `v` against the collected roster — one
+    * graftvec.IvfAssign kernel pass, bit-identical to the
+    * crossJoin+window rank the oracle replays (see the kernel scaladoc).
+    * The N×C assignment never materializes as rows: with the adaptive
+    * cell count the old window form would shuffle N×C rows (2M×512 at
+    * sf10) just to sort C per vector. */
+  private def ivfAssignCol(v: Column, roster: (Array[Long], Array[Double]), n: Int): Column =
+    org.apache.spark.sql.graftvec.IvfAssign.ivfAssign(v, roster._2, roster._1, n, Dim)
 
   /** knn_ivf — IVF-style ANN: a deterministic sample of the corpus acts
     * as the coarse quantizer (no iterative k-means — reproducible and
     * cheap; at deployment the centroid set would come from an offline
-    * training job). Every vector is assigned to its nearest centroid
-    * (one O(N×C) broadcast pass); queries probe the Nprobe nearest
-    * cells and exact-re-rank only those cells' members. Scale path:
-    * assignment is a broadcast map-side pass + one shuffle on cell id;
-    * probe cost is Nprobe/C of the corpus per query.
+    * training job), sized adaptively with the corpus ([[ivfCellsFor]] —
+    * C ≈ √N growth). Every vector is assigned to its nearest centroid
+    * by one roster-broadcast kernel scan (never an N×C row blowup);
+    * queries probe their [[ivfNprobeFor]] nearest cells and
+    * exact-re-rank only those cells' members. Scale path: assignment is
+    * a map-side kernel pass; the probe join broadcasts Q×Nprobe slim
+    * rows onto the corpus scan, so per-query probe cost is Nprobe·N/C —
+    * both factors √N-controlled by the chain.
     * Rows-only; SimilaritySpec measures recall vs knn_brute. */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cents = e.filter(col("vec_id") % IvfSampleMod === 0 &&
-        col("vec_id") < IvfSampleMod.toLong * IvfCentCap)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def nearestCells(df: DataFrame, idCol: String, vCol: String, nCol: String, n: Int) = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cent_cos", qcos(qdot(col(vCol), col("cv")), col(nCol), col("cn")))
-        .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= n)
-        .drop("cv", "cn", "cent_cos", "cent_rank")
-    }
-    val cells = nearestCells(
-      e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-      "neighbor_id", "v", "nrm", 1).persist()
-    val probes = nearestCells(
-      e.filter(isQuery(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
-      "query_id", "qv", "qn", Nprobe)
+    val n = e.count() // bounded-scalar metadata job: sizes the geometry
+    val roster = ivfRoster(e, ivfCellsFor(n))
+    val cells = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"),
+      element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
+    val probes = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(ivfAssignCol(col("v"), roster, ivfNprobeFor(n))).as("cent_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    probes.join(cells, Seq("cent_id"))
+    cells.join(broadcast(probes), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
       .withColumn("knn_rank", row_number().over(w))
@@ -650,13 +726,14 @@ object Similarity {
   }
 
   /** DuckDB oracle for knn_ivf: the coarse quantizer is a deterministic
-    * sample (vec_id % 50 == 0), so the oracle replays assignment
-    * (nearest centroid by quantized cosine, rank-1), Nprobe probing, and
-    * the exact re-rank — one N×C cross join, tractable at oracle SF. */
+    * sample (vec_id % 50 == 0) sized by the [[ivfCellsFor]] chain, so
+    * the oracle replays sizing, assignment (nearest centroid by
+    * quantized cosine, rank-1), adaptive-Nprobe probing, and the exact
+    * re-rank — one N×C cross join, tractable at oracle SF. */
   lazy val knnIvfSql: String = {
     val centDot = dotSql("n.embedding", "c.ce")
     s"""WITH e AS ($vecsSql),
-      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0 AND vec_id < ${IvfSampleMod.toLong * IvfCentCap}),
+      |$ivfCentsCteSql,
       |asg AS (
       |  SELECT vec_id, cent_id,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
@@ -667,7 +744,7 @@ object Similarity {
       |),
       |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM asg WHERE rnk = 1),
       |probes AS (SELECT vec_id AS query_id, cent_id FROM asg
-      |           WHERE vec_id % 100 = 0 AND vec_id < $QueryCap AND rnk <= $Nprobe),
+      |           WHERE vec_id % 100 = 0 AND vec_id < $QueryCap AND rnk <= $ivfNprobeSubSql),
       |cand AS (
       |  SELECT query_id, neighbor_id FROM probes JOIN cells USING (cent_id)
       |  WHERE neighbor_id <> query_id
@@ -1031,27 +1108,17 @@ object Similarity {
     * SimilaritySpec against knn_brute. */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    // --- IVF prune (as in knn_ivf): rank-1 cell per vector, Nprobe per query
-    val cents = e.filter(col("vec_id") % IvfSampleMod === 0 &&
-        col("vec_id") < IvfSampleMod.toLong * IvfCentCap)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    def nearestCells(df: DataFrame, idCol: String, vCol: String, nCol: String, n: Int) = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cent_cos", qcos(qdot(col(vCol), col("cv")), col(nCol), col("cn")))
-        .withColumn("cent_rank", row_number().over(w))
-        .filter(col("cent_rank") <= n)
-        .select(col(idCol), col("cent_id"))
-    }
-    val cells = nearestCells(
-      e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-      "neighbor_id", "v", "nrm", 1)
-    val probes = nearestCells(
-      e.filter(isQuery(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
-      "query_id", "qv", "qn", Nprobe)
+    // --- IVF prune (as in knn_ivf): rank-1 cell per vector via the
+    // roster-broadcast kernel, adaptive Nprobe per query
+    val nVecs = e.count()
+    val roster = ivfRoster(e, ivfCellsFor(nVecs))
+    val cells = e.select(col("vec_id").as("neighbor_id"),
+      element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
+    val probes = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"),
+        explode(ivfAssignCol(col("v"), roster, ivfNprobeFor(nVecs))).as("cent_id"))
     // each vector lives in exactly one cell (rank-1) — no candidate dups
-    val cand = probes.join(cells, Seq("cent_id"))
+    val cand = cells.join(broadcast(probes), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
     // --- PQ codes (as in knn_pq): subvector slices, sampled codebook, encode
@@ -1109,7 +1176,7 @@ object Similarity {
     val subDot = dotSql("s.sv", "c.cv")
     val qDot = dotSql("q.sv", "c.cv")
     s"""WITH e AS ($vecsSql),
-      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0 AND vec_id < ${IvfSampleMod.toLong * IvfCentCap}),
+      |$ivfCentsCteSql,
       |asg AS (
       |  SELECT vec_id, cent_id,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
@@ -1120,7 +1187,7 @@ object Similarity {
       |),
       |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM asg WHERE rnk = 1),
       |probes AS (SELECT vec_id AS query_id, cent_id FROM asg
-      |           WHERE vec_id % 100 = 0 AND vec_id < $QueryCap AND rnk <= $Nprobe),
+      |           WHERE vec_id % 100 = 0 AND vec_id < $QueryCap AND rnk <= $ivfNprobeSubSql),
       |cand AS (
       |  SELECT query_id, neighbor_id FROM probes JOIN cells USING (cent_id)
       |  WHERE neighbor_id <> query_id
@@ -1872,15 +1939,9 @@ object Similarity {
     * rollup; the scalar total broadcasts back for the share divide. */
   def embedIvfBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cents = e.filter(col("vec_id") % IvfSampleMod === 0 &&
-        col("vec_id") < IvfSampleMod.toLong * IvfCentCap)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id"))
-    val cellSizes = e.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cent_cos", qcos(qdot(col("v"), col("cv")), col("nrm"), col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+    val roster = ivfRoster(e, ivfCellsFor(e.count()))
+    val cellSizes = e
+      .select(element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
       .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"))
     val banded = cellSizes
@@ -1900,10 +1961,10 @@ object Similarity {
       .orderBy(col("band"))
   }
 
-  val embedIvfBalanceSql: String = {
+  lazy val embedIvfBalanceSql: String = {
     val centDot = dotSql("n.embedding", "c.ce")
     s"""WITH e AS ($vecsSql),
-      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0 AND vec_id < ${IvfSampleMod.toLong * IvfCentCap}),
+      |$ivfCentsCteSql,
       |asg AS (
       |  SELECT vec_id, cent_id,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
@@ -1947,16 +2008,10 @@ object Similarity {
     * across runs, engines, and partition layouts. */
   def embedDiversitySample(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val cents = e.filter(col("vec_id") % IvfSampleMod === 0 &&
-        col("vec_id") < IvfSampleMod.toLong * IvfCentCap)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id"))
-    val assigned = e.select(col("vec_id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cent_cos", qcos(qdot(col("v"), col("cv")), col("nrm"), col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("cent_id"), col("vec_id"))
+    val roster = ivfRoster(e, ivfCellsFor(e.count()))
+    val assigned = e.select(
+      element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"),
+      col("vec_id"))
     val cellW = Window.partitionBy(col("cent_id"))
     val rankW = cellW.orderBy(col("priority"), col("vec_id"))
     assigned
@@ -1971,7 +2026,7 @@ object Similarity {
   lazy val embedDiversitySampleSql: String = {
     val centDot = dotSql("n.embedding", "c.ce")
     s"""WITH e AS ($vecsSql),
-      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0 AND vec_id < ${IvfSampleMod.toLong * IvfCentCap}),
+      |$ivfCentsCteSql,
       |asg AS (
       |  SELECT vec_id, cent_id,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
@@ -2252,14 +2307,24 @@ object Similarity {
       |base AS (SELECT COUNT(DISTINCT query_id) AS n_queries, COUNT(*) AS n_edges FROM fk),
       |trunc AS (
       |$perDim
-      |)
-      |SELECT t.trunc_dim, (SELECT n_queries FROM base) AS n_queries,
+      |),
+      |hits AS (
+      |  SELECT t.trunc_dim, COUNT(*) AS n_hits,
+      |    CAST(SUM(CASE WHEN t.knn_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits
+      |  FROM trunc t JOIN fk USING (query_id, neighbor_id)
+      |  GROUP BY t.trunc_dim
+      |),
+      |-- the output is driven from the width list, not the hit set: a
+      |-- truncation width with ZERO overlapping edges must still produce
+      |-- its row (n_hits = 0), mirroring the Spark side's guaranteed
+      |-- one-row-per-TruncDims output in the degenerate zero-recall case
+      |dims AS (SELECT unnest([${TruncDims.mkString(", ")}]) AS trunc_dim)
+      |SELECT d.trunc_dim, (SELECT n_queries FROM base) AS n_queries,
       |  (SELECT n_edges FROM base) AS n_edges,
-      |  COUNT(*) AS n_hits,
-      |  CAST(SUM(CASE WHEN t.knn_rank = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_hits,
-      |  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT n_edges FROM base) AS DOUBLE) AS recall
-      |FROM trunc t JOIN fk USING (query_id, neighbor_id)
-      |GROUP BY t.trunc_dim
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  COALESCE(h.top1_hits, 0) AS top1_hits,
+      |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST((SELECT n_edges FROM base) AS DOUBLE) AS recall
+      |FROM dims d LEFT JOIN hits h USING (trunc_dim)
       |ORDER BY trunc_dim""".stripMargin
   }
 

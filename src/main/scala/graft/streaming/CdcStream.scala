@@ -946,13 +946,15 @@ object CdcStream {
       .orderBy(col("burst_class"))
   }
 
-  /** One raw event for funnel folding (ts in epoch micros). */
+  /** Hash-priority reservoir rows (stream_sample): one candidate per
+    * arriving doc, per-source member/state shapes for the keyed fold. */
   case class SampleCand(source: String, doc_id: Long, hk: Long)
-case class SampleMember(hk: Long, doc_id: Long)
-case class SampleState(ver: Long, members: List[SampleMember])
-case class SampleEmit(source: String, ver: Long, members: List[SampleMember])
+  case class SampleMember(hk: Long, doc_id: Long)
+  case class SampleState(ver: Long, members: List[SampleMember])
+  case class SampleEmit(source: String, ver: Long, members: List[SampleMember])
 
-case class FunnelEvent(event_id: Long, user_id: Long, event_type: String, ts_us: Long)
+  /** One raw event for funnel folding (ts in epoch micros). */
+  case class FunnelEvent(event_id: Long, user_id: Long, event_type: String, ts_us: Long)
   /** Per-user funnel flags + event count; flags only ever turn on. */
   case class FunnelState(n_events: Long, s: Int, c: Int, p: Int)
   case class FunnelRow(user_id: Long, n_events: Long, funnel_stage: Long)

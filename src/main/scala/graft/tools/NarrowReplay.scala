@@ -70,7 +70,7 @@ object NarrowReplay {
         |  AS BIGINT)""".stripMargin
     val qDot = dotSql("q.sv", "c.cv")
     s"""WITH e AS ($vecsSql),
-      |cents AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM e WHERE vec_id % $IvfSampleMod = 0 AND vec_id < ${IvfSampleMod.toLong * IvfCentCap}),
+      |$ivfCentsCteSql,
       |asg AS (
       |  SELECT vec_id, cent_id,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rnk
@@ -81,7 +81,7 @@ object NarrowReplay {
       |),
       |cells AS (SELECT vec_id AS neighbor_id, cent_id FROM asg WHERE rnk = 1),
       |probes AS (SELECT vec_id AS query_id, cent_id FROM asg
-      |           WHERE vec_id % $mod = 0 AND vec_id < $QueryCap AND rnk <= $Nprobe),
+      |           WHERE vec_id % $mod = 0 AND vec_id < $QueryCap AND rnk <= $ivfNprobeSubSql),
       |cand AS (
       |  SELECT query_id, neighbor_id FROM probes JOIN cells USING (cent_id)
       |  WHERE neighbor_id <> query_id

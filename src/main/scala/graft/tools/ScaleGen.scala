@@ -49,6 +49,59 @@ object ScaleGen {
   private def fanOut(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("copy", explode(lit((0 until factor).toArray)))
 
+  /** How many quote-in-superset families [[containmentPlants]] adds. */
+  val PlantFamilies = 8
+
+  /** Scale-surviving containment plants: the replica fan-out multiplies
+    * every shared shingle's document frequency by FACTOR, so by sf10 all
+    * natural (and previously planted) co-occurring shingles blow through
+    * dedup's df ≤ ShingleFreqCap=50 rarity window and
+    * dedup_containment/dedup_ngram_jaccard return ~zero rows — the
+    * detection direction those ops exist for goes unexercised at scale
+    * (round-9 finding, SURVEY §12). The fix is unique-suffix salting:
+    * each plant family's words carry the destination id base, so its
+    * shingles are BORN at this scale step with df ∈ {2,3} and only the
+    * NEXT step's ×FACTOR near-dup fan-out multiplies them (10×3 + the
+    * corpus-expansion copies ≈ 36 < 50 — still inside the window).
+    *
+    * Family shape (8 families): an 8-word quote Q and two 28-word
+    * supersets A = f0·Q·f1, B = f1·Q·f0 sharing fillers f0/f1. Rare
+    * shingle sets (df ∈ [2, 50], so each doc's df-1 privates fall out):
+    * Q = 6 (df 3: Q, A, B), A = B = 22 (6 quote + 2×8 filler interiors
+    * at df 2 — the order-boundary shingles are df 1 and drop). So
+    * (Q,A) and (Q,B) are TRUE containment pairs the symmetric
+    * threshold misses — containment 6/6 = 1.0, jaccard 6/22 ≈ 0.27
+    * < 0.35 — and (A,B) is a rare-space near-dup (containment 1.0,
+    * jaccard ≥ 22/26: the private boundary shingles are df 1 and
+    * invisible unless a Dedup.corpusOf %10/%17 copy of that doc
+    * rescues them to df 2). Every derived quantity is deterministic,
+    * so the DuckDB oracle recovers exactly the plants.
+    *
+    * Plant ids sit just past the scaled id space and must stay clear of
+    * Dedup.corpusOf's +1M/+2M synthetic-copy offsets — the require
+    * trips loudly at the scale step where that would break (~sf100)
+    * rather than silently aliasing doc ids. */
+  private[tools] def containmentPlants(spark: SparkSession, srcDocs: DataFrame,
+      factor: Int): DataFrame = {
+    import spark.implicits._
+    val base = (srcDocs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * factor
+    require(base + 3L * PlantFamilies < 1000000L,
+      s"plant ids from $base would collide with Dedup.corpusOf's +1M copy space")
+    val rows = (0 until PlantFamilies).flatMap { i =>
+      val q = (0 until 8).map(j => s"zq${base}f${i}w$j")
+      val f0 = (0 until 10).map(j => s"zf${base}f${i}a$j")
+      val f1 = (0 until 10).map(j => s"zf${base}f${i}b$j")
+      def doc(id: Long, ws: Seq[String]) = {
+        val text = ws.mkString(" ")
+        (id, text, "en", "plant", text.length.toLong)
+      }
+      Seq(doc(base + 3L * i, q),
+        doc(base + 3L * i + 1, f0 ++ q ++ f1),
+        doc(base + 3L * i + 2, f1 ++ q ++ f0))
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** key*factor + copy — keeps keys unique and FK-consistent across all
     * tables (the same transform is applied to both sides of every FK). */
   private def scaleKey(name: String, factor: Int): Column =
@@ -99,7 +152,7 @@ object ScaleGen {
     // Documents: 3-char deterministic prefix on copies > 0 keeps exact
     // hashes distinct while leaving minhash/simhash similarity ≈ 1, so
     // every original doc becomes a FACTOR-sized near-dup cluster.
-    write(fanOut(read("documents"), factor)
+    val scaledDocs = fanOut(read("documents"), factor)
       .withColumn("doc_id", scaleKey("doc_id", factor))
       .withColumn("text",
         when(col("copy") === 0, col("text"))
@@ -108,7 +161,9 @@ object ScaleGen {
       .withColumn("n_chars",
         when(col("copy") === 0, col("n_chars"))
           .otherwise(col("n_chars") + 3L))
-      .drop("copy"), "documents", 8)
+      .drop("copy")
+    write(scaledDocs.unionByName(
+      containmentPlants(spark, read("documents"), factor)), "documents", 8)
 
     // Embeddings: nudge one component by 0.001*copy — vectors stay
     // near-identical (each original is a FACTOR-sized ANN twin set)

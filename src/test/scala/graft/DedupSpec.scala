@@ -333,6 +333,45 @@ class DedupSpec extends SparkSpec {
   }
 
 
+  test("ScaleGen containment plants: scaled data yields exactly the planted quote-in-superset pairs") {
+    // factor-2 scale-up of sf0.001 into a temp dir; the plants must be
+    // recovered by dedup_containment at the SCALED data (the round-9
+    // gap: fan-out df growth silenced the op at sf10)
+    val dst = java.nio.file.Files.createTempDirectory("graft-scalegen").toString
+    graft.tools.ScaleGen.run(spark, sf, dst, 2)
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet").count()
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+    assert(docs.count() === nSrc * 2 + 3L * graft.tools.ScaleGen.PlantFamilies)
+    val base = docs.filter(col("source") === "plant")
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val res = Dedup.dedupContainment(spark, dst).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))
+    (0 until graft.tools.ScaleGen.PlantFamilies).foreach { i =>
+      val (q, a, b) = (base + 3L * i, base + 3L * i + 1, base + 3L * i + 2)
+      Seq(a, b).foreach { sup =>
+        val hit = res.find(t => t._1 == q && t._2 == sup)
+        assert(hit.isDefined, s"planted containment pair ($q, $sup) not recovered")
+        assert(hit.get._3 === 1.0d, s"containment of ($q, $sup)")
+        assert(hit.get._4 < 0.35d, "the pair class jaccard can't see")
+      }
+      // the superset twins are rare-space near-dups (their private
+      // boundary shingles are df 1 — invisible to the rarity window —
+      // unless a corpusOf %10/%17 copy of that very doc rescues them)
+      val ab = res.find(t => t._1 == a && t._2 == b)
+      assert(ab.isDefined && ab.get._4 >= 0.8d, s"planted near-dup pair ($a, $b): $ab")
+      val jac = Dedup.dedupNgramJaccard(spark, dst)
+        .filter(col("doc_a") === a && col("doc_b") === b).count()
+      assert(jac === 1L, s"planted jaccard pair ($a, $b)")
+    }
+    // plant shingle df stays inside the rarity window after ANOTHER step
+    // (the property that makes these plants scale-surviving): 2 copies
+    // of Q/A/B each → df ≤ 6 + corpus-expansion copies, well under 50.
+    // Asserted structurally: every plant pair above came FROM the scaled
+    // corpus, so the window did not drop them.
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+  }
+
   test("dedup_survivorship: conserves the corpus; every source shows plant-driven drops") {
     val res = Dedup.dedupSurvivorship(spark, sf).collect()
     val nCorpus = Dedup.corpus(spark, sf).count()

@@ -28,6 +28,39 @@ class SimilaritySpec extends SparkSpec {
     assert(hits * 10 >= brute.size * 3, s"recall@1 $hits/${brute.size}")
   }
 
+  test("ivf_assign kernel: bit-identical to the declarative crossJoin+window rank") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftvec.IvfAssign.ivfAssign
+    import org.apache.spark.sql.graftvec.VectorExpressions.qdot
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", qdot(col("v"), col("v")))
+    // roster: same deterministic sample the operators use
+    val centRows = e.filter(col("vec_id") % Similarity.IvfSampleMod === 0 &&
+        col("vec_id") < Similarity.IvfSampleMod.toLong * Similarity.IvfCentMin)
+      .select(col("vec_id"), col("v")).collect().sortBy(_.getLong(0))
+    val ids = centRows.map(_.getLong(0))
+    val flat = centRows.flatMap(_.getSeq[Double](1)).toArray
+    val nprobe = 4
+    val kernel = e.select(col("vec_id"),
+      posexplode(ivfAssign(col("v"), flat, ids, nprobe, Similarity.Dim))
+        .as(Seq("rnk0", "cent_id"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1) + 1, r.getLong(2))).toSet
+    // declarative twin: crossJoin + ROW_NUMBER over (cos DESC, cent_id)
+    val cents = e.filter(col("vec_id") % Similarity.IvfSampleMod === 0 &&
+        col("vec_id") < Similarity.IvfSampleMod.toLong * Similarity.IvfCentMin)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    val decl = e.crossJoin(broadcast(cents))
+      .withColumn("cent_cos", qdot(col("v"), col("cv")).cast("double") /
+        sqrt(col("nrm").cast("double") * col("cn").cast("double")))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= nprobe)
+      .select(col("vec_id"), col("rnk"), col("cent_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(kernel === decl)
+  }
+
   test("knn_lsh: candidates nonempty; recall@1 vs brute >= 30%") {
     val brute = Similarity.knnBrute(spark, sf)
       .filter(col("knn_rank") === 1).collect()
@@ -193,7 +226,8 @@ class SimilaritySpec extends SparkSpec {
     assert(n === graft.core.Tables.embeddings(spark, sf).count())
     assert(row.getAs[Int]("lsh_bits") === Similarity.lshBitsFor(n))
     assert(row.getAs[Int]("emb_bits") === Similarity.embBitsFor(n, l))
-    assert(row.getAs[Long]("ivf_cells") <= Similarity.IvfCentCap.toLong)
+    assert(row.getAs[Long]("ivf_cells") <= Similarity.ivfCellsFor(n).toLong)
+    assert(row.getAs[Int]("ivf_nprobe") === Similarity.ivfNprobeFor(n))
     assert(row.getAs[Long]("pq_codewords") <= Similarity.PqCentCap.toLong)
   }
 
