@@ -303,6 +303,63 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "knn_rank", "cos_sim")
   }
 
+  /** stream_knn_lsh serving core: the adaptive LSH index as the
+    * stream-static side. [[knnServe]] broadcasts the WHOLE corpus per
+    * query batch — right at 200k vectors, impossible at 100 TB; the
+    * production serving path looks arriving queries up in a prebuilt
+    * index instead. Here the index is the [[knnLsh]] bucket table
+    * verbatim (adaptive-width signatures, ok-bucket census [2, cap]),
+    * built once from the static corpus and persisted; each arriving
+    * query computes its own signatures through the same kernel and
+    * equi-joins the index on (table, signature) — per query, only its
+    * L buckets' members are touched (≤ L·cap candidates), never the
+    * corpus. The per-query exact re-rank happens in keyed state exactly
+    * as [[knnServe]] (one query's candidates always land in one
+    * micro-batch, so output is batching-invariant; pinned by
+    * StreamingSpec). Oracle: the batch [[knnLshSql]] verbatim — the
+    * streamed serving must reproduce the batch index's answer
+    * bit-for-bit. At deployment the index side would be bucketed
+    * storage co-partitioned on (t, sig); the equi-join shape (and the
+    * results) are identical. */
+  def knnLshServe(spark: SparkSession, dir: String)(stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graftvec.VectorExpressions.lshSigs
+    val e = vecs(spark, dir)
+    val bits = lshBitsFor(e.count())
+    val sigs = e.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(lshSigs(col("v"), LshTables, bits, Dim, LshBitsMax)).as(Seq("t", "sig")))
+    val okBuckets = sigs.groupBy(col("t"), col("sig"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") >= 2 && col("bs") <= LshBucketCap)
+      .select(col("t"), col("sig"))
+    val index = sigs.join(broadcast(okBuckets), Seq("t", "sig"))
+      .select(col("t"), col("sig"), col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .persist()
+    stream
+      .filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(lshSigs(col("qv"), LshTables, bits, Dim, LshBitsMax)).as(Seq("t", "sig")))
+      .join(index, Seq("t", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[(Long, Long, Double)],
+         _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          // same-pair hits from multiple tables collapse (the batch op's
+          // dropDuplicates), then the knnServe re-rank contract
+          it.toArray.distinct.sortBy(t => (-t._3, t._2)).take(K).zipWithIndex
+            .map { case ((_, nb, cs), i) => (qid, nb, i + 1, cs) }.iterator
+      }
+      .toDF("query_id", "neighbor_id", "knn_rank", "cos_sim")
+  }
+
   /** embed_index_plan — the index planner's decisions as data: for the
     * corpus at hand, the adaptive parameters every ANN/dedup index in
     * this engine would build with — knn_lsh signature width, the

@@ -500,6 +500,17 @@ object CdcStream {
       normalize = false, table = "embeddings")
       .orderBy(col("query_id"), col("knn_rank"))
 
+  /** stream_knn_lsh — index-backed streaming ANN serving: arriving
+    * query vectors look themselves up in the prebuilt adaptive-LSH
+    * bucket index (Similarity.knnLshServe) instead of broadcasting the
+    * whole corpus per batch — the serving shape that survives a 100 TB
+    * corpus. Oracle-checked against the batch knn_lsh SQL verbatim. */
+  def streamKnnLsh(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_knn_lsh_sink", OutputMode.Append,
+      graft.operators.Similarity.knnLshServe(spark, dir),
+      normalize = false, table = "embeddings")
+      .orderBy(col("query_id"), col("knn_rank"))
+
   /** stream_near_dedup — the candidate hits of [[nearDupBandHits]]
     * confirmed at ≥ 2 shared bands (the dedup_minhash confirm rule),
     * after full replay. Oracle-checked against the rank-capped batch
