@@ -2297,14 +2297,29 @@ object Similarity {
     * (query, neighbor) edge key; 3-row output. Degenerate truncations
     * (all-zero prefix) are filtered on BOTH engines before ranking so
     * no NaN ever enters an ORDER BY. */
-  def knnTruncationRecall(spark: SparkSession, dir: String): DataFrame = {
+  def knnTruncationRecall(spark: SparkSession, dir: String): DataFrame =
+    truncationRecallOf(spark, dir, _ => lit(true))
+
+  /** [[knnTruncationRecall]] over a 1/`mod` sample of the serving batch
+    * — the NarrowReplay discipline for SFs where the full O(Q×N)×4
+    * DuckDB oracle exceeds the sandbox: the narrowing predicate hits
+    * only the QUERY batch (both engines), and per-query independence of
+    * top-K ranking makes the sample exact, not approximate. */
+  def knnTruncationRecallNarrow(spark: SparkSession, dir: String, mod: Long): DataFrame = {
+    require(mod % 100 == 0, s"mod must be a multiple of 100, got $mod")
+    truncationRecallOf(spark, dir, c => c % mod === 0)
+  }
+
+  private def truncationRecallOf(spark: SparkSession, dir: String,
+      keep: Column => Column): DataFrame = {
     val e = vecs(spark, dir)
-    val full = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val full = knnBrute(spark, dir).filter(keep(col("query_id")))
+      .select(col("query_id"), col("neighbor_id"))
     val perDim = TruncDims.map { d =>
       val ed = e.withColumn("vd", slice(col("v"), 1, d))
         .withColumn("nd", qdot(col("vd"), col("vd")))
         .filter(col("nd") > 0L)
-      val q = ed.filter(isQuery(col("vec_id")))
+      val q = ed.filter(isQuery(col("vec_id")) && keep(col("vec_id")))
         .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("nd").as("qn"))
       val top = knnOf(q,
         ed.select(col("vec_id").as("neighbor_id"), col("vd").as("v"), col("nd").as("nrm")), K)

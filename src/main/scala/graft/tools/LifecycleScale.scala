@@ -20,10 +20,24 @@ import graft.cdc.{Poll, Reconcile}
   * All stages are the SAME library calls the spec drives at test SF;
   * nothing is re-implemented here.
   *
-  * Prints one JSON line of per-stage wall seconds and writes it to
-  * LIFECYCLE_SF1.json (or argv(1)).
+  * Two verify/repair shapes, selected by argv(1):
+  *  - (default) lake-to-lake: the target side is the parquet lake the
+  *    stream maintains, read directly.
+  *  - `jdbc`: the DB-to-DB loop of the reference's verifier
+  *    (verify_replication.py:54-70 reads source AND target Postgres
+  *    over psycopg2) — both converged states are published into an
+  *    embedded Derby database, the target is corrupted IN the DB with
+  *    SQL DML, and every verify/ladder/drill/re-verify read goes
+  *    through `JdbcSource.readPartitioned` (Spark's real JDBC scan:
+  *    stripe generation, pushdown, type mapping). Repair applies the
+  *    reconciliation plan back to the DB as row DML, exactly the shape
+  *    a production repairer takes against the target database. The
+  *    plan collect is bounded by construction (~32 planted diffs).
   *
-  * Usage: runMain graft.tools.LifecycleScale [out=LIFECYCLE_SF1.json]
+  * Prints one JSON line of per-stage wall seconds and writes it to
+  * LIFECYCLE_SF1.json / LIFECYCLE_JDBC_SF1.json (or argv(0)).
+  *
+  * Usage: runMain graft.tools.LifecycleScale [out] [jdbc]
   */
 object LifecycleScale {
 
@@ -36,7 +50,9 @@ object LifecycleScale {
       unix_micros(col("timestamp")).as("ts_us"))
 
   def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("LIFECYCLE_SF1.json")
+    val jdbcMode = args.contains("jdbc")
+    val out = args.filterNot(_ == "jdbc").headOption
+      .getOrElse(if (jdbcMode) "LIFECYCLE_JDBC_SF1.json" else "LIFECYCLE_SF1.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -98,9 +114,75 @@ object LifecycleScale {
     }
 
     // ---- corrupt, ladder-localize, repair, re-verify -----------------------
+    val digest = Reconcile.rowDigest(col("user_id"), col("amount"))
+    val (drillRows, repairedDiff) = if (jdbcMode) {
+      // DB-to-DB: both converged states live in embedded Derby; every
+      // verify read below is a partitioned JDBC scan, and corruption +
+      // repair are SQL DML against the target table — the reference
+      // verifier's exact workflow shape (verify_replication.py:54-70).
+      val dbDir = java.nio.file.Files.createTempDirectory("graft-sf1-derby")
+      val url = s"jdbc:derby:${dbDir.toAbsolutePath}/recon;create=true"
+      def withConn[A](f: java.sql.Connection => A): A = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try f(c) finally c.close()
+      }
+      timed("jdbc_publish_states") {
+        expected().write.mode("overwrite").jdbc(url, "state_src", new java.util.Properties())
+        lakeState().write.mode("overwrite").jdbc(url, "state_tgt", new java.util.Properties())
+      }
+      def readSide(t: String) = graft.sources.JdbcSource.readPartitioned(
+        spark, url, t, "user_id", 0L, keySpace, 16)
+      timed("jdbc_corrupt_target")(withConn { c =>
+        val st = c.createStatement()
+        st.executeUpdate("DELETE FROM state_tgt WHERE MOD(user_id, 10000) = 7")
+        st.executeUpdate(
+          "UPDATE state_tgt SET amount = amount + 7.0 WHERE MOD(user_id, 10000) = 3")
+        st.executeUpdate(
+          "INSERT INTO state_tgt VALUES (900000001, 1.0), (900000002, 1.0)")
+        st.close()
+      })
+      val srcDb = readSide("state_src")
+      val tgtDb = readSide("state_tgt")
+      val badBuckets = timed("ladder_bucket_digest") {
+        val b = Reconcile.hashBucketDiffOf(srcDb, tgtDb, "user_id", digest, 64)
+          .filter(!col("bucket_match")).persist()
+        b.count()
+        b
+      }
+      val drill = timed("ladder_row_drilldown")(
+        Reconcile.drillDownOf(srcDb, tgtDb, "user_id", "amount", badBuckets, 64).count())
+      val repaired = timed("repair_and_reverify") {
+        // The plan is the planted diff set (~32 rows) — a bounded
+        // collect; a production repairer applies exactly this DML.
+        val plan = Reconcile.rowDiffOf(srcDb, tgtDb, "user_id", "amount").collect()
+        withConn { c =>
+          val del = c.prepareStatement("DELETE FROM state_tgt WHERE user_id = ?")
+          val upd = c.prepareStatement("UPDATE state_tgt SET amount = ? WHERE user_id = ?")
+          val ins = c.prepareStatement("INSERT INTO state_tgt VALUES (?, ?)")
+          plan.foreach { r =>
+            val key = r.getLong(r.fieldIndex("key"))
+            r.getString(r.fieldIndex("diff_type")) match {
+              case "missing_in_source" =>
+                del.setLong(1, key); del.addBatch()
+              case "missing_in_target" =>
+                ins.setLong(1, key)
+                ins.setDouble(2, r.getDouble(r.fieldIndex("src_amount")))
+                ins.addBatch()
+              case _ =>
+                upd.setDouble(1, r.getDouble(r.fieldIndex("src_amount")))
+                upd.setLong(2, key); upd.addBatch()
+            }
+          }
+          del.executeBatch(); upd.executeBatch(); ins.executeBatch()
+          del.close(); upd.close(); ins.close()
+        }
+        Reconcile.rowDiffOf(readSide("state_src"), readSide("state_tgt"),
+          "user_id", "amount").count()
+      }
+      (drill, repaired)
+    } else {
     val src = expected().persist()
     val clean = lakeState().persist()
-    val digest = Reconcile.rowDigest(col("user_id"), col("amount"))
     val corrupted = clean
       .filter(col("user_id") % 10000 =!= 7)    // ~15 lost keys
       .withColumn("amount",
@@ -115,9 +197,9 @@ object LifecycleScale {
       b.count()
       b
     }
-    val drillRows = timed("ladder_row_drilldown")(
+    val drillRows0 = timed("ladder_row_drilldown")(
       Reconcile.drillDownOf(src, corrupted, "user_id", "amount", badBuckets, 64).count())
-    val repairedDiff = timed("repair_and_reverify") {
+    val repairedDiff0 = timed("repair_and_reverify") {
       val plan = Reconcile.rowDiffOf(src, corrupted, "user_id", "amount")
         .withColumn("repair_op",
           when(col("diff_type") === "missing_in_target", "INSERT")
@@ -137,11 +219,14 @@ object LifecycleScale {
         .unionByName(upserts.join(corrupted.select("user_id"), Seq("user_id"), "left_anti"))
       Reconcile.rowDiffOf(src, repaired, "user_id", "amount").count()
     }
+    (drillRows0, repairedDiff0)
+    }
     require(repairedDiff == 0, s"repair must close every diff, got $repairedDiff")
 
     def num(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    val mode = if (jdbcMode) "sf1_jdbc" else "sf1"
     val json =
-      s"""{"lifecycle":"sf1","key_space":$keySpace,"feed_rows":2000000,""" +
+      s"""{"lifecycle":"$mode","key_space":$keySpace,"feed_rows":2000000,""" +
       s""""polls":$polls,"drill_rows":$drillRows,"stages_sec":{""" +
       times.map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",") +
       s"""},"total_sec":${num(times.values.sum)}}"""

@@ -200,7 +200,9 @@ object NarrowReplay {
     new java.io.File(outDir).mkdirs()
     val queries: Map[String, DataFrame] = Map(
       "knn_ivfpq_narrow" -> knnIvfpqNarrow(spark, sfDir, mod),
-      "knn_recall_audit_narrow" -> knnRecallAuditNarrow(spark, sfDir, mod))
+      "knn_recall_audit_narrow" -> knnRecallAuditNarrow(spark, sfDir, mod),
+      "knn_truncation_recall_narrow" ->
+        Similarity.knnTruncationRecallNarrow(spark, sfDir, mod))
     queries.foreach { case (name, df) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       spark.catalog.clearCache()
@@ -216,7 +218,12 @@ object NarrowReplay {
     } + "\""
     val sqls = Map(
       "knn_ivfpq_narrow" -> knnIvfpqNarrowSql(mod),
-      "knn_recall_audit_narrow" -> knnRecallAuditNarrowSql(mod))
+      "knn_recall_audit_narrow" -> knnRecallAuditNarrowSql(mod),
+      // all four "% 100 = 0" sites in the truncation oracle are
+      // query-batch predicates (3 per-width + 1 full-knn), so the
+      // textual narrowing applies to each
+      "knn_truncation_recall_narrow" ->
+        narrowSql(Similarity.knnTruncationRecallSql, mod))
     val json = sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
