@@ -2436,9 +2436,12 @@ object Similarity {
     val projected = e
       .withColumn("pm", array((0 until RpDim).map(j =>
         floor(qdot(col("v"), planeCol(j)).cast("double") / RpScale).cast("long")): _*))
-      .withColumn("n16", (0 until RpDim).map(j =>
-        element_at(col("pm"), j + 1) * element_at(col("pm"), j + 1))
-        .reduce(_ + _))
+      // ldot kernel, not a 16-element element_at unroll: combined with
+      // the post-join qdot tree the unrolled forest pushed the fused
+      // stage's generated method past the code-split threshold (9×
+      // slower than interpreted, measured). Same long arithmetic.
+      .withColumn("n16",
+        org.apache.spark.sql.graftvec.VectorExpressions.ldot(col("pm"), col("pm")))
     val a = projected.select(col("label"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"), col("pm").as("pa"), col("n16").as("n16a"))
       .withColumn("band", floor(col("vec_a") / SimHistBand))
@@ -2446,8 +2449,8 @@ object Similarity {
       col("v").as("vb"), col("nrm").as("nb"), col("pm").as("pb"), col("n16").as("n16b"))
       .withColumn("band", explode(array(floor(col("vec_b") / SimHistBand),
         floor(col("vec_b") / SimHistBand) - 1)))
-    val dot16 = (0 until RpDim).map(j =>
-      element_at(col("pa"), j + 1) * element_at(col("pb"), j + 1)).reduce(_ + _)
+    val dot16 =
+      org.apache.spark.sql.graftvec.VectorExpressions.ldot(col("pa"), col("pb"))
     a.join(b, Seq("label", "band"))
       .filter(col("vec_a") < col("vec_b") &&
         col("vec_b") - col("vec_a") <= SimHistBand)
@@ -2459,6 +2462,13 @@ object Similarity {
       .withColumn("err_mn",
         abs(floor(col("cos64") * 1000d + 0.5d).cast("long")
           - floor(col("cos16") * 1000d + 0.5d).cast("long")))
+      // Select ONLY err_mn before grouping: withColumn would collapse
+      // into one Project where err_bucket duplicates the whole
+      // cos64/cos16 pair tree (Catalyst inlines column refs on
+      // projection collapse, and nothing merges a Project into the
+      // Aggregate above it — the boundary makes the per-pair tail
+      // evaluate ONCE per pair).
+      .select(col("err_mn"))
       .withColumn("err_bucket", expr("err_mn DIV 25"))
       .groupBy(col("err_bucket"))
       .agg(count(lit(1)).as("n_pairs"),

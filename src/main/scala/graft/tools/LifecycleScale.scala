@@ -132,11 +132,14 @@ object LifecycleScale {
       }
       def readSide(t: String) = graft.sources.JdbcSource.readPartitioned(
         spark, url, t, "user_id", 0L, keySpace, 16)
+      // Spark's JDBC writer creates Derby columns with QUOTED lowercase
+      // names ("user_id"), so every raw DML identifier below must be
+      // quoted too — unquoted names fold to uppercase (42X04).
       timed("jdbc_corrupt_target")(withConn { c =>
         val st = c.createStatement()
-        st.executeUpdate("DELETE FROM state_tgt WHERE MOD(user_id, 10000) = 7")
+        st.executeUpdate("""DELETE FROM state_tgt WHERE MOD("user_id", 10000) = 7""")
         st.executeUpdate(
-          "UPDATE state_tgt SET amount = amount + 7.0 WHERE MOD(user_id, 10000) = 3")
+          """UPDATE state_tgt SET "amount" = "amount" + 7.0 WHERE MOD("user_id", 10000) = 3""")
         st.executeUpdate(
           "INSERT INTO state_tgt VALUES (900000001, 1.0), (900000002, 1.0)")
         st.close()
@@ -156,8 +159,8 @@ object LifecycleScale {
         // collect; a production repairer applies exactly this DML.
         val plan = Reconcile.rowDiffOf(srcDb, tgtDb, "user_id", "amount").collect()
         withConn { c =>
-          val del = c.prepareStatement("DELETE FROM state_tgt WHERE user_id = ?")
-          val upd = c.prepareStatement("UPDATE state_tgt SET amount = ? WHERE user_id = ?")
+          val del = c.prepareStatement("""DELETE FROM state_tgt WHERE "user_id" = ?""")
+          val upd = c.prepareStatement("""UPDATE state_tgt SET "amount" = ? WHERE "user_id" = ?""")
           val ins = c.prepareStatement("INSERT INTO state_tgt VALUES (?, ?)")
           plan.foreach { r =>
             val key = r.getLong(r.fieldIndex("key"))

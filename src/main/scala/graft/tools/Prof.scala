@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Dev profiling harness: stage-level wall times for the heavy queries.
   * `runMain graft.tools.Prof <sfDir> <stage...>` — each stage is timed
@@ -47,6 +48,105 @@ object Prof {
     if (want("stream_window_agg")) time("stream_window_agg")(CdcStream.streamWindowAgg(spark, sfDir))
     if (want("stream_sessionize")) time("stream_sessionize")(CdcStream.streamSessionize(spark, sfDir))
     if (want("stream_dedup")) time("stream_dedup")(CdcStream.streamDedup(spark, sfDir))
+    if (want("rp")) {
+      val df = Similarity.embedRpDistortion(spark, sfDir)
+      df.explain("formatted")
+      time("rp")(df)
+    }
+    if (want("rp_stages")) {
+      // embedRpDistortion decomposed (dev-only mirror of its stages) to
+      // localize where the wall time goes.
+      import org.apache.spark.sql.graftvec.{LshSignatures => LS}
+      import org.apache.spark.sql.Column
+      val RpDim = 16; val RpScale = 100000L; val RpPlaneBase = 77; val Dim = 64
+      val SimHistBand = 2000L
+      import org.apache.spark.sql.graftvec.VectorExpressions.qdot
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", qdot(col("v"), col("v")))
+      def planeCol(j: Int): Column =
+        array((0 until Dim).map(i => lit(LS.planeSign(RpPlaneBase + j, i))): _*)
+      val projected = e
+        .withColumn("pm", array((0 until RpDim).map(j =>
+          floor(qdot(col("v"), planeCol(j)).cast("double") / RpScale).cast("long")): _*))
+      // count() would prune the computed columns; aggregate them so the
+      // expressions actually evaluate.
+      time("rp_project_only")(
+        projected.agg(sum(element_at(col("pm"), 1)).as("s")))
+      val a = projected.select(col("label"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"), col("pm").as("pa"))
+        .withColumn("band", floor(col("vec_a") / SimHistBand))
+      val b = projected.select(col("label"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"), col("pm").as("pb"))
+        .withColumn("band", explode(array(floor(col("vec_b") / SimHistBand),
+          floor(col("vec_b") / SimHistBand) - 1)))
+      val joined = a.join(b, Seq("label", "band"))
+        .filter(col("vec_a") < col("vec_b") &&
+          col("vec_b") - col("vec_a") <= SimHistBand)
+      time("rp_join_only")(joined.agg(sum(col("vec_b") - col("vec_a")).as("s")))
+      val cos = joined.withColumn("cos64",
+        qdot(col("va"), col("vb")).cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double")))
+      time("rp_join_cos64")(cos.agg(sum(col("cos64")).as("s")))
+      val dot16 = (0 until RpDim).map(j =>
+        element_at(col("pa"), j + 1) * element_at(col("pb"), j + 1)).reduce(_ + _)
+      time("rp_join_dot16")(joined.agg(sum(dot16).as("s")))
+      val n16 = (p: Column) => (0 until RpDim).map(j =>
+        element_at(p, j + 1) * element_at(p, j + 1)).reduce(_ + _)
+      val full = joined
+        .withColumn("cos64", qdot(col("va"), col("vb")).cast("double")
+          / sqrt(col("na").cast("double") * col("nb").cast("double")))
+        .withColumn("cos16",
+          when(n16(col("pa")) > 0L && n16(col("pb")) > 0L,
+            dot16.cast("double")
+              / sqrt(n16(col("pa")).cast("double") * n16(col("pb")).cast("double")))
+            .otherwise(lit(0d)))
+        .withColumn("err_mn",
+          abs(floor(col("cos64") * 1000d + 0.5d).cast("long")
+            - floor(col("cos16") * 1000d + 0.5d).cast("long")))
+        .withColumn("err_bucket", expr("err_mn DIV 25"))
+        .groupBy(col("err_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("err_mn")).as("err_min_mn"),
+          max(col("err_mn")).as("err_max_mn"))
+      time("rp_full_mirror")(full)
+      // exact real shape: n16 precomputed pre-join, select boundary
+      val a2 = projected.select(col("label"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"), col("pm").as("pa"))
+        .withColumn("n16a", n16(col("pa")))
+        .withColumn("band", floor(col("vec_a") / SimHistBand))
+      val b2 = projected.select(col("label"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"), col("pm").as("pb"))
+        .withColumn("n16b", n16(col("pb")))
+        .withColumn("band", explode(array(floor(col("vec_b") / SimHistBand),
+          floor(col("vec_b") / SimHistBand) - 1)))
+      val joined2 = a2.join(b2, Seq("label", "band"))
+        .filter(col("vec_a") < col("vec_b") &&
+          col("vec_b") - col("vec_a") <= SimHistBand)
+      def tail(cos64: Column, cos16: Column) = joined2
+        .withColumn("err_mn",
+          abs(floor(cos64 * 1000d + 0.5d).cast("long")
+            - floor(cos16 * 1000d + 0.5d).cast("long")))
+        .select(col("err_mn"))
+        .withColumn("err_bucket", expr("err_mn DIV 25"))
+        .groupBy(col("err_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("err_mn")).as("err_min_mn"), max(col("err_mn")).as("err_max_mn"))
+      val cos64e = qdot(col("va"), col("vb")).cast("double")
+        ./(sqrt(col("na").cast("double") * col("nb").cast("double")))
+      val cos16e = when(col("n16a") > 0L && col("n16b") > 0L,
+        dot16.cast("double")
+          / sqrt(col("n16a").cast("double") * col("n16b").cast("double")))
+        .otherwise(lit(0d))
+      time("rp_real_shape")(tail(cos64e, cos16e))
+      time("rp_abl_no_cos16")(tail(cos64e, lit(0d)))
+      time("rp_abl_no_cos64")(tail(lit(0d), cos16e))
+      time("rp_abl_no_dot16")(tail(cos64e,
+        when(col("n16a") > 0L && col("n16b") > 0L,
+          lit(1d) / sqrt(col("n16a").cast("double") * col("n16b").cast("double")))
+          .otherwise(lit(0d))))
+    }
     if (want("cc_only")) {
       val pairs = Dedup.dupPairs(spark, sfDir).persist()
       pairs.count() // materialize outside the timer

@@ -43,15 +43,14 @@ object RecoveryScale {
   private def stageParts(dir: String, table: String): String = {
     val stage = java.nio.file.Files.createTempDirectory("graft-recovery-stage")
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath
-    val parts = java.nio.file.Files.list(src).iterator()
-    var i = 0
-    while (parts.hasNext) {
-      val f = parts.next().toAbsolutePath
-      if (f.getFileName.toString.endsWith(".parquet")) {
-        java.nio.file.Files.createSymbolicLink(
-          stage.resolve(f"part-$i%05d.parquet"), f)
-        i += 1
-      }
+    // listFiles (not Files.list — no stream handle to leak), sorted by
+    // name so the part-to-batch mapping is deterministic regardless of
+    // filesystem listing order.
+    val parts = src.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.createSymbolicLink(
+        stage.resolve(f"part-$i%05d.parquet"), f.toPath.toAbsolutePath)
     }
     stage.toString
   }
@@ -115,6 +114,8 @@ object RecoveryScale {
     val stage = stageParts(sfDir, "documents")
     val nBatches = new java.io.File(stage).listFiles()
       .count(_.getName.endsWith(".parquet"))
+    require(nBatches >= 2,
+      s"need >= 2 staged batches for a mid-stream crash, got $nBatches")
     val crashAt = nBatches / 2L
     def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
 
@@ -134,6 +135,12 @@ object RecoveryScale {
     // run B: killed in the worst-case window of the middle batch
     val outB = tmp("graft-rscale-B") + "/out"
     val ckB = tmp("graft-rscale-ckB")
+    // Only the INJECTED crash counts: an unrelated streaming failure
+    // (source error, config problem) must propagate, not be silently
+    // accepted as the kill we meant to test recovery from.
+    def isInjected(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("injected crash"))
+        || isInjected(t.getCause))
     val crashed =
       try {
         timed("crashed_run")(
@@ -141,7 +148,9 @@ object RecoveryScale {
             bid => if (bid == crashAt)
               sys.error(s"injected crash: batch $bid output durable, offset uncommitted")))
         false
-      } catch { case _: Exception => true }
+      } catch {
+        case e: Exception if isInjected(e) => true
+      }
     require(crashed, "the injected crash must have fired")
 
     // restart from the same checkpoint: committed batches must not

@@ -26,13 +26,18 @@ import org.apache.spark.sql.functions._
   * input and FACTOR, so oracle replays (DuckDB over the same parquet)
   * are reproducible run-to-run.
   *
-  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <dstDir> [factor=10]
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <dstDir> [factor=10] [tables]
+  * `tables` (optional, comma-separated) restricts output to a subset —
+  * e.g. an embeddings-only ×10 step past sf10 to reach the adaptive
+  * IVF chain's upper regimes without paying (or id-colliding on) the
+  * full corpus.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,7 +46,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factor)
+    run(spark, src, dst, factor, only)
     spark.stop()
   }
 
@@ -107,10 +112,12 @@ object ScaleGen {
   private def scaleKey(name: String, factor: Int): Column =
     col(name) * factor + col("copy")
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+          only: Set[String] = Set.empty): Unit = {
+    def want(t: String) = only.isEmpty || only(t)
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode(SaveMode.Overwrite)
+    def write(df: => DataFrame, t: String, files: Int): Unit =
+      if (want(t)) df.repartition(files).write.mode(SaveMode.Overwrite)
         .parquet(s"$dst/$t.parquet")
 
     // Fixed dimensions: verbatim.

@@ -77,10 +77,74 @@ case class QuantizedDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact dot product of two long arrays:
+  *
+  *   ldot(a, b) = Σᵢ aᵢ·bᵢ  (long arithmetic, wrap-on-overflow like the
+  *   unrolled `element_at(a,i) * element_at(b,i)` sum it replaces)
+  *
+  * Added for embed_rp_distortion: its 16-element unrolled
+  * element_at-product forest, combined with the post-join qdot tree in
+  * ONE fused whole-stage-codegen stage, pushed the generated consume
+  * method past the code-splitting threshold and the stage ran 9×
+  * slower than interpreted eval (measured: 6.8 s vs the ablated
+  * pieces' 0.4 + 2.4 s at sf0.1). One compact generated loop keeps the
+  * fused stage small. Null elements contribute 0; a null array yields
+  * null — the same contract as [[QuantizedDot]].
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ldot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        acc += x.getLong(i) * y.getLong(i)
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |long $acc = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+        |    $acc += $a.getLong($i) * $b.getLong($i);
+        |  }
+        |}
+        |${ev.value} = $acc;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the graft vector expressions. */
 object VectorExpressions {
   def qdot(a: Column, b: Column): Column =
     ExpressionUtils.column(QuantizedDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def ldot(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def lshSigs(v: Column, tables: Int, bits: Int, dim: Int): Column =
