@@ -87,10 +87,16 @@ object RecoveryScale {
       .agg(count(lit(1)).as("n_shared_bands"))
       .filter(col("n_shared_bands") >= 2)
 
-  /** Order-invariant cell-exact digest: (rows, sum of row hashes). */
+  /** Order-invariant cell-exact digest: (rows, sum of row hashes mod P).
+    * The mod-P fold (rowDigest discipline) keeps the sum inside a long
+    * under ANSI arithmetic — a raw sum of full-range xxhash64 values
+    * overflows after a handful of rows (found by this tool's first sf1
+    * run: ARITHMETIC_OVERFLOW in the final-compare aggregate). */
   private def digest(df: DataFrame): (Long, Long) = {
     val r = df.agg(count(lit(1)),
-      coalesce(sum(xxhash64(col("doc_a"), col("doc_b"), col("n_shared_bands"))), lit(0L)))
+      coalesce(sum(pmod(
+        xxhash64(col("doc_a"), col("doc_b"), col("n_shared_bands")),
+        lit(1000000007L))), lit(0L)))
       .head()
     (r.getLong(0), r.getLong(1))
   }
