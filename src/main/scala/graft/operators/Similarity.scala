@@ -883,8 +883,15 @@ object Similarity {
         .lshSigs(col("v"), LshTables, bits, Dim, LshBitsMax)).as(Seq("t", "sig")))
       .persist() // signature computation feeds both the corpus and query side
     // bucket-size bound [2, LshBucketCap]: the size table is ∝ distinct
-    // buckets (tables × 2^bits rows), broadcast back onto the stream
-    val okBuckets = sigs.groupBy(col("t"), col("sig"))
+    // buckets (tables × 2^bits rows), broadcast back onto the stream.
+    // The census repartitions BEFORE aggregating: the cache-fill pass
+    // for `sigs` is whatever stage materializes it first, and fusing
+    // the signature kernel + explode with a partial aggregate produces
+    // the oversized generated method measured 3-4x slower than its
+    // parts (the bucketPairs finding); the exchange keeps the
+    // kernel-heavy producer stage clean.
+    val okBuckets = sigs.repartition(col("t"), col("sig"))
+      .groupBy(col("t"), col("sig"))
       .agg(count(lit(1)).as("bs"))
       .filter(col("bs") >= 2 && col("bs") <= LshBucketCap)
       .select(col("t"), col("sig"))

@@ -147,6 +147,43 @@ object Prof {
           lit(1d) / sqrt(col("n16a").cast("double") * col("n16b").cast("double")))
           .otherwise(lit(0d))))
     }
+    if (want("mh_stages")) {
+      // dedup_minhash decomposed: bands kernel vs bucket-pair join.
+      import org.apache.spark.sql.graftvec.MinHashExpressions.{collectCapped, minhashBands, sortedPairs}
+      import graft.functions.TextFunctions.{shingles3HashedFromWords, words}
+      val bands = Dedup.corpus(spark, sfDir)
+        .withColumn("hs", shingles3HashedFromWords(words(col("text"))))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"),
+          posexplode(minhashBands(col("hs"), Dedup.NumHashes, Dedup.NumBands))
+            .as(Seq("band_id", "band_hash")))
+      time("mh_bands_only")(bands.agg(sum(col("band_hash")).as("s")))
+      val persisted = bands.persist()
+      persisted.count() // materialize outside the timer
+      val pairs = persisted
+        .groupBy(col("band_id"), col("band_hash"))
+        .agg(collectCapped(col("doc_id"), 101).as("ds"), count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2 && col("sz") <= 100)
+        .select(explode(sortedPairs(col("ds"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      time("mh_pairs_only")(pairs
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared_bands"))
+          .filter(col("n_shared_bands") >= 2))
+      persisted.unpersist()
+      // candidate fix: explicit exchange between the kernel-heavy band
+      // producer and the collectCapped aggregate (splits the fused stage)
+      val pairsRepart = bands.repartition(32, col("band_id"), col("band_hash"))
+        .groupBy(col("band_id"), col("band_hash"))
+        .agg(collectCapped(col("doc_id"), 101).as("ds"), count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2 && col("sz") <= 100)
+        .select(explode(sortedPairs(col("ds"))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .filter(col("n_shared_bands") >= 2)
+      time("mh_full_repart")(pairsRepart)
+    }
     if (want("cc_only")) {
       val pairs = Dedup.dupPairs(spark, sfDir).persist()
       pairs.count() // materialize outside the timer
