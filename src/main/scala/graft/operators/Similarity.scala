@@ -1170,7 +1170,16 @@ object Similarity {
     * the oracle replays assignment, probing, candidate ADC, and the
     * re-rank bit-for-bit. Rows-only recall is measured in
     * SimilaritySpec against knn_brute. */
-  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqTuned(spark, dir, None, PqShortlist)
+
+  /** [[knnIvfPq]] with its two serving knobs exposed for the recall/cost
+    * sweep (tools.IvfScale): `nprobeOpt` overrides the adaptive
+    * [[ivfNprobeFor]] probe count, `shortlist` the ADC re-rank depth.
+    * The production operator is this with (None, [[PqShortlist]]) —
+    * bit-identical plan, so the oracle gate covers it. */
+  private[graft] def knnIvfPqTuned(spark: SparkSession, dir: String,
+      nprobeOpt: Option[Int], shortlist: Int): DataFrame = {
     val e = vecs(spark, dir)
     // --- IVF prune (as in knn_ivf): rank-1 cell per vector via the
     // roster-broadcast kernel, adaptive Nprobe per query
@@ -1180,7 +1189,8 @@ object Similarity {
       element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
     val probes = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"),
-        explode(ivfAssignCol(col("v"), roster, ivfNprobeFor(nVecs))).as("cent_id"))
+        explode(ivfAssignCol(col("v"), roster,
+          nprobeOpt.getOrElse(ivfNprobeFor(nVecs)))).as("cent_id"))
     // each vector lives in exactly one cell (rank-1) — no candidate dups
     val cand = cells.join(broadcast(probes), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1216,15 +1226,15 @@ object Similarity {
       .filter(col("nm") === PqSub)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("neighbor_id"))
-    val shortlist = adc.withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= PqShortlist)
+    val shortlisted = adc.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
     // --- exact re-rank of the shortlist
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val n = e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
     val wK = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    shortlist.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+    shortlisted.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
       .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
       .withColumn("knn_rank", row_number().over(wK))
       .filter(col("knn_rank") <= K)
@@ -1996,32 +2006,47 @@ object Similarity {
   /** embed_ivf_balance — IVF cell-occupancy census, the coarse-quantizer
     * twin of embed_lsh_entropy: every vector assigned to its rank-1
     * centroid (the knn_ivf assignment, replayed), cell sizes banded
-    * 1 / 2-4 / 5-16 / 17-64 / 65+ with cell counts, vector mass, and
-    * basis-point share. Heavy bands mean Nprobe scans too much per
-    * probe (cells too big); a fat singleton band means wasted centroids
-    * and recall cliffs. One broadcast assignment pass + a cells-sized
-    * rollup; the scalar total broadcasts back for the share divide. */
+    * GEOMETRY-RELATIVE — against the mean occupancy m = max(N div C, 1)
+    * of the adaptive [[ivfCellsFor]] chain, at the quarter/half/1×/2×
+    * edges (floor division, so both engines derive the same integer
+    * edges from the same COUNT). Fixed absolute bands saturate exactly
+    * where the census matters: at 2M vectors / 512 cells every cell sat
+    * in a "65+" bucket (IVF_ACTIVE_2M r11) — relative bands keep
+    * discriminating at every rung of the chain. Heavy bands (> 2m) mean
+    * Nprobe scans too much per probe; a fat ≤ m/4 band means wasted
+    * centroids and recall cliffs. `mean_occ` rides along so readers can
+    * reconstruct the absolute edges. One broadcast assignment pass + a
+    * cells-sized rollup; the scalar total broadcasts back for the
+    * share divide. */
   def embedIvfBalance(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val roster = ivfRoster(e, ivfCellsFor(e.count()))
+    val n = e.count()
+    val roster = ivfRoster(e, ivfCellsFor(n))
+    // mean occupancy against the ACTUAL roster size (== ivfCellsFor(n)
+    // on the dense-id layout at scale, smaller at tiny SF where the
+    // id space runs out before 50·C) — both engines count the same
+    // sampled-centroid relation.
+    val m = math.max(n / roster._1.length, 1L)
+    val (t1, t2) = (math.max(m / 4, 1L), math.max(m / 2, 1L))
     val cellSizes = e
       .select(element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
       .groupBy(col("cent_id"))
       .agg(count(lit(1)).as("n"))
     val banded = cellSizes
       .withColumn("band",
-        when(col("n") === 1L, "1")
-          .when(col("n") <= 4L, "2-4")
-          .when(col("n") <= 16L, "5-16")
-          .when(col("n") <= 64L, "17-64")
-          .otherwise("65+"))
+        when(col("n") <= t1, "1_le_qtr_mean")
+          .when(col("n") <= t2, "2_le_half_mean")
+          .when(col("n") <= m, "3_le_mean")
+          .when(col("n") <= 2L * m, "4_le_2x_mean")
+          .otherwise("5_gt_2x_mean"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vectors"))
     val total = banded.agg(sum(col("n_vectors")).as("total_vectors"))
     banded.crossJoin(broadcast(total))
       .withColumn("share_bp",
         expr("(n_vectors * 10000L) DIV greatest(total_vectors, 1L)"))
-      .select(col("band"), col("n_cells"), col("n_vectors"), col("share_bp"))
+      .select(col("band"), col("n_cells"), col("n_vectors"), col("share_bp"),
+        lit(m).as("mean_occ"))
       .orderBy(col("band"))
   }
 
@@ -2040,15 +2065,23 @@ object Similarity {
       |cellsz AS (
       |  SELECT cent_id, COUNT(*) AS n FROM asg WHERE rnk = 1 GROUP BY 1
       |),
+      |geo AS (
+      |  SELECT CAST(GREATEST((SELECT COUNT(*) FROM e)
+      |    // (SELECT COUNT(*) FROM cents), 1) AS BIGINT) AS m
+      |),
       |banded AS (
-      |  SELECT CASE WHEN n = 1 THEN '1' WHEN n <= 4 THEN '2-4'
-      |              WHEN n <= 16 THEN '5-16' WHEN n <= 64 THEN '17-64'
-      |              ELSE '65+' END AS band,
-      |    COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vectors
-      |  FROM cellsz GROUP BY 1
+      |  SELECT CASE WHEN n <= GREATEST(m // 4, 1) THEN '1_le_qtr_mean'
+      |              WHEN n <= GREATEST(m // 2, 1) THEN '2_le_half_mean'
+      |              WHEN n <= m THEN '3_le_mean'
+      |              WHEN n <= 2 * m THEN '4_le_2x_mean'
+      |              ELSE '5_gt_2x_mean' END AS band,
+      |    COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_vectors,
+      |    CAST(MAX(m) AS BIGINT) AS mean_occ
+      |  FROM cellsz, geo GROUP BY 1
       |), tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total_vectors FROM banded)
       |SELECT band, n_cells, n_vectors,
-      |  CAST((n_vectors * 10000) // GREATEST(total_vectors, 1) AS BIGINT) AS share_bp
+      |  CAST((n_vectors * 10000) // GREATEST(total_vectors, 1) AS BIGINT) AS share_bp,
+      |  mean_occ
       |FROM banded, tot
       |ORDER BY band""".stripMargin
   }

@@ -26,8 +26,10 @@ import graft.operators.Similarity
   *    batch, carries the cost. embed_index_plan's count-only oracle IS
   *    replayed at this corpus (Verify + compare.py alongside this
   *    tool), so the geometry numbers themselves are oracle-checked;
-  *  - embed_ivf_balance's occupancy bands at the new geometry (the
-  *    whole point of growing C: cells stop pooling in the 65+ band);
+  *  - embed_ivf_balance's occupancy bands at the new geometry (r12:
+  *    band edges are now geometry-relative — quarters of the mean
+  *    occupancy — so the census discriminates at every chain rung
+  *    instead of saturating in a fixed absolute top band);
   *  - wall seconds per stage, for the growth table vs sf10.
   *
   * Writes one JSON line to IVF_ACTIVE_2M.json (or argv(1)).
@@ -81,19 +83,35 @@ object IvfScale {
     val rIvf = recall("knn_ivf", Similarity.knnIvf(spark, sfDir))
     val rIvfPq = recall("knn_ivfpq", Similarity.knnIvfPq(spark, sfDir))
 
+    // Recall/cost curve over the composite's two serving knobs (the
+    // round-12 directive): is Nprobe or the ADC shortlist the binding
+    // constraint behind the 0.942 operating point? Each cell re-runs
+    // the full operator (assignment + ADC + re-rank), so `sec` is the
+    // true serving cost of that configuration, not a marginal delta.
+    def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val sweep = for {
+      np <- Seq(8, 12, 16, 24)
+      sl <- Seq(50, 100)
+    } yield {
+      val key = s"ivfpq_np${np}_sl$sl"
+      val r = recall(key, Similarity.knnIvfPqTuned(spark, sfDir, Some(np), sl))
+      s"""{"nprobe":$np,"shortlist":$sl,"recall":${num(r)},"sec":${num(times(key))}}"""
+    }
+
     val balance = timed("embed_ivf_balance")(
       Similarity.embedIvfBalance(spark, sfDir).collect())
     val balJson = balance.map { r =>
       s""""${r.getString(0)}":{"n_cells":${r.getLong(1)},""" +
         s""""n_vectors":${r.getLong(2)},"share_bp":${r.getLong(3)}}"""
     }.mkString(",")
+    val meanOcc = balance.headOption.map(_.getLong(4)).getOrElse(0L)
 
-    def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val json =
       s"""{"regime":"ivf_adaptive_active","sf_dir":"$sfDir","n_vectors":$n,""" +
       s""""ivf_cells":$cells,"ivf_nprobe":$nprobe,"n_exact_pairs":$nPairs,""" +
       s""""recall_at_k":{"knn_ivf":${num(rIvf)},"knn_ivfpq":${num(rIvfPq)}},""" +
-      s""""balance_bands":{$balJson},"stages_sec":{""" +
+      s""""ivfpq_sweep":[${sweep.mkString(",")}],""" +
+      s""""balance_mean_occ":$meanOcc,"balance_bands":{$balJson},"stages_sec":{""" +
       times.map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",") +
       s"""},"total_sec":${num(times.values.sum)}}"""
     println(json)

@@ -58,8 +58,12 @@ object Prof {
       // localize where the wall time goes.
       import org.apache.spark.sql.graftvec.{LshSignatures => LS}
       import org.apache.spark.sql.Column
-      val RpDim = 16; val RpScale = 100000L; val RpPlaneBase = 77; val Dim = 64
-      val SimHistBand = 2000L
+      // reference the production constants so this mirror cannot drift
+      // from the real query's plane family / scale (ADVICE r11: a
+      // re-declared RpPlaneBase=77 profiled LSH-reserved planes).
+      val RpDim = Similarity.RpDim; val RpScale = Similarity.RpScale
+      val RpPlaneBase = Similarity.RpPlaneBase; val Dim = 64
+      val SimHistBand = Similarity.SimHistBand
       import org.apache.spark.sql.graftvec.VectorExpressions.qdot
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"), col("label"),

@@ -46,7 +46,8 @@ object RecoveryScale {
     // listFiles (not Files.list — no stream handle to leak), sorted by
     // name so the part-to-batch mapping is deterministic regardless of
     // filesystem listing order.
-    val parts = src.toFile.listFiles()
+    val parts = Option(src.toFile.listFiles())
+      .getOrElse(sys.error(s"no parquet dir at $src"))
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.createSymbolicLink(
@@ -144,9 +145,11 @@ object RecoveryScale {
     // Only the INJECTED crash counts: an unrelated streaming failure
     // (source error, config problem) must propagate, not be silently
     // accepted as the kill we meant to test recovery from.
+    // depth-capped cause walk (no unbounded recursion on a pathological
+    // self-referential cause chain).
     def isInjected(t: Throwable): Boolean =
-      t != null && (Option(t.getMessage).exists(_.contains("injected crash"))
-        || isInjected(t.getCause))
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20)
+        .exists(c => Option(c.getMessage).exists(_.contains("injected crash")))
     val crashed =
       try {
         timed("crashed_run")(

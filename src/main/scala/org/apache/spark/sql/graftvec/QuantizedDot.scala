@@ -79,8 +79,12 @@ case class QuantizedDot(left: Expression, right: Expression)
 
 /** Exact dot product of two long arrays:
   *
-  *   ldot(a, b) = Σᵢ aᵢ·bᵢ  (long arithmetic, wrap-on-overflow like the
-  *   unrolled `element_at(a,i) * element_at(b,i)` sum it replaces)
+  *   ldot(a, b) = Σᵢ aᵢ·bᵢ  (raw long arithmetic: overflow WRAPS, unlike
+  *   the ANSI `element_at(a,i) * element_at(b,i)` sum it replaced, which
+  *   would throw on long overflow; null ELEMENTS are skipped as 0 where
+  *   the ANSI sum would propagate NULL. Callers must verify their value
+  *   ranges keep every partial sum inside a long — the rp projections
+  *   are |x| ≤ RpScale-bounded 16-element arrays, far inside the bound.)
   *
   * Added for embed_rp_distortion: its 16-element unrolled
   * element_at-product forest, combined with the post-join qdot tree in
