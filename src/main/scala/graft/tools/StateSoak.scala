@@ -1,0 +1,207 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.CdcStream
+
+/** Streaming keyed-state soak at sf1 (the round-12 directive): the
+  * 100 TB claim for the stateful stream family is BOUNDED STATE PER
+  * KEY — total state ∝ live keys, per-batch cost ∝ the batch, never a
+  * re-scan. The gate and the recovery runs prove correctness over a
+  * handful of micro-batches; this tool runs an extended 32-batch
+  * ingest for the three directive ops and commits the per-batch state
+  * curve instead of asserting it:
+  *
+  *  - stream_near_dedup (RocksDB, flatMapGroupsWithState over band
+  *    buckets): state keys are distinct (band, sig) buckets — grows
+  *    with CORPUS COVERAGE, per-key capped at the bucket cap. The
+  *    curve to prove: per-batch state DELTA stays ~constant under a
+  *    uniform feed (linear total, no superlinear blowup), per-batch
+  *    trigger wall flat.
+  *  - stream_scd2 (RocksDB, one open-version row per live key): state
+  *    must PLATEAU at the live-key count — re-ingesting the same key
+  *    population must update, not grow. Final numRowsTotal is checked
+  *    EXACTLY against the feed's distinct user count.
+  *  - stream_recon_incremental (versioned-swap parquet state): state
+  *    is buckets-sized BY CONSTRUCTION (16 rows whatever the ingest);
+  *    recorded per batch to show the construction holds.
+  *
+  * RocksDB metrics come from StreamingQueryProgress.stateOperators —
+  * this tool (unlike the bench path) enables
+  * `trackTotalNumberOfRows` so numRowsTotal is real; that doubles
+  * state-store write work (read-before-write), which is priced into
+  * the recorded trigger times and is why the BENCH path keeps it off.
+  *
+  * Writes one JSON line to STATE_SOAK_SF1.json (or argv(1)).
+  *
+  * Usage: runMain graft.tools.StateSoak [sfDir=target/sf1] [out=STATE_SOAK_SF1.json]
+  *   env SOAK_BATCHES (default 32)
+  */
+object StateSoak {
+
+  case class BatchM(batchId: Long, inputRows: Long, triggerMs: Long,
+                    stateRows: Long, stateUpdated: Long, memBytes: Long,
+                    rocksdbBytes: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("target/sf1")
+    val out = args.lift(1).getOrElse("STATE_SOAK_SF1.json")
+    val nB = sys.env.getOrElse("SOAK_BATCHES", "32").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "true")
+      .config("spark.sql.streaming.numRecentProgressUpdates", (nB * 2).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      times(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    /** Stage `df` as an nB-file feed dir so maxFilesPerTrigger=1 yields
+      * exactly nB micro-batches. */
+    def stageFeed(df: DataFrame, name: String): String = {
+      val feed = tmp(s"graft-soak-$name")
+      df.repartition(nB).write.mode("overwrite").parquet(feed)
+      feed
+    }
+
+    /** Run `transform` over the staged feed to completion and return
+      * the per-batch state metrics from the query's progress events. */
+    def soak(name: String, feed: String, transform: DataFrame => DataFrame): Seq[BatchM] = {
+      val schema = spark.read.parquet(feed).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = transform(stream).writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", tmp(s"graft-soak-ck-$name"))
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(s"$feed-sink"); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      timed(name)(q.awaitTermination())
+      q.recentProgress.toSeq.filter(_.numInputRows > 0).map { p =>
+        val so = p.stateOperators.headOption
+        def cm(k: String): Long = so.flatMap(s =>
+          Option(s.customMetrics.get(k)).map(_.longValue())).getOrElse(-1L)
+        BatchM(p.batchId, p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(-1L),
+          so.map(_.numRowsTotal).getOrElse(-1L),
+          so.map(_.numRowsUpdated).getOrElse(-1L),
+          so.map(_.memoryUsedBytes).getOrElse(-1L),
+          cm("rocksdbTotalSizeBytes"))
+      }.sortBy(_.batchId)
+    }
+
+    // ---- stream_near_dedup: band-bucket index over 32 doc batches ----
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ndFeed = stageFeed(docs, "neardup")
+    val nd = soak("stream_near_dedup", ndFeed,
+      df => CdcStream.nearDupBandHits(spark)(df))
+
+    // ---- stream_scd2: open-version state over 32 event batches -------
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val liveKeys = events.select(col("user_id")).distinct().count()
+    val scdFeed = stageFeed(events, "scd2")
+    val scd = soak("stream_scd2", scdFeed,
+      df => CdcStream.scd2Fold(spark, CdcStream.toChangeEvents(df)))
+
+    // ---- stream_recon_incremental: versioned parquet state ----------
+    // (not RocksDB — state is buckets-sized by construction; record the
+    // latest version's row count and bytes per batch to show it holds)
+    val reconRows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    locally {
+      import graft.cdc.Reconcile
+      val src = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val mxKey = src.agg(max(col("o_orderkey"))).head.getLong(0)
+      def recent(df: DataFrame) =
+        df.filter(floor(col("o_orderkey") * 10 / lit(mxKey + 1)) >= 8)
+      val digest = Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice"))
+      val feed = stageFeed(src, "reconinc")
+      val stateBase = tmp("graft-soak-recon-state")
+      def dirBytes(p: String): Long = {
+        val f = new java.io.File(p)
+        if (!f.isDirectory) 0L
+        else Option(f.listFiles()).getOrElse(Array.empty).map(x =>
+          if (x.isDirectory) dirBytes(x.toString) else x.length()).sum
+      }
+      val stream = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmp("graft-soak-ck-reconinc"))
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          CdcStream.foldVersionedState(spark, stateBase,
+            Reconcile.bucketDigestsOf(recent(batch.toDF()), "o_orderkey",
+              digest, 16, "src_count", "src_digest"),
+            batchId, Seq("src_count", "src_digest"))
+          val rows = CdcStream.latestVersionedState(spark, stateBase).count()
+          reconRows.synchronized { reconRows += ((batchId, rows, dirBytes(stateBase))) }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      timed("stream_recon_incremental")(q.awaitTermination())
+    }
+
+    // ---- checks -------------------------------------------------------
+    def deltas(xs: Seq[Long]): Seq[Long] = xs.zip(xs.drop(1)).map { case (a, b) => b - a }
+    val ndRows = nd.map(_.stateRows)
+    val ndDeltas = deltas(ndRows)
+    // flatness of the growth curve: mean per-batch delta of the second
+    // half within 2x of the first half's (uniform feed -> linear total)
+    def meanL(xs: Seq[Long]): Double = if (xs.isEmpty) 0d else xs.sum.toDouble / xs.size
+    val (ndD1, ndD2) = ndDeltas.splitAt(ndDeltas.size / 2)
+    val ndFlat = meanL(ndD2) <= 2.0 * math.max(meanL(ndD1), 1.0)
+    val scdFinal = scd.map(_.stateRows).max
+    val checks = Seq(
+      "near_dedup_batches" -> (nd.size >= nB),
+      "near_dedup_state_monotone" -> ndRows.zip(ndRows.drop(1)).forall { case (a, b) => b >= a },
+      "near_dedup_delta_flat" -> ndFlat,
+      "scd2_batches" -> (scd.size >= nB),
+      "scd2_state_plateaus_at_live_keys" -> (scdFinal == liveKeys),
+      "recon_state_rows_bounded" -> reconRows.forall(_._2 <= 16L),
+      "recon_state_bytes_flat" -> {
+        val bs = reconRows.map(_._3)
+        bs.nonEmpty && bs.max <= 3L * math.max(bs.min, 1L)
+      })
+
+    def num(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    def mJson(ms: Seq[BatchM]): String = ms.map { m =>
+      s"""{"b":${m.batchId},"in":${m.inputRows},"ms":${m.triggerMs},""" +
+        s""""state_rows":${m.stateRows},"updated":${m.stateUpdated},""" +
+        s""""mem":${m.memBytes},"rocksdb_bytes":${m.rocksdbBytes}}"""
+    }.mkString("[", ",", "]")
+    val reconJson = reconRows.sortBy(_._1).map { case (b, r, by) =>
+      s"""{"b":$b,"state_rows":$r,"state_bytes":$by}""" }.mkString("[", ",", "]")
+    val json =
+      s"""{"artifact":"STATE_SOAK_SF1","sf_dir":"$sfDir","batches":$nB,""" +
+      s""""live_keys":$liveKeys,""" +
+      s""""stream_near_dedup":${mJson(nd)},""" +
+      s""""stream_scd2":${mJson(scd)},""" +
+      s""""stream_recon_incremental":$reconJson,""" +
+      s""""checks":{${checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+      s""""stages_sec":{""" +
+      times.map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",") +
+      s"""},"total_sec":${num(times.values.sum)}}"""
+    println(json)
+    require(checks.forall(_._2), s"soak checks failed: ${checks.filterNot(_._2).map(_._1)}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    spark.stop()
+  }
+}
