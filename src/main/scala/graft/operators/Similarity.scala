@@ -393,8 +393,12 @@ object Similarity {
       .withColumn("pq_codewords",
         least(lit(PqCentCap.toLong), ceil(col("n_vectors").cast("double") / PqCentMod)
           .cast("long")))
+      .withColumn("pq_shortlist",
+        (0 until IvfGrowSteps).foldLeft(lit(PqShortlist)) { (acc, j) =>
+          acc + when(col("n_vectors") > lit(IvfCellThresh << (2 * j)), 25).otherwise(0)
+        })
       .select(col("n_vectors"), col("n_labels"), col("lsh_bits"), col("emb_bits"),
-        col("ivf_cells"), col("ivf_nprobe"), col("pq_codewords"))
+        col("ivf_cells"), col("ivf_nprobe"), col("pq_codewords"), col("pq_shortlist"))
   }
 
   lazy val embedIndexPlanSql: String = {
@@ -410,7 +414,8 @@ object Similarity {
       |  CAST($embBits AS INT) AS emb_bits,
       |  CAST(LEAST(${ivfCellsSqlExpr("n_vectors")}, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $IvfSampleMod) AS BIGINT)) AS BIGINT) AS ivf_cells,
       |  CAST(${ivfNprobeSqlExpr("n_vectors")} AS INT) AS ivf_nprobe,
-      |  CAST(LEAST($PqCentCap, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $PqCentMod) AS BIGINT)) AS BIGINT) AS pq_codewords
+      |  CAST(LEAST($PqCentCap, CAST(CEIL(CAST(n_vectors AS DOUBLE) / $PqCentMod) AS BIGINT)) AS BIGINT) AS pq_codewords,
+      |  CAST(${pqShortlistSqlExpr("n_vectors")} AS INT) AS pq_shortlist
       |FROM st""".stripMargin
   }
 
@@ -976,7 +981,30 @@ object Similarity {
   // behavior bit-for-bit identical below N = 6400 (every correctness-gate
   // SF) and makes encode linear beyond it.
   val PqCentCap = 256 // codewords per subspace (8-bit PQ)
-  val PqShortlist = 50 // ADC candidates per query before exact re-rank
+  val PqShortlist = 50 // ADC re-rank depth floor; adaptive via [[pqShortlistFor]]
+
+  /** Adaptive ADC re-rank depth — +25 per IVF chain step (50 at every
+    * gate SF ≤ 256k vectors, 100 at 2M). The round-12 sweep at 2M
+    * (IVF_ACTIVE_2M.json ivfpq_sweep) showed the SHORTLIST, not Nprobe,
+    * is the binding recall constraint: at fixed shortlist 50, recall
+    * FALLS as probes rise (0.976 @ 8 probes → 0.830 @ 24 — more ADC
+    * candidates crowd the fixed-depth shortlist with quantization
+    * noise), while shortlist 100 reads recall 1.000 at both 8 and 12
+    * probes for ~5% extra wall. Growing the depth with the same integer
+    * threshold chain as cells/probes keeps both engines bit-identical
+    * and tracks the candidate volume (∝ Nprobe·N/C) that causes the
+    * dilution. Exact re-rank cost is Q·depth true dots — trivial. */
+  def pqShortlistFor(n: Long): Int =
+    PqShortlist + 25 * (0 until IvfGrowSteps).count(j => n > (IvfCellThresh << (2 * j)))
+
+  /** Oracle-side twin of [[pqShortlistFor]]. */
+  private[graft] def pqShortlistSqlExpr(nExpr: String): String =
+    s"($PqShortlist" + (0 until IvfGrowSteps).map(j =>
+      s" + (CASE WHEN $nExpr > ${IvfCellThresh << (2 * j)} THEN 25 ELSE 0 END)").mkString + ")"
+
+  /** Shared oracle scalar: the adaptive shortlist over `e`. */
+  private[graft] lazy val pqShortlistSubSql: String =
+    s"(SELECT ${pqShortlistSqlExpr("COUNT(*)")} FROM e)"
 
   /** (vec_id, m, code) PQ codes for every corpus vector, via the
     * graftvec.PqCodes kernel: one generated loop per vector replaces
@@ -1036,8 +1064,8 @@ object Similarity {
     * encoded as its 8 nearest-codeword ids (argmin quantized squared L2
     * per subspace); queries rank the corpus by ADC — the sum of per-
     * subspace distances to the CODEWORDS, not the vectors — then the
-    * ADC top-`PqShortlist` (50) shortlist is exact-re-ranked by true
-    * quantized cosine.
+    * ADC top-[[pqShortlistFor]] shortlist (50 at gate SFs, widening
+    * with the corpus) is exact-re-ranked by true quantized cosine.
     *
     * Everything is exact long arithmetic: per-subspace squared L2 is
     * snrm_a + snrm_b − 2·qdot(a,b) of the 1e-9-quantized products, so
@@ -1055,6 +1083,7 @@ object Similarity {
     * LshSignatures pattern), which changes cost, not results. */
   def knnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
+    val nVecs = e.count()
     // per-(vector, subspace) slice + its quantized squared norm
     def subsOf(df: DataFrame, idAs: String): DataFrame = {
       val parts = (0 until PqSub).map { m =>
@@ -1087,7 +1116,7 @@ object Similarity {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("vec_id"))
     val shortlist = adc.withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= PqShortlist)
+      .filter(col("adc_rank") <= pqShortlistFor(nVecs))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     // exact re-rank of the shortlist
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1142,7 +1171,7 @@ object Similarity {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY adc_d2, vec_id) AS adc_rank
       |    FROM adc)
-      |  WHERE adc_rank <= $PqShortlist
+      |  WHERE adc_rank <= $pqShortlistSubSql
       |),
       |scored AS (
       |  SELECT query_id, neighbor_id,
@@ -1171,15 +1200,16 @@ object Similarity {
     * re-rank bit-for-bit. Rows-only recall is measured in
     * SimilaritySpec against knn_brute. */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
-    knnIvfPqTuned(spark, dir, None, PqShortlist)
+    knnIvfPqTuned(spark, dir, None, None)
 
   /** [[knnIvfPq]] with its two serving knobs exposed for the recall/cost
     * sweep (tools.IvfScale): `nprobeOpt` overrides the adaptive
-    * [[ivfNprobeFor]] probe count, `shortlist` the ADC re-rank depth.
-    * The production operator is this with (None, [[PqShortlist]]) —
-    * bit-identical plan, so the oracle gate covers it. */
+    * [[ivfNprobeFor]] probe count, `shortlistOpt` the adaptive
+    * [[pqShortlistFor]] ADC re-rank depth. The production operator is
+    * this with (None, None) — bit-identical plan, so the oracle gate
+    * covers it. */
   private[graft] def knnIvfPqTuned(spark: SparkSession, dir: String,
-      nprobeOpt: Option[Int], shortlist: Int): DataFrame = {
+      nprobeOpt: Option[Int], shortlistOpt: Option[Int]): DataFrame = {
     val e = vecs(spark, dir)
     // --- IVF prune (as in knn_ivf): rank-1 cell per vector via the
     // roster-broadcast kernel, adaptive Nprobe per query
@@ -1227,7 +1257,7 @@ object Similarity {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_d2"), col("neighbor_id"))
     val shortlisted = adc.withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= shortlist)
+      .filter(col("adc_rank") <= shortlistOpt.getOrElse(pqShortlistFor(nVecs)))
       .select(col("query_id"), col("neighbor_id"))
     // --- exact re-rank of the shortlist
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1299,7 +1329,7 @@ object Similarity {
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |      ORDER BY adc_d2, neighbor_id) AS adc_rank
       |    FROM adc)
-      |  WHERE adc_rank <= $PqShortlist
+      |  WHERE adc_rank <= $pqShortlistSubSql
       |),
       |scored AS (
       |  SELECT query_id, neighbor_id,

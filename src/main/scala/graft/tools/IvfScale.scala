@@ -94,7 +94,7 @@ object IvfScale {
       sl <- Seq(50, 100)
     } yield {
       val key = s"ivfpq_np${np}_sl$sl"
-      val r = recall(key, Similarity.knnIvfPqTuned(spark, sfDir, Some(np), sl))
+      val r = recall(key, Similarity.knnIvfPqTuned(spark, sfDir, Some(np), Some(sl)))
       s"""{"nprobe":$np,"shortlist":$sl,"recall":${num(r)},"sec":${num(times(key))}}"""
     }
 
