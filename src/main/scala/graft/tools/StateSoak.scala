@@ -82,12 +82,13 @@ object StateSoak {
 
     /** Run `transform` over the staged feed to completion and return
       * the per-batch state metrics from the query's progress events. */
-    def soak(name: String, feed: String, transform: DataFrame => DataFrame): Seq[BatchM] = {
+    def soak(name: String, feed: String, mode: OutputMode,
+             transform: DataFrame => DataFrame): Seq[BatchM] = {
       val schema = spark.read.parquet(feed).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
       val q = transform(stream).writeStream
-        .outputMode(OutputMode.Update)
+        .outputMode(mode)
         .option("checkpointLocation", tmp(s"graft-soak-ck-$name"))
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
           batch.write.mode("append").parquet(s"$feed-sink"); ()
@@ -111,14 +112,14 @@ object StateSoak {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val ndFeed = stageFeed(docs, "neardup")
-    val nd = soak("stream_near_dedup", ndFeed,
+    val nd = soak("stream_near_dedup", ndFeed, OutputMode.Append,
       df => CdcStream.nearDupBandHits(spark)(df))
 
     // ---- stream_scd2: open-version state over 32 event batches -------
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val liveKeys = events.select(col("user_id")).distinct().count()
     val scdFeed = stageFeed(events, "scd2")
-    val scd = soak("stream_scd2", scdFeed,
+    val scd = soak("stream_scd2", scdFeed, OutputMode.Update,
       df => CdcStream.scd2Fold(spark, CdcStream.toChangeEvents(df)))
 
     // ---- stream_recon_incremental: versioned parquet state ----------
