@@ -857,6 +857,27 @@ object Dedup {
     * path converges in far fewer rounds than its diameter). */
   private[graft] val ccLastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Degree above which a node is split into chained virtual nodes
+    * before the CC loop (see [[connectedComponentsOf]]). 2^17 keeps the
+    * largest single-task neighborhood ≈ 131k ids (~3 MB boxed) — far
+    * under executor memory, far over every gate/bench graph (whose
+    * total edge counts are smaller, so the split machinery is skipped
+    * entirely there). Mutable only for specs, which exercise the split
+    * on tiny graphs by lowering it. */
+  private[graft] val ccSplitDegree = new java.util.concurrent.atomic.AtomicInteger(1 << 17)
+
+  /** Hub nodes split by the last [[connectedComponentsOf]] call —
+    * observability for the splitting path (0 = machinery skipped or no
+    * hub found). */
+  private[graft] val ccLastSplitHubs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Max virtual nodes per split hub. Caps the id arithmetic
+    * (virtual id = base + hubIndex·fanCap + j) and bounds the chain
+    * star a split hub keeps (≤ fanCap edges). A 10⁹-degree hub still
+    * lands ~10⁶ ids per virtual node — a 1024× reduction; recursion
+    * past that is deliberately out of scope (documented trade). */
+  private[graft] val CcSplitFanCap = 1024
+
   /** Connected components over an undirected pair set (doc_a, doc_b) →
     * (doc_id, cluster_id) where cluster_id = min doc_id of the component.
     *
@@ -878,8 +899,11 @@ object Dedup {
     * hash partitioner across rounds and unpersists each superseded
     * edge set. At 100 TB the partition count scales with the edge
     * count (~500k edges/partition) and per-round persists would become
-    * reliable checkpoints every few rounds. Hub skew is self-limiting:
-    * a high-degree star center is exactly the shape the algorithm
+    * reliable checkpoints every few rounds. Hub skew past
+    * [[ccSplitDegree]] is handled by pre-loop high-degree node
+    * splitting (see the block below) — proven at 3·10⁶-member planted
+    * stars (CC_SPLIT in HUB_SF1.json); below the threshold a
+    * high-degree star center is exactly the shape the algorithm
     * contracts first.
     *
     * Convergence: each star op maps every surviving edge to one input
@@ -896,8 +920,70 @@ object Dedup {
     // canonical (larger, smaller) undirected edges
     var edges = raw.map { case (a, b) => if (a > b) (a, b) else (b, a) }
       .distinct().persist()
-    val nPart = math.max(2, (edges.count() / 500000L).toInt)
+    val edgeCount = edges.count()
+    val nPart = math.max(2, (edgeCount / 500000L).toInt)
     val part = new org.apache.spark.HashPartitioner(nPart)
+
+    // ---- high-degree node splitting (pre-loop) -----------------------
+    // The loop below holds each node's FULL neighborhood in one
+    // groupByKey task; a boilerplate hub duplicated 10⁶–10⁸ times
+    // concentrates a component's whole edge set there (HUB_SF1 priced
+    // 5.3·10⁵ as fine; past ~10⁶ the single task becomes the straggler,
+    // at 10⁸ an OOM). Mitigation: any node whose degree exceeds
+    // [[ccSplitDegree]] is salted into ≤ [[CcSplitFanCap]] virtual
+    // nodes — each incident edge re-hangs off virtual node
+    // base + hubIdx·fanCap + (otherEndpoint mod fan), and the real node
+    // keeps a fan-sized star to its virtual nodes — so connectivity is
+    // exactly preserved while the max neighborhood drops to
+    // ~degree/fan. Virtual ids start past every real id, so they can
+    // never become a component's min label; the output filter drops
+    // them, making the split semantically invisible (oracle unchanged).
+    // A graph with fewer total edges than the threshold cannot contain
+    // a hub — the guard skips the two extra passes at gate/bench sizes.
+    val splitT = ccSplitDegree.get().toLong
+    var virtBase = Long.MaxValue
+    ccLastSplitHubs.set(0)
+    if (edgeCount > splitT) {
+      val hubs = edges
+        .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
+        .reduceByKey(part, _ + _)
+        .filter(_._2 > splitT)
+        .persist()
+      val nHubs = hubs.count()
+      if (nHubs > 0) {
+        ccLastSplitHubs.set(nHubs.toInt)
+        virtBase = edges.map(_._1).fold(0L)(math.max) + 1L // canonical a > b
+        val hubMap = hubs.keys.zipWithIndex().join(hubs).map {
+          case (u, (idx, d)) =>
+            val fan = math.min(CcSplitFanCap.toLong, d / splitT + 1L)
+            (u, (virtBase + idx * CcSplitFanCap, fan))
+        }.persist()
+        // rewrite both endpoints (an edge may touch two hubs); the
+        // routing key is the opposite endpoint as already rewritten —
+        // always non-negative, so the mod is safe
+        val s1 = edges.leftOuterJoin(hubMap).map {
+          case (_, (b, Some((vb, fan)))) => (b, vb + b % fan)
+          case (a, (b, None))            => (b, a)
+        }
+        val s2 = s1.leftOuterJoin(hubMap).map {
+          case (_, (a2, Some((vb, fan)))) => (a2, vb + a2 % fan)
+          case (b, (a2, None))            => (a2, b)
+        }
+        val chains = hubMap.flatMap { case (u, (vb, fan)) =>
+          Iterator.range(0, fan.toInt).map(j => (vb + j, u))
+        }
+        val split = (s2 ++ chains)
+          .filter { case (a, b) => a != b }
+          .map { case (a, b) => if (a > b) (a, b) else (b, a) }
+          .distinct().persist()
+        split.count() // materialize before dropping the originals
+        hubMap.unpersist(blocking = false)
+        edges.unpersist(blocking = false)
+        edges = split
+      }
+      hubs.unpersist(blocking = false)
+    }
+
     def endpointSum(e: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
       e.map { case (u, v) => u + v }.fold(0L)(_ + _)
     var prevSum = endpointSum(edges)
@@ -938,8 +1024,15 @@ object Dedup {
     // downstream consumes them more than once (sizes + join) and a
     // recompute would replay the whole loop; the few-KB blocks are
     // reclaimed by the ContextCleaner once the result is GC'd.
+    // virtual split nodes (ids ≥ virtBase) are scaffolding: drop them.
+    // A component's min is always a REAL node (every virtual node is
+    // chained to its real hub, whose id is smaller), so cluster_id
+    // never needs rewriting. virtBase is Long.MaxValue when no split
+    // ran — the filter is a no-op then.
+    val realBound = virtBase // stable val for the task closure
     edges.flatMap { case (v, m) => Iterator((v, m), (m, m)) }
       .reduceByKey(part, math.min(_: Long, _: Long))
+      .filter { case (v, _) => v < realBound }
       .toDF("doc_id", "cluster_id")
   }
 
@@ -955,15 +1048,22 @@ object Dedup {
     * times at 100 TB that is the difference between 10⁶ and 10¹² edge
     * rows. (The oracle's recursive closure over full clique pairs
     * yields the same components, which is all that is compared.) */
-  private[graft] def dupPairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupPairs(spark: SparkSession, dir: String): DataFrame =
+    exactDupStarEdges(corpus(spark, dir))
+      .unionByName(jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      .distinct()
+
+  /** The exact-duplicate STAR edge emitter (group-min → member over the
+    * normalized-text fingerprint) shared by [[dupPairs]] and the
+    * HubScale stress — factored out so the planted-hub proofs exercise
+    * the very code the pipeline runs. */
+  private[graft] def exactDupStarEdges(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exactEdges = corpus(spark, dir)
+    docs
       .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
       .withColumn("root", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
-    val nearPairs = jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b"))
-    exactEdges.unionByName(nearPairs).distinct()
   }
 
   /** dedup_clusters — duplicate clusters: connected components over

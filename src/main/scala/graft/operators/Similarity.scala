@@ -193,12 +193,34 @@ object Similarity {
     * dedup_embedding's adaptive banded-LSH candidates and the
     * large-star/small-star CC loop (Dedup.connectedComponentsOf — one
     * reused hash partitioning, endpoint-sum convergence); downstream
-    * training reads `WHERE is_kept`, exactly like dedup_canonical. */
+    * training reads `WHERE is_kept`, exactly like dedup_canonical.
+    *
+    * EXACT-duplicate vectors additionally feed the pair stream as STAR
+    * edges (group-min → member over the 1e-6-quantized array, the
+    * embed_dup_vectors relation — no cap, no pair join, O(group) edges
+    * per group). This closes the hub blindness HUB_SF1 measured: a
+    * vector duplicated past EmbBucketCap overflows every LSH bucket it
+    * touches, so the banded path alone emits ZERO pairs for exactly the
+    * highest-multiplicity duplicates (mirror-farm embeddings, license
+    * boilerplate) — the text path's own star-edge trick applied to the
+    * embedding space. At gate SFs the raw corpus has no exact-dup
+    * vectors, so the stream is empty there and behavior is unchanged;
+    * both engines compute the identical union regardless. */
   def embedDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupEmbedding(spark, dir)
+    val lshPairs = dedupEmbedding(spark, dir)
       .filter(col("cos_sim") >= SemDupCos)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = Dedup.connectedComponentsOf(pairs)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(toDouble(col("embedding")),
+        x => floor(x * 1e6 + 0.5).cast("long")).as("vq"))
+    val roots = q.groupBy(col("vq"))
+      .agg(min(col("vec_id")).as("root"), count(lit(1)).as("nc"))
+      .filter(col("nc") >= 2)
+      .select(col("vq"), col("root"))
+    val starEdges = q.join(roots, Seq("vq"))
+      .filter(col("vec_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("vec_id").as("doc_b"))
+    val labels = Dedup.connectedComponentsOf(lshPairs.unionByName(starEdges))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
     val man = vecs(spark, dir).select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")
@@ -211,13 +233,26 @@ object Similarity {
   }
 
   /** DuckDB oracle: the dedup_embedding pipeline thresholded at
-    * [[SemDupCos]], closed transitively by a recursive CTE (the
-    * dedup_clusters oracle shape), left-joined back onto the corpus. */
+    * [[SemDupCos]], unioned with the exact-dup star edges (group-min →
+    * member over the 1e-6-quantized array — the same relation the
+    * Spark side feeds the CC loop), closed transitively by a recursive
+    * CTE (the dedup_clusters oracle shape), left-joined back onto the
+    * corpus. */
   lazy val embedDupClustersSql: String =
     s"""WITH RECURSIVE
       |semp AS (SELECT vec_a, vec_b FROM ($dedupEmbeddingSql) WHERE cos_sim >= $SemDupCos),
-      |edges AS (SELECT vec_a AS a, vec_b AS b FROM semp
-      |          UNION SELECT vec_b, vec_a FROM semp),
+      |qv AS (SELECT vec_id, list_transform(embedding,
+      |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS vq
+      |       FROM embeddings),
+      |star AS (
+      |  SELECT r.root AS vec_a, v.vec_id AS vec_b
+      |  FROM qv v JOIN (SELECT vq, MIN(vec_id) AS root FROM qv
+      |                  GROUP BY vq HAVING COUNT(*) >= 2) r USING (vq)
+      |  WHERE v.vec_id <> r.root
+      |),
+      |allp AS (SELECT vec_a, vec_b FROM semp UNION SELECT vec_a, vec_b FROM star),
+      |edges AS (SELECT vec_a AS a, vec_b AS b FROM allp
+      |          UNION SELECT vec_b, vec_a FROM allp),
       |reach(a, b) AS (
       |  SELECT a, b FROM edges
       |  UNION

@@ -31,29 +31,34 @@ import graft.operators.{Dedup, Similarity}
   *    at this degree by construction (5·10⁵² pairs), which is WHY the
   *    star-edge design exists.
   *
-  *  - EMBEDDING path (the capped one): HubVecs copies of one vector
-  *    appended to the sf1 embeddings. dedup_embedding's banded LSH
-  *    drops buckets past EmbBucketCap=100 at a bounded collectCapped
-  *    (101 ids max per bucket, whatever the bucket's true size), so
-  *    the planted hub must contribute ZERO candidate pairs — the CC
-  *    loop never sees an embedding hub; the trade is the hub's members
-  *    emerge as singletons in the manifest (the documented cap
-  *    semantics; embed_dup_vectors is the census that still counts
-  *    them). Checks: hub pair count == 0, op completes, wall seconds.
+  *  - EMBEDDING path: HubVecs copies of one vector appended to the sf1
+  *    embeddings. dedup_embedding's banded LSH drops buckets past
+  *    EmbBucketCap=100 at a bounded collectCapped, so the planted hub
+  *    contributes ZERO LSH candidate pairs (checked) — but since round
+  *    13, embed_dup_clusters ALSO feeds exact-dup star edges (group-min
+  *    → member over the 1e-6-quantized array) into the CC pair stream,
+  *    so the hub must now emerge as ONE cluster with exact membership
+  *    and a single keeper — the blindness HUB_SF1 r12 measured (200k
+  *    keep=true singletons) is the regression this guards against.
   *
-  * Plant ids live in [HubBase, HubBase+HubDocs) which must stay below
-  * Dedup.corpusOf's +1M synthetic-copy offset (the ScaleGen plant
-  * discipline) — the require trips loudly otherwise.
+  *  - CC SPLIT path (round-13 directive): two planted exact-dup stars
+  *    of CC_STAR_A (3M) and CC_STAR_B (2M) identical-text docs, fed
+  *    through the REAL star emitter (Dedup.exactDupStarEdges) into
+  *    Dedup.connectedComponentsOf — degrees far past ccSplitDegree
+  *    (2^17), so the pre-loop high-degree node splitting must engage
+  *    (ccLastSplitHubs ≥ 2), converge in bounded rounds, and return
+  *    both components with exact membership (count + id-checksum per
+  *    cluster), with no single-task neighborhood above ~degree/fan.
   *
-  * At 10⁸ members (a true 100 TB hub) the single-task neighborhood is
-  * ~2.4 GB of boxed longs — past this tool's proof point; the standing
-  * mitigation would be high-degree node splitting (salt the hub center
-  * into √d virtual nodes joined by a chain) applied BEFORE the loop.
-  * This run prices the 5·10⁵ point to decide whether that complexity
-  * is needed below 10⁶.
+  * Text-path plant ids live in [HubBase, HubBase+HubDocs) which must
+  * stay below Dedup.corpusOf's +1M synthetic-copy offset (the ScaleGen
+  * plant discipline) — the require trips loudly otherwise. Embedding
+  * plant ids start at max(vec_id)+1 of the actual corpus (no dense-id
+  * assumption).
   *
   * Usage: runMain graft.tools.HubScale [sfDir=target/sf1] [out=HUB_SF1.json]
-  *   env HUB_DOCS (default 500000), HUB_VECS (default 200000)
+  *   env HUB_DOCS (default 500000), HUB_VECS (default 200000),
+  *       CC_STAR_A (default 3000000), CC_STAR_B (default 2000000)
   */
 object HubScale {
   val HubBase = 100000L
@@ -101,11 +106,13 @@ object HubScale {
         .write.mode(SaveMode.Overwrite).parquet(s"$stage/documents.parquet")
     }
     val vecs0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val nVecs0 = vecs0.count()
+    // plant base = max(vec_id)+1: no dense-id assumption — a sparse
+    // layout would otherwise collide plant ids with existing vectors
+    val hubVecBase = vecs0.agg(max(col("vec_id"))).head.getLong(0) + 1L
     timed("stage_vecs") {
       val proto = vecs0.filter(col("vec_id") === 1L)
         .select(col("embedding"), col("label"))
-      val hubV = spark.range(nVecs0, nVecs0 + hubVecs)
+      val hubV = spark.range(hubVecBase, hubVecBase + hubVecs)
         .crossJoin(broadcast(proto))
         .select(col("id").as("vec_id"), col("embedding"), col("label"))
       vecs0.unionByName(hubV).repartition(32)
@@ -131,17 +138,53 @@ object HubScale {
     val canonKept = timed("dedup_canonical")(
       Dedup.dedupCanonical(spark, stage).filter(col("is_kept")).count())
 
-    // ---- embedding path: the cap guard must zero the hub out ---------
+    // ---- embedding path: LSH stays capped, star edges carry the hub --
+    // any pair touching a planted vector counts (|| — a hub↔original
+    // pair must not escape the check)
     val hubPairs = timed("dedup_embedding_pairs")(
       Similarity.dedupEmbedding(spark, stage)
-        .filter(col("vec_a") >= nVecs0 && col("vec_b") >= nVecs0).count())
+        .filter(col("vec_a") >= hubVecBase || col("vec_b") >= hubVecBase).count())
+    // expected hub cluster = the exact 1e-6-quantized-vq group of the
+    // prototype (vec_id 1) in the STAGED corpus: plants + vec 1 + any
+    // corpus vector identical on the grid. Root = the group min.
+    val stagedQv = spark.read.parquet(s"$stage/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("vq"))
+    val protoVq = stagedQv.filter(col("vec_id") === 1L).select(col("vq"))
+    val expGroup = stagedQv.join(broadcast(protoVq), Seq("vq"))
+    val expSize = expGroup.count()
+    val expRoot = expGroup.agg(min(col("vec_id"))).head.getLong(0)
     val edc = timed("embed_dup_clusters")(
       Similarity.embedDupClusters(spark, stage).persist())
     val edcRows = edc.count()
-    // every hub vector must come out a singleton (cluster of itself)
-    val hubSingletons = edc.filter(col("vec_id") >= nVecs0 &&
-      col("cluster_id") === col("vec_id") && col("cluster_size") === 1L).count()
+    val hubMisplaced = edc.filter(col("vec_id") >= hubVecBase &&
+      col("cluster_id") =!= expRoot).count()
+    val hubClusterSize = edc.filter(col("cluster_id") === expRoot).count()
+    val hubKeepers = edc.filter(col("cluster_id") === expRoot && col("is_kept")).count()
     edc.unpersist()
+
+    // ---- CC split path: 3M + 2M planted stars through the real loop --
+    val starA = sys.env.getOrElse("CC_STAR_A", "3000000").toLong
+    val starB = sys.env.getOrElse("CC_STAR_B", "2000000").toLong
+    val ccDocs = spark.range(0L, starA + starB)
+      .select(col("id").as("doc_id"),
+        when(col("id") < starA, lit("alpha boilerplate mirrored across the farm"))
+          .otherwise(lit("beta license header stamped on every file")).as("text"))
+    val ccClusters = timed("cc_split")(
+      Dedup.connectedComponentsOf(Dedup.exactDupStarEdges(ccDocs)).persist())
+    val ccSplitRows = ccClusters.count()
+    val ccSplitRounds = Dedup.ccLastRounds.get()
+    val splitHubs = Dedup.ccLastSplitHubs.get()
+    def clusterAgg(root: Long): (Long, Long) = {
+      val r = ccClusters.filter(col("cluster_id") === root)
+        .agg(count(lit(1)), sum(col("doc_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (aCount, aSum) = clusterAgg(0L)
+    val (bCount, bSum) = clusterAgg(starA)
+    ccClusters.unpersist()
+    val aSumExp = starA * (starA - 1) / 2
+    val bSumExp = starB * starA + starB * (starB - 1) / 2
 
     def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val checks = Seq(
@@ -150,23 +193,36 @@ object HubScale {
       "second_cluster_exact" -> (secondActual == copies10),
       "cc_rounds_bounded" -> (ccRounds <= 8),
       "emb_hub_pairs_zero" -> (hubPairs == 0L),
-      "emb_hub_all_singletons" -> (hubSingletons == hubVecs))
+      "emb_hub_one_cluster" -> (hubMisplaced == 0L && hubClusterSize == expSize),
+      "emb_hub_single_keeper" -> (hubKeepers == 1L),
+      "cc_split_hubs_engaged" -> (splitHubs >= 2),
+      "cc_split_rounds_bounded" -> (ccSplitRounds <= 8),
+      "cc_split_a_exact" -> (aCount == starA && aSum == aSumExp),
+      "cc_split_b_exact" -> (bCount == starB && bSum == bSumExp))
     val json =
       s"""{"artifact":"HUB_SF1","sf_dir":"$sfDir","hub_docs":$hubDocs,""" +
-      s""""hub_vecs":$hubVecs,"hub_base":$HubBase,""" +
+      s""""hub_vecs":$hubVecs,"hub_base":$HubBase,"hub_vec_base":$hubVecBase,""" +
       s""""text_path":{"cc_rounds":$ccRounds,"clusters_rows":$nRows,""" +
       s""""hub_cluster_expected":$hubExpected,"hub_cluster_actual":$hubActual,""" +
       s""""hub_cluster_size_col":$hubSizeCol,"second_cluster_expected":$copies10,""" +
       s""""second_cluster_actual":$secondActual,"canonical_kept":$canonKept},""" +
       s""""embedding_path":{"hub_pairs":$hubPairs,"manifest_rows":$edcRows,""" +
-      s""""hub_singletons":$hubSingletons},""" +
+      s""""hub_cluster_root":$expRoot,"hub_cluster_expected":$expSize,""" +
+      s""""hub_cluster_actual":$hubClusterSize,"hub_misplaced":$hubMisplaced,""" +
+      s""""hub_keepers":$hubKeepers},""" +
+      s""""cc_split":{"star_a":$starA,"star_b":$starB,"rows":$ccSplitRows,""" +
+      s""""rounds":$ccSplitRounds,"split_hubs":$splitHubs,""" +
+      s""""a_count":$aCount,"a_sum_ok":${aSum == aSumExp},""" +
+      s""""b_count":$bCount,"b_sum_ok":${bSum == bSumExp}},""" +
       s""""checks":{${checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
       s""""stages_sec":{""" +
       times.map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",") +
       s"""},"total_sec":${num(times.values.sum)}}"""
     println(json)
-    require(checks.forall(_._2), s"hub checks failed: ${checks.filterNot(_._2).map(_._1)}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // staged corpora are multi-GB — never leave them in /tmp
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    require(checks.forall(_._2), s"hub checks failed: ${checks.filterNot(_._2).map(_._1)}")
     spark.stop()
   }
 }

@@ -63,7 +63,14 @@ object StateSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // every scratch dir (feeds, checkpoints, sinks, versioned state) is
+    // tracked and deleted after the artifact is written — repeated soaks
+    // must not accumulate multi-GB /tmp residue
+    val scratch = scala.collection.mutable.ArrayBuffer[String]()
+    def tmp(p: String) = {
+      val d = java.nio.file.Files.createTempDirectory(p).toString
+      scratch += d; d
+    }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
@@ -76,6 +83,7 @@ object StateSoak {
       * exactly nB micro-batches. */
     def stageFeed(df: DataFrame, name: String): String = {
       val feed = tmp(s"graft-soak-$name")
+      scratch += s"$feed-sink" // written by the soak's foreachBatch
       df.repartition(nB).write.mode("overwrite").parquet(feed)
       feed
     }
@@ -104,7 +112,7 @@ object StateSoak {
           so.map(_.numRowsTotal).getOrElse(-1L),
           so.map(_.numRowsUpdated).getOrElse(-1L),
           so.map(_.memoryUsedBytes).getOrElse(-1L),
-          cm("rocksdbTotalSizeBytes"))
+          cm("rocksdbSstFileSize"))
       }.sortBy(_.batchId)
     }
 
@@ -170,10 +178,19 @@ object StateSoak {
     val (ndD1, ndD2) = ndDeltas.splitAt(ndDeltas.size / 2)
     val ndFlat = meanL(ndD2) <= 2.0 * math.max(meanL(ndD1), 1.0)
     val scdFinal = scd.map(_.stateRows).max
+    // the RocksDB byte curve must be REAL (the r12 soak recorded -1 in
+    // every row — wrong custom-metric key; the provider's actual key is
+    // rocksdbSstFileSize): nonnegative throughout, positive once state
+    // exists. Flat/plateau is judged from the committed curve, not a
+    // hard bound — SST size breathes with compaction.
     val checks = Seq(
       "near_dedup_batches" -> (nd.size >= nB),
       "near_dedup_state_monotone" -> ndRows.zip(ndRows.drop(1)).forall { case (a, b) => b >= a },
       "near_dedup_delta_flat" -> ndFlat,
+      "near_dedup_rocksdb_bytes_real" ->
+        (nd.forall(_.rocksdbBytes >= 0L) && nd.last.rocksdbBytes > 0L),
+      "scd2_rocksdb_bytes_real" ->
+        (scd.forall(_.rocksdbBytes >= 0L) && scd.last.rocksdbBytes > 0L),
       "scd2_batches" -> (scd.size >= nB),
       "scd2_state_plateaus_at_live_keys" -> (scdFinal == liveKeys),
       "recon_state_rows_bounded" -> reconRows.forall(_._2 <= 16L),
@@ -201,8 +218,11 @@ object StateSoak {
       times.map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",") +
       s"""},"total_sec":${num(times.values.sum)}}"""
     println(json)
-    require(checks.forall(_._2), s"soak checks failed: ${checks.filterNot(_._2).map(_._1)}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    scratch.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    }
+    require(checks.forall(_._2), s"soak checks failed: ${checks.filterNot(_._2).map(_._1)}")
     spark.stop()
   }
 }

@@ -292,6 +292,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsOf: high-degree node splitting is semantically invisible") {
+    import spark.implicits._
+    // two 40-degree stars joined by a hub-hub edge (the double-rewrite
+    // path), a chain hanging off one leaf, and a separate component;
+    // with the threshold lowered both hubs must split, and the labels
+    // must be bit-identical to the unsplit run
+    val star1 = (1L to 40L).map(i => (100L, 100L + i))
+    val star2 = (1L to 40L).map(i => (500L, 500L + i))
+    val bridge = Seq((100L, 500L))
+    val chain = (0L until 5L).map(i => (101L + 60 * i, 101L + 60 * (i + 1)))
+    val other = Seq((9000L, 9001L), (9001L, 9002L))
+    val edges = (star1 ++ star2 ++ bridge ++ chain ++ other).toDF("doc_a", "doc_b")
+    val want = Dedup.connectedComponentsOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Dedup.ccLastSplitHubs.get() === 0) // default threshold untouched
+    val saved = Dedup.ccSplitDegree.get()
+    try {
+      Dedup.ccSplitDegree.set(8)
+      val got = Dedup.connectedComponentsOf(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.ccLastSplitHubs.get() >= 2, "both hubs must split")
+      assert(got === want, "split run must match unsplit labels exactly")
+      assert(got.keys.forall(_ <= 9002L), "no virtual scaffolding in output")
+    } finally Dedup.ccSplitDegree.set(saved)
+  }
+
   test("dedup_containment: thresholds hold and every planted exact copy is a containment-1.0 pair") {
     val res = Dedup.dedupContainment(spark, sf).collect()
     assert(res.nonEmpty)

@@ -196,6 +196,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embed_dup_clusters: over-cap exact-dup hub clusters via star edges (r13 fix)") {
+    import org.apache.spark.sql.functions.broadcast
+    // plant a 150-copy exact-dup hub — 1.5x EmbBucketCap, so the banded
+    // LSH path drops every bucket it touches and emits ZERO pairs for
+    // it (the r12 HUB_SF1 blindness); the exact-dup star edges must
+    // carry it into ONE cluster with a single keeper
+    val dir = java.nio.file.Files.createTempDirectory("graft-hubspec").toString
+    val base = graft.core.Tables.embeddings(spark, sf)
+    val maxId = base.agg(max(col("vec_id"))).head.getLong(0)
+    val nCopies = Similarity.EmbBucketCap + 50L
+    val proto = base.filter(col("vec_id") === 1L).select(col("embedding"), col("label"))
+    val copies = spark.range(maxId + 1, maxId + 1 + nCopies)
+      .crossJoin(broadcast(proto))
+      .select(col("id").as("vec_id"), col("embedding"), col("label"))
+    base.unionByName(copies).write.parquet(s"$dir/embeddings.parquet")
+    val hubLshPairs = Similarity.dedupEmbedding(spark, dir)
+      .filter(col("vec_a") > maxId || col("vec_b") > maxId).count()
+    assert(hubLshPairs === 0L, "over-cap hub must emit no LSH pairs")
+    // expected membership: the exact 1e-6-quantized group of vec 1
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("vq"))
+    val protoVq = qv.filter(col("vec_id") === 1L).select(col("vq"))
+    val grp = qv.join(broadcast(protoVq), Seq("vq"))
+    val expSize = grp.count()
+    val expRoot = grp.agg(min(col("vec_id"))).head.getLong(0)
+    assert(expSize >= nCopies + 1)
+    val res = Similarity.embedDupClusters(spark, dir).collect()
+    val hub = res.filter(_.getAs[Long]("vec_id") > maxId)
+    assert(hub.length.toLong === nCopies)
+    assert(hub.forall(_.getAs[Long]("cluster_id") === expRoot), "hub hangs off the group min")
+    val cluster = res.filter(_.getAs[Long]("cluster_id") === expRoot)
+    assert(cluster.length.toLong === expSize, "exact membership")
+    assert(cluster.count(_.getAs[Boolean]("is_kept")) === 1, "single keeper")
+    assert(cluster.forall(_.getAs[Long]("cluster_size") === expSize))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("embed_diversity_sample: per-cell quota, dense ranks, disjoint cells") {
     val res = Similarity.embedDiversitySample(spark, sf).collect()
     assert(res.nonEmpty)
