@@ -210,14 +210,21 @@ object Similarity {
     val lshPairs = dedupEmbedding(spark, dir)
       .filter(col("cos_sim") >= SemDupCos)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(toDouble(col("embedding")),
-        x => floor(x * 1e6 + 0.5).cast("long")).as("vq"))
-    val roots = q.groupBy(col("vq"))
-      .agg(min(col("vec_id")).as("root"), count(lit(1)).as("nc"))
-      .filter(col("nc") >= 2)
-      .select(col("vq"), col("root"))
-    val starEdges = q.join(roots, Seq("vq"))
+    // group by an md5 FINGERPRINT of the quantized array, not the array
+    // itself — the dupPairs text discipline: the shuffle ships 40 B/row
+    // (id + hex digest) instead of the 520 B vq array, and one window
+    // pass replaces a groupBy + array-keyed join back (measured ~4 s of
+    // the op's 27 s at sf10's 2M vectors, ∝ corpus at 100 TB). The
+    // oracle groups by the exact array — identical modulo md5 collision,
+    // the same equivalence dedup_clusters already rests on.
+    val fp = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        md5(transform(toDouble(col("embedding")),
+          x => floor(x * 1e6 + 0.5).cast("long")).cast("string").cast("binary"))
+          .as("fp"))
+    val starEdges = fp
+      .withColumn("root", min(col("vec_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
       .filter(col("vec_id") =!= col("root"))
       .select(col("root").as("doc_a"), col("vec_id").as("doc_b"))
     val labels = Dedup.connectedComponentsOf(lshPairs.unionByName(starEdges))
