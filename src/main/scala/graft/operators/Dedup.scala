@@ -871,12 +871,15 @@ object Dedup {
     * hub found). */
   private[graft] val ccLastSplitHubs = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Max virtual nodes per split hub. Caps the id arithmetic
+  /** Max virtual nodes per split hub per round. Caps the id arithmetic
     * (virtual id = base + hubIndex·fanCap + j) and bounds the chain
-    * star a split hub keeps (≤ fanCap edges). A 10⁹-degree hub still
-    * lands ~10⁶ ids per virtual node — a 1024× reduction; recursion
-    * past that is deliberately out of scope (documented trade). */
-  private[graft] val CcSplitFanCap = 1024
+    * star a split hub keeps (≤ fanCap edges). When the cap binds — a
+    * 10⁹-degree hub still lands ~10⁶ ids per virtual node after one
+    * round — the splitting pass ITERATES, splitting the over-threshold
+    * virtual nodes again (≤ 4 rounds covers degree ~T·1024⁴ ≈ 10²³).
+    * Mutable only for specs, which force multi-round splitting on tiny
+    * graphs by lowering it. */
+  private[graft] val ccSplitFanCap = new java.util.concurrent.atomic.AtomicInteger(1024)
 
   /** Connected components over an undirected pair set (doc_a, doc_b) →
     * (doc_id, cluster_id) where cluster_id = min doc_id of the component.
@@ -930,33 +933,45 @@ object Dedup {
     // concentrates a component's whole edge set there (HUB_SF1 priced
     // 5.3·10⁵ as fine; past ~10⁶ the single task becomes the straggler,
     // at 10⁸ an OOM). Mitigation: any node whose degree exceeds
-    // [[ccSplitDegree]] is salted into ≤ [[CcSplitFanCap]] virtual
+    // [[ccSplitDegree]] is salted into ≤ [[ccSplitFanCap]] virtual
     // nodes — each incident edge re-hangs off virtual node
     // base + hubIdx·fanCap + (otherEndpoint mod fan), and the real node
     // keeps a fan-sized star to its virtual nodes — so connectivity is
     // exactly preserved while the max neighborhood drops to
-    // ~degree/fan. Virtual ids start past every real id, so they can
-    // never become a component's min label; the output filter drops
-    // them, making the split semantically invisible (oracle unchanged).
-    // A graph with fewer total edges than the threshold cannot contain
-    // a hub — the guard skips the two extra passes at gate/bench sizes.
+    // ~degree/fan. The pass ITERATES (≤ 4 rounds): when the fan cap
+    // binds, a first split leaves virtual nodes of degree ~d/fanCap,
+    // which the next round splits again — 4 rounds of 1024-way fan
+    // cover degree ~T·1024⁴ ≈ 10²³, so no realizable hub survives
+    // above the threshold. Virtual ids start past every real id (each
+    // round allocates past the previous), so they can never become a
+    // component's min label; the output filter drops everything ≥ the
+    // first round's base, making the split semantically invisible
+    // (oracle unchanged). A graph with fewer total edges than the
+    // threshold cannot contain a hub — the guard skips the machinery
+    // entirely at gate/bench sizes.
     val splitT = ccSplitDegree.get().toLong
+    val fanCap = ccSplitFanCap.get().toLong
     var virtBase = Long.MaxValue
     ccLastSplitHubs.set(0)
-    if (edgeCount > splitT) {
+    var splitRound = 0
+    var moreHubs = edgeCount > splitT
+    while (moreHubs && splitRound < 4) {
       val hubs = edges
         .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
         .reduceByKey(part, _ + _)
         .filter(_._2 > splitT)
         .persist()
       val nHubs = hubs.count()
-      if (nHubs > 0) {
-        ccLastSplitHubs.set(nHubs.toInt)
-        virtBase = edges.map(_._1).fold(0L)(math.max) + 1L // canonical a > b
+      if (nHubs == 0) moreHubs = false
+      else {
+        splitRound += 1
+        ccLastSplitHubs.set(ccLastSplitHubs.get() + nHubs.toInt)
+        val base = edges.map(_._1).fold(0L)(math.max) + 1L // canonical a > b
+        if (virtBase == Long.MaxValue) virtBase = base
         val hubMap = hubs.keys.zipWithIndex().join(hubs).map {
           case (u, (idx, d)) =>
-            val fan = math.min(CcSplitFanCap.toLong, d / splitT + 1L)
-            (u, (virtBase + idx * CcSplitFanCap, fan))
+            val fan = math.min(fanCap, d / splitT + 1L)
+            (u, (base + idx * fanCap, fan))
         }.persist()
         // rewrite both endpoints (an edge may touch two hubs); the
         // routing key is the opposite endpoint as already rewritten —

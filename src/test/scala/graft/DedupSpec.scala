@@ -318,6 +318,30 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.ccSplitDegree.set(saved)
   }
 
+  test("connectedComponentsOf: fan-capped splitting iterates and stays invisible") {
+    import spark.implicits._
+    // a 64-degree star with threshold 4 and fan cap 2: one split round
+    // leaves ~32-degree virtual nodes, so the pass must iterate (the
+    // 10⁹-degree scenario in miniature) and still label exactly
+    val star = (1L to 64L).map(i => (7L, 100L + i))
+    val tail = Seq((164L, 200L), (200L, 201L)) // hang a path off a leaf
+    val edges = (star ++ tail).toDF("doc_a", "doc_b")
+    val want = Dedup.connectedComponentsOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val savedT = Dedup.ccSplitDegree.get()
+    val savedF = Dedup.ccSplitFanCap.get()
+    try {
+      Dedup.ccSplitDegree.set(4)
+      Dedup.ccSplitFanCap.set(2)
+      val got = Dedup.connectedComponentsOf(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.ccLastSplitHubs.get() > 1,
+        "fan cap 2 must force multiple split rounds (cumulative hubs > 1)")
+      assert(got === want, "iterated split must match unsplit labels exactly")
+      assert(got.keys.forall(_ <= 201L), "no virtual scaffolding in output")
+    } finally { Dedup.ccSplitDegree.set(savedT); Dedup.ccSplitFanCap.set(savedF) }
+  }
+
   test("dedup_containment: thresholds hold and every planted exact copy is a containment-1.0 pair") {
     val res = Dedup.dedupContainment(spark, sf).collect()
     assert(res.nonEmpty)
