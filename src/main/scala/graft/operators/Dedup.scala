@@ -868,8 +868,12 @@ object Dedup {
 
   /** Hub nodes split by the last [[connectedComponentsOf]] call —
     * observability for the splitting path (0 = machinery skipped or no
-    * hub found). */
+    * hub found). Cumulative across split rounds. */
   private[graft] val ccLastSplitHubs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Split rounds the last call ran (0 = no split; > 1 = the fan cap
+    * bound and the pass iterated). */
+  private[graft] val ccLastSplitRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Max virtual nodes per split hub per round. Caps the id arithmetic
     * (virtual id = base + hubIndex·fanCap + j) and bounds the chain
@@ -954,6 +958,7 @@ object Dedup {
     var virtBase = Long.MaxValue
     ccLastSplitHubs.set(0)
     var splitRound = 0
+    ccLastSplitRounds.set(0)
     var moreHubs = edgeCount > splitT
     while (moreHubs && splitRound < 4) {
       val hubs = edges
@@ -998,6 +1003,7 @@ object Dedup {
       }
       hubs.unpersist(blocking = false)
     }
+    ccLastSplitRounds.set(splitRound)
 
     def endpointSum(e: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
       e.map { case (u, v) => u + v }.fold(0L)(_ + _)

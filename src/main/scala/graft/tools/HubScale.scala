@@ -49,6 +49,10 @@ import graft.operators.{Dedup, Similarity}
   *    (ccLastSplitHubs ≥ 2), converge in bounded rounds, and return
   *    both components with exact membership (count + id-checksum per
   *    cluster), with no single-task neighborhood above ~degree/fan.
+  *    A second pass forces fan cap 4 so one split round leaves
+  *    ~750k-degree virtual nodes — the pass must ITERATE at scale
+  *    (≥ 2 split rounds, the 10⁹-degree shape) and still label both
+  *    components exactly.
   *
   * Text-path plant ids live in [HubBase, HubBase+HubDocs) which must
   * stay below Dedup.corpusOf's +1M synthetic-copy offset (the ScaleGen
@@ -186,6 +190,29 @@ object HubScale {
     val aSumExp = starA * (starA - 1) / 2
     val bSumExp = starB * starA + starB * (starB - 1) / 2
 
+    // ---- forced-iteration split: fan cap 4 makes one round leave ------
+    // ~750k-degree virtual nodes, so the pass must iterate AT SCALE
+    // (the 10⁹-degree scenario's shape on the same 5M-node graph) and
+    // still label both components exactly
+    val savedFan = Dedup.ccSplitFanCap.get()
+    val (itRounds, itHubs, itA, itASumOk, itB, itBSumOk) =
+      try {
+        Dedup.ccSplitFanCap.set(4)
+        val cc2 = timed("cc_split_iter")(
+          Dedup.connectedComponentsOf(Dedup.exactDupStarEdges(ccDocs)).persist())
+        cc2.count()
+        def agg2(root: Long): (Long, Long) = {
+          val r = cc2.filter(col("cluster_id") === root)
+            .agg(count(lit(1)), sum(col("doc_id"))).head
+          (r.getLong(0), r.getLong(1))
+        }
+        val (ac, as) = agg2(0L)
+        val (bc, bs) = agg2(starA)
+        cc2.unpersist()
+        (Dedup.ccLastSplitRounds.get(), Dedup.ccLastSplitHubs.get(),
+          ac, as == aSumExp, bc, bs == bSumExp)
+      } finally Dedup.ccSplitFanCap.set(savedFan)
+
     def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val checks = Seq(
       "hub_membership_exact" -> (hubActual == hubExpected),
@@ -198,7 +225,10 @@ object HubScale {
       "cc_split_hubs_engaged" -> (splitHubs >= 2),
       "cc_split_rounds_bounded" -> (ccSplitRounds <= 8),
       "cc_split_a_exact" -> (aCount == starA && aSum == aSumExp),
-      "cc_split_b_exact" -> (bCount == starB && bSum == bSumExp))
+      "cc_split_b_exact" -> (bCount == starB && bSum == bSumExp),
+      "cc_split_iter_multi_round" -> (itRounds >= 2),
+      "cc_split_iter_a_exact" -> (itA == starA && itASumOk),
+      "cc_split_iter_b_exact" -> (itB == starB && itBSumOk))
     val json =
       s"""{"artifact":"HUB_SF1","sf_dir":"$sfDir","hub_docs":$hubDocs,""" +
       s""""hub_vecs":$hubVecs,"hub_base":$HubBase,"hub_vec_base":$hubVecBase,""" +
@@ -214,6 +244,9 @@ object HubScale {
       s""""rounds":$ccSplitRounds,"split_hubs":$splitHubs,""" +
       s""""a_count":$aCount,"a_sum_ok":${aSum == aSumExp},""" +
       s""""b_count":$bCount,"b_sum_ok":${bSum == bSumExp}},""" +
+      s""""cc_split_iter":{"forced_fan":4,"rounds":$itRounds,""" +
+      s""""split_hubs":$itHubs,"a_count":$itA,"a_sum_ok":$itASumOk,""" +
+      s""""b_count":$itB,"b_sum_ok":$itBSumOk},""" +
       s""""checks":{${checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
       s""""stages_sec":{""" +
       times.map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",") +
