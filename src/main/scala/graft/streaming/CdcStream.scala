@@ -56,17 +56,33 @@ case class BurstState(user_id: Long, n_gaps: Long, sx: Long, sxx: Long,
   */
 object CdcStream {
 
+  private def rmTreeQuietly(p: java.nio.file.Path): Unit =
+    try {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    } catch { case _: Throwable => () }
+
   /** File-sink dirs from prior [[replay]] calls, reclaimed lazily (next
     * replay / JVM exit) — see the sink-lifetime note inside replay. */
   private val staleSinks =
     java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    staleSinks.forEach { p =>
-      try {
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      } catch { case _: Throwable => () }
-    }))
+
+  /** Per-call scratch whose contents may be LAZILY scanned after the
+    * call returns (versioned parquet state, symlink feed stages) — in-
+    * call deletion would break the returned frame, but leaving them
+    * accumulates /tmp residue across sessions (measured: 164 stale
+    * recon-state dirs before round 13). Reclaimed at JVM exit. */
+  private val exitScratch =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    staleSinks.forEach(rmTreeQuietly(_))
+    exitScratch.forEach(rmTreeQuietly(_))
+  }))
+
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    exitScratch.add(p); p
+  }
 
   /** Epoch-micros column for the `ts` field under any of the three
     * parquet encodings the generator has shipped (long nanos,
@@ -162,7 +178,7 @@ object CdcStream {
     // sf1/sf10 until round 9 caught it.
     // (absolute link targets: a relative `dir` would otherwise leave
     // the links dangling relative to the stage directory)
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream")
+    val stage = scratchDir("graft-stream")
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath
     var stagedBytes = 0L
     if (java.nio.file.Files.isDirectory(src)) {
@@ -601,7 +617,7 @@ object CdcStream {
   def streamApplyToLake(spark: SparkSession, dir: String, path: String,
                         buckets: Int = 16): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stage = java.nio.file.Files.createTempDirectory("graft-lake-stream")
+    val stage = scratchDir("graft-lake-stream")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -752,13 +768,13 @@ object CdcStream {
     import graft.cdc.Reconcile
     val src = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"))
-    val stage = java.nio.file.Files.createTempDirectory("graft-recon-stream")
+    val stage = scratchDir("graft-recon-stream")
     // stage the feed as several files so AvailableNow actually runs
     // multiple incremental batches (a single file would be one batch);
     // 4 batches exercise the fold at half the per-batch replay
     // overhead of 8 — the incremental semantics don't depend on count
     src.repartition(4).write.mode("overwrite").parquet(s"$stage/feed")
-    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-state").toString
+    val stateBase = scratchDir("graft-recon-state").toString
     val stream = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/feed")
     val q = stream.writeStream
@@ -809,9 +825,9 @@ object CdcStream {
     def recent(df: DataFrame) =
       df.filter(floor(col("o_orderkey") * 10 / lit(mxKey + 1)) >= 8)
     val digest = Reconcile.rowDigest(col("o_orderkey"), col("o_totalprice"))
-    val stage = java.nio.file.Files.createTempDirectory("graft-recon-inc-stream")
+    val stage = scratchDir("graft-recon-inc-stream")
     src.repartition(4).write.mode("overwrite").parquet(s"$stage/feed")
-    val stateBase = java.nio.file.Files.createTempDirectory("graft-recon-inc-state").toString
+    val stateBase = scratchDir("graft-recon-inc-state").toString
     val stream = spark.readStream.schema(src.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$stage/feed")
     val q = stream.writeStream

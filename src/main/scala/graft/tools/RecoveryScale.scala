@@ -40,8 +40,11 @@ object RecoveryScale {
   /** Stage a parquet table's part files as a flat dir of symlinks
     * (same discipline as CdcStream.replay — the file stream source
     * does not descend into directory tables). */
+  private val stagedDirs = scala.collection.mutable.ArrayBuffer[String]()
+
   private def stageParts(dir: String, table: String): String = {
     val stage = java.nio.file.Files.createTempDirectory("graft-recovery-stage")
+    stagedDirs += stage.toString
     val src = java.nio.file.Paths.get(s"$dir/$table.parquet").toAbsolutePath
     // listFiles (not Files.list — no stream handle to leak), sorted by
     // name so the part-to-batch mapping is deterministic regardless of
@@ -124,7 +127,13 @@ object RecoveryScale {
     require(nBatches >= 2,
       s"need >= 2 staged batches for a mid-stream crash, got $nBatches")
     val crashAt = nBatches / 2L
-    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // every scratch dir is deleted after the artifact is written — the
+    // HubScale/StateSoak round-13 residue discipline
+    val scratch = scala.collection.mutable.ArrayBuffer[String]()
+    def tmp(p: String) = {
+      val d = java.nio.file.Files.createTempDirectory(p).toString
+      scratch += d; d
+    }
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed[T](name: String)(body: => T): T = {
@@ -187,6 +196,9 @@ object RecoveryScale {
       s"""},"total_sec":${num(times.values.sum)}}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    (scratch ++ stagedDirs).foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    }
     spark.stop()
   }
 }
