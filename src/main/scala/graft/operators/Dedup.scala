@@ -973,8 +973,8 @@ object Dedup {
         ccLastSplitHubs.set(ccLastSplitHubs.get() + nHubs.toInt)
         val base = edges.map(_._1).fold(0L)(math.max) + 1L // canonical a > b
         if (virtBase == Long.MaxValue) virtBase = base
-        val hubMap = hubs.keys.zipWithIndex().join(hubs).map {
-          case (u, (idx, d)) =>
+        val hubMap = hubs.zipWithIndex().map {
+          case ((u, d), idx) =>
             val fan = math.min(fanCap, d / splitT + 1L)
             (u, (base + idx * fanCap, fan))
         }.persist()
@@ -1074,17 +1074,41 @@ object Dedup {
       .unionByName(jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
       .distinct()
 
-  /** The exact-duplicate STAR edge emitter (group-min → member over the
-    * normalized-text fingerprint) shared by [[dupPairs]] and the
+  /** Salt fan for [[exactDupStarEdges]]: a duplicate group's members
+    * spread across up to this many window partitions, so no emitter
+    * task ever buffers the whole group — the same single-task-hub
+    * concern the CC split pass handles one stage downstream, fixed at
+    * the shared emitter altitude. */
+  private[graft] val StarSalt = 64
+
+  /** The exact-duplicate STAR edge emitter (group-min → members over
+    * the normalized-text fingerprint) shared by [[dupPairs]] and the
     * HubScale stress — factored out so the planted-hub proofs exercise
-    * the very code the pipeline runs. */
+    * the very code the pipeline runs. Emitted as a TWO-LEVEL star:
+    * members hook onto a per-(fp, doc_id mod [[StarSalt]]) local
+    * minimum, and the ≤ StarSalt local minima hook onto the group
+    * minimum (a tiny second window over the distinct local roots) —
+    * a 10⁸-copy boilerplate group costs StarSalt parallel window
+    * partitions instead of one 10⁸-row sort. Spans exactly the same
+    * components as the flat star (≤ StarSalt-1 extra edges per group);
+    * every consumer is a connected-components closure, so labels are
+    * identical. Null fingerprints (null text) emit nothing — the
+    * oracle's join-on-value semantics, where NULL never matches. */
   private[graft] def exactDupStarEdges(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
+    val local = docs
       .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
-      .withColumn("root", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
-      .filter(col("doc_id") =!= col("root"))
-      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+      .filter(col("fp").isNotNull)
+      .withColumn("salt", pmod(col("doc_id"), lit(StarSalt.toLong)))
+      .withColumn("lroot",
+        min(col("doc_id")).over(Window.partitionBy(col("fp"), col("salt"))))
+    val leaf = local.filter(col("doc_id") =!= col("lroot"))
+      .select(col("lroot").as("doc_a"), col("doc_id").as("doc_b"))
+    val roots = local.select(col("fp"), col("lroot")).distinct()
+      .withColumn("groot", min(col("lroot")).over(Window.partitionBy(col("fp"))))
+      .filter(col("lroot") =!= col("groot"))
+      .select(col("groot").as("doc_a"), col("lroot").as("doc_b"))
+    leaf.unionByName(roots)
   }
 
   /** dedup_clusters — duplicate clusters: connected components over

@@ -212,21 +212,32 @@ object Similarity {
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     // group by an md5 FINGERPRINT of the quantized array, not the array
     // itself — the dupPairs text discipline: the shuffle ships 40 B/row
-    // (id + hex digest) instead of the 520 B vq array, and one window
-    // pass replaces a groupBy + array-keyed join back (measured ~4 s of
-    // the op's 27 s at sf10's 2M vectors, ∝ corpus at 100 TB). The
-    // oracle groups by the exact array — identical modulo md5 collision,
-    // the same equivalence dedup_clusters already rests on.
-    val fp = Tables.embeddings(spark, dir)
+    // (id + hex digest) instead of the 520 B vq array, and window
+    // passes replace a groupBy + array-keyed join back (measured ~4 s
+    // of the op's 27 s at sf10's 2M vectors, ∝ corpus at 100 TB). The
+    // star is TWO-LEVEL exactly like Dedup.exactDupStarEdges — members
+    // hook a per-(fp, salt) local minimum, local minima hook the group
+    // minimum — so a mega-hub never sorts in one window task; the
+    // closure-consuming CC makes the extra level invisible. Null
+    // embeddings emit nothing (oracle JOIN-on-vq semantics: NULL never
+    // matches). Oracle groups by the exact array — identical modulo
+    // md5 collision, the same equivalence dedup_clusters rests on.
+    val w = org.apache.spark.sql.expressions.Window
+    val local = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         md5(transform(toDouble(col("embedding")),
           x => floor(x * 1e6 + 0.5).cast("long")).cast("string").cast("binary"))
           .as("fp"))
-    val starEdges = fp
-      .withColumn("root", min(col("vec_id"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("vec_id") =!= col("root"))
-      .select(col("root").as("doc_a"), col("vec_id").as("doc_b"))
+      .filter(col("fp").isNotNull)
+      .withColumn("salt", pmod(col("vec_id"), lit(Dedup.StarSalt.toLong)))
+      .withColumn("lroot",
+        min(col("vec_id")).over(w.partitionBy(col("fp"), col("salt"))))
+    val starEdges = local.filter(col("vec_id") =!= col("lroot"))
+      .select(col("lroot").as("doc_a"), col("vec_id").as("doc_b"))
+      .unionByName(local.select(col("fp"), col("lroot")).distinct()
+        .withColumn("groot", min(col("lroot")).over(w.partitionBy(col("fp"))))
+        .filter(col("lroot") =!= col("groot"))
+        .select(col("groot").as("doc_a"), col("lroot").as("doc_b")))
     val labels = Dedup.connectedComponentsOf(lshPairs.unionByName(starEdges))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
     val man = vecs(spark, dir).select(col("vec_id"))

@@ -242,6 +242,9 @@ object CdcStream {
       "/dev/shm" else System.getProperty("java.io.tmpdir")
     val ck = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(ckBase), "graft-ck")
+    // in-call rmTree below covers the success path; the exit hook
+    // covers a replay that THROWS (on /dev/shm the leak would be RAM)
+    exitScratch.add(ck)
     // Sink choice is a scale decision, not a convenience one. The memory
     // sink pins every emitted row in the driver AS THE QUERY RUNS, and its
     // per-batch collect is subject to spark.driver.maxResultSize — fine
@@ -290,11 +293,7 @@ object CdcStream {
           "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows")
       }
     }
-    def rmTree(p: java.nio.file.Path): Unit =
-      try {
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      } catch { case _: Throwable => () }
+    def rmTree(p: java.nio.file.Path): Unit = rmTreeQuietly(p)
     rmTree(ck)
     rmTree(stage)
     if (fileSink) {

@@ -177,11 +177,14 @@ object HubScale {
     val ccClusters = timed("cc_split")(
       Dedup.connectedComponentsOf(Dedup.exactDupStarEdges(ccDocs)).persist())
     val ccSplitRows = ccClusters.count()
-    val ccSplitRounds = Dedup.ccLastRounds.get()
+    val ccSplitRounds = Dedup.ccLastRounds.get() // CC-loop rounds
     val splitHubs = Dedup.ccLastSplitHubs.get()
+    val splitPassRounds = Dedup.ccLastSplitRounds.get() // pre-loop split rounds
     def clusterAgg(root: Long): (Long, Long) = {
+      // coalesce: sum() over an empty cluster is null — a membership
+      // regression must FAIL the named check, not NPE before the JSON
       val r = ccClusters.filter(col("cluster_id") === root)
-        .agg(count(lit(1)), sum(col("doc_id"))).head
+        .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
     val (aCount, aSum) = clusterAgg(0L)
@@ -203,7 +206,7 @@ object HubScale {
         cc2.count()
         def agg2(root: Long): (Long, Long) = {
           val r = cc2.filter(col("cluster_id") === root)
-            .agg(count(lit(1)), sum(col("doc_id"))).head
+            .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head
           (r.getLong(0), r.getLong(1))
         }
         val (ac, as) = agg2(0L)
@@ -241,10 +244,11 @@ object HubScale {
       s""""hub_cluster_actual":$hubClusterSize,"hub_misplaced":$hubMisplaced,""" +
       s""""hub_keepers":$hubKeepers},""" +
       s""""cc_split":{"star_a":$starA,"star_b":$starB,"rows":$ccSplitRows,""" +
-      s""""rounds":$ccSplitRounds,"split_hubs":$splitHubs,""" +
+      s""""cc_rounds":$ccSplitRounds,"split_rounds":$splitPassRounds,""" +
+      s""""split_hubs":$splitHubs,""" +
       s""""a_count":$aCount,"a_sum_ok":${aSum == aSumExp},""" +
       s""""b_count":$bCount,"b_sum_ok":${bSum == bSumExp}},""" +
-      s""""cc_split_iter":{"forced_fan":4,"rounds":$itRounds,""" +
+      s""""cc_split_iter":{"forced_fan":4,"split_rounds":$itRounds,""" +
       s""""split_hubs":$itHubs,"a_count":$itA,"a_sum_ok":$itASumOk,""" +
       s""""b_count":$itB,"b_sum_ok":$itBSumOk},""" +
       s""""checks":{${checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
