@@ -885,6 +885,23 @@ object Dedup {
     * graphs by lowering it. */
   private[graft] val ccSplitFanCap = new java.util.concurrent.atomic.AtomicInteger(1024)
 
+  /** fmix64 (MurmurHash3 finalizer) route of an opposite endpoint into
+    * [0, fan): raw `id % fan` residues of strided or block-allocated id
+    * spaces (every doc_id a multiple of the fan, say) would collapse a
+    * hub's whole edge set onto ONE virtual node — and the identical
+    * residues would repeat every split round, so the iteration could
+    * never reduce the hub's degree. The mixing hash makes the route
+    * uniform in the id distribution and independent across rounds
+    * (round r's key is a round-(r−1) VIRTUAL id, already mixed). */
+  private def fanRoute(x: Long, fan: Long): Long = {
+    var z = x
+    z ^= (z >>> 33); z *= 0xff51afd7ed558ccdL
+    z ^= (z >>> 33); z *= 0xc4ceb9fe1a85ec53L
+    z ^= (z >>> 33)
+    val m = z % fan
+    if (m < 0) m + fan else m
+  }
+
   /** Connected components over an undirected pair set (doc_a, doc_b) →
     * (doc_id, cluster_id) where cluster_id = min doc_id of the component.
     *
@@ -939,7 +956,7 @@ object Dedup {
     // at 10⁸ an OOM). Mitigation: any node whose degree exceeds
     // [[ccSplitDegree]] is salted into ≤ [[ccSplitFanCap]] virtual
     // nodes — each incident edge re-hangs off virtual node
-    // base + hubIdx·fanCap + (otherEndpoint mod fan), and the real node
+    // base + hubIdx·fanCap + fanRoute(otherEndpoint), and the real node
     // keeps a fan-sized star to its virtual nodes — so connectivity is
     // exactly preserved while the max neighborhood drops to
     // ~degree/fan. The pass ITERATES (≤ 4 rounds): when the fan cap
@@ -953,6 +970,23 @@ object Dedup {
     // (oracle unchanged). A graph with fewer total edges than the
     // threshold cannot contain a hub — the guard skips the machinery
     // entirely at gate/bench sizes.
+    //
+    // The census is NARROW in the common, hubless case: one
+    // mapPartitions pass over the persisted edges counts degrees
+    // per-partition and emits only pigeonhole candidates — a node of
+    // global degree > T must count > ⌊T/nPart⌋ inside at least one of
+    // its nPart partitions (⌈(T+1)/n⌉ = ⌊T/n⌋+1) — so a graph with no
+    // hub pays zero shuffle and zero extra stage beyond collecting
+    // empty candidate lists, where the old reduceByKey census paid a
+    // 2|E|-row combiner shuffle on EVERY large CC call (measured
+    // 1.15–1.16× on the sf10 dedup cluster family, the r13 watch
+    // item). Candidates are exact-counted (map-side filtered shuffle
+    // of only their incident edges) only when any exist; false
+    // positives die there. A caller-side "my edge stream is
+    // hub-bounded" hint would be UNSOUND instead: the two-level star
+    // emitters still produce local roots of degree ~group/StarSalt —
+    // unbounded at the 10⁸-copy groups this pass exists for — so the
+    // census stays inside the operator where it cannot be lied to.
     val splitT = ccSplitDegree.get().toLong
     val fanCap = ccSplitFanCap.get().toLong
     var virtBase = Long.MaxValue
@@ -961,47 +995,108 @@ object Dedup {
     ccLastSplitRounds.set(0)
     var moreHubs = edgeCount > splitT
     while (moreHubs && splitRound < 4) {
-      val hubs = edges
-        .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
-        .reduceByKey(part, _ + _)
-        .filter(_._2 > splitT)
-        .persist()
-      val nHubs = hubs.count()
-      if (nHubs == 0) moreHubs = false
+      val nPartE = edges.getNumPartitions
+      val localT = splitT / nPartE
+      // (maxRealOrVirtualId, exact (hub, degree) roster) for this round
+      val (maxId, hubArr): (Long, Array[(Long, Long)]) =
+        if (localT >= 64) {
+          val partStats = edges.mapPartitions { it =>
+            val deg = new scala.collection.mutable.LongMap[Long]()
+            var mx = 0L
+            it.foreach { case (a, b) =>
+              if (a > mx) mx = a // canonical a > b
+              deg(a) = deg.getOrElse(a, 0L) + 1L
+              deg(b) = deg.getOrElse(b, 0L) + 1L
+            }
+            val cand = deg.iterator
+              .collect { case (u, d) if d > localT => u }.toArray
+            Iterator.single((mx, cand))
+          }.collect()
+          val mx = partStats.foldLeft(0L)((m, p) => math.max(m, p._1))
+          val cands = partStats.iterator.flatMap(_._2).toSet
+          if (cands.isEmpty) (mx, Array.empty[(Long, Long)])
+          else {
+            val bcC = spark.sparkContext.broadcast(cands)
+            val hubs = edges.mapPartitions { it =>
+              val cs = bcC.value
+              it.flatMap { case (a, b) =>
+                (if (cs.contains(a)) Iterator((a, 1L)) else Iterator.empty) ++
+                  (if (cs.contains(b)) Iterator((b, 1L)) else Iterator.empty)
+              }
+            }.reduceByKey(_ + _).filter(_._2 > splitT).collect()
+            bcC.unpersist(blocking = false)
+            (mx, hubs)
+          }
+        } else {
+          // degenerate geometry (threshold within ~64× of the partition
+          // count — the spec-forced tiny thresholds, or a pathological
+          // partitioning): pigeonhole filtering would pass everything,
+          // so pay the full census
+          val hubs = edges
+            .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
+            .reduceByKey(part, _ + _)
+            .filter(_._2 > splitT)
+            .collect()
+          (edges.map(_._1).fold(0L)(math.max), hubs)
+        }
+      if (hubArr.isEmpty) moreHubs = false
       else {
         splitRound += 1
-        ccLastSplitHubs.set(ccLastSplitHubs.get() + nHubs.toInt)
-        val base = edges.map(_._1).fold(0L)(math.max) + 1L // canonical a > b
+        ccLastSplitHubs.set(ccLastSplitHubs.get() + hubArr.length)
+        val base = maxId + 1L
         if (virtBase == Long.MaxValue) virtBase = base
-        val hubMap = hubs.zipWithIndex().map {
-          case ((u, d), idx) =>
+        // The hub roster is bounded by construction (degree > splitT
+        // caps it at 2|E|/splitT entries — ~76k at 10¹⁰ edges), so it
+        // lives on the DRIVER, sorted by hub id: virtual bases are a
+        // pure function of the sorted roster, never of shuffle order
+        // (a zipWithIndex over shuffled partitions could re-index on a
+        // task retry or cache eviction and silently re-wire
+        // connectivity between the rewrite and the chains). Applied
+        // map-side via broadcast — the old per-hub leftOuterJoin
+        // cogrouped a hub's whole edge list into one task's buffer,
+        // recreating at 10⁸–10⁹ degrees the very skew this pass exists
+        // to remove.
+        val hubMapLocal: Map[Long, (Long, Long)] =
+          hubArr.sortBy(_._1).zipWithIndex.map { case ((u, d), idx) =>
             val fan = math.min(fanCap, d / splitT + 1L)
-            (u, (base + idx * fanCap, fan))
-        }.persist()
-        // rewrite both endpoints (an edge may touch two hubs); the
-        // routing key is the opposite endpoint as already rewritten —
-        // always non-negative, so the mod is safe
-        val s1 = edges.leftOuterJoin(hubMap).map {
-          case (_, (b, Some((vb, fan)))) => (b, vb + b % fan)
-          case (a, (b, None))            => (b, a)
+            (u, (base + idx.toLong * fanCap, fan))
+          }.toMap
+        val bc = spark.sparkContext.broadcast(hubMapLocal)
+        // rewrite both endpoints map-side (an edge may touch two
+        // hubs); the routing key is the opposite endpoint as already
+        // rewritten, mixed through fanRoute
+        val rewritten = edges.mapPartitions { it =>
+          val hm = bc.value
+          it.map { case (a, b) =>
+            val a2 = hm.get(a) match {
+              case Some((vb, fan)) => vb + fanRoute(b, fan)
+              case None            => a
+            }
+            val b2 = hm.get(b) match {
+              case Some((vb, fan)) => vb + fanRoute(a2, fan)
+              case None            => b
+            }
+            (a2, b2)
+          }
         }
-        val s2 = s1.leftOuterJoin(hubMap).map {
-          case (_, (a2, Some((vb, fan)))) => (a2, vb + a2 % fan)
-          case (b, (a2, None))            => (a2, b)
-        }
-        val chains = hubMap.flatMap { case (u, (vb, fan)) =>
-          Iterator.range(0, fan.toInt).map(j => (vb + j, u))
-        }
-        val split = (s2 ++ chains)
+        val chains = spark.sparkContext
+          .parallelize(hubMapLocal.toSeq.sortBy(_._1),
+            math.max(1, hubMapLocal.size / 1024))
+          .flatMap { case (u, (vb, fan)) =>
+            Iterator.range(0, fan.toInt).map(j => (vb + j, u))
+          }
+        val split = (rewritten ++ chains)
           .filter { case (a, b) => a != b }
           .map { case (a, b) => if (a > b) (a, b) else (b, a) }
           .distinct().persist()
         split.count() // materialize before dropping the originals
-        hubMap.unpersist(blocking = false)
         edges.unpersist(blocking = false)
         edges = split
+        // bc stays referenced by split's lineage and is reclaimed by
+        // the ContextCleaner with it; a recompute through the lineage
+        // is deterministic now (driver-assigned bases), so eviction or
+        // retry can no longer mis-wire the graph.
       }
-      hubs.unpersist(blocking = false)
     }
     ccLastSplitRounds.set(splitRound)
 

@@ -342,6 +342,49 @@ class DedupSpec extends SparkSpec {
     } finally { Dedup.ccSplitDegree.set(savedT); Dedup.ccSplitFanCap.set(savedF) }
   }
 
+  test("connectedComponentsOf: narrow census fast path engages and splits exactly") {
+    import spark.implicits._
+    // force the pigeonhole fast path: repartition(2) keeps the edge RDD
+    // at 2 partitions, so localT = 256/2 = 128 ≥ 64 — the production
+    // census geometry on a spec-sized graph. A 400-leaf star (degree
+    // 400 > 256) must be found by the per-partition candidate scan and
+    // split via the broadcast rewrite, with labels identical to the
+    // unsplit run; the disjoint path must stay untouched.
+    val star = (1L to 400L).map(i => (5L, 1000L + i))
+    val path = (0L until 4L).map(i => (8000L + i, 8001L + i))
+    val edges = (star ++ path).toDF("doc_a", "doc_b").repartition(2)
+    val want = Dedup.connectedComponentsOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saved = Dedup.ccSplitDegree.get()
+    try {
+      Dedup.ccSplitDegree.set(256)
+      val got = Dedup.connectedComponentsOf(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.ccLastSplitHubs.get() >= 1, "the 400-degree hub must split")
+      assert(Dedup.ccLastSplitRounds.get() >= 1)
+      assert(got === want, "fast-path split must match unsplit labels exactly")
+      assert(got.keys.forall(_ <= 8004L), "no virtual scaffolding in output")
+    } finally Dedup.ccSplitDegree.set(saved)
+  }
+
+  test("connectedComponentsOf: hubless graph above the edge guard skips splitting via the narrow census") {
+    import spark.implicits._
+    // 400 edges > threshold 256 arms the census, but max degree is 2 —
+    // the per-partition scan must find zero candidates (no shuffle, no
+    // split round) and labels must be the plain path contraction
+    val path = (0L until 400L).map(i => (i, i + 1))
+    val edges = path.toDF("doc_a", "doc_b").repartition(2)
+    val saved = Dedup.ccSplitDegree.get()
+    try {
+      Dedup.ccSplitDegree.set(256)
+      val lab = Dedup.connectedComponentsOf(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.ccLastSplitHubs.get() === 0, "no hub may be reported")
+      assert(Dedup.ccLastSplitRounds.get() === 0)
+      assert(lab.size === 401 && lab.values.forall(_ === 0L))
+    } finally Dedup.ccSplitDegree.set(saved)
+  }
+
   test("dedup_containment: thresholds hold and every planted exact copy is a containment-1.0 pair") {
     val res = Dedup.dedupContainment(spark, sf).collect()
     assert(res.nonEmpty)
