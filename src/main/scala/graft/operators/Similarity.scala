@@ -413,6 +413,105 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "knn_rank", "cos_sim")
   }
 
+  /** stream_knn_ivfpq serving core: the IVF+PQ index as the
+    * stream-static side — the streaming twin of [[knnIvfPq]], the
+    * layout a billion-vector deployment actually serves from (cells
+    * prune I/O, codes shrink what's scanned). The index is built once
+    * from the static corpus: each vector's rank-1 IVF cell, its
+    * [[PqSub]] PQ codes pivoted to an m-ordered array, and its exact
+    * vector for the re-rank, persisted co-keyed on cent_id (at
+    * deployment: bucketed storage partitioned by cell — the
+    * [[knnLshServe]] index discipline). Each arriving query explodes
+    * to its adaptive-Nprobe probe cells against the broadcast centroid
+    * roster (the ≤ 512 KiB [[ivfRoster]] collect), equi-joins the
+    * index on cent_id — touching only probed cells' members, never the
+    * corpus — and computes BOTH its exact cosine and its per-subspace
+    * ADC terms declaratively (the codebook is a broadcast join, the
+    * query's subvector slice a column expression), so the keyed state
+    * function only sums longs, shortlists, and ranks: ADC distances
+    * sum per neighbor (all [[PqSub]] subspaces required — the batch
+    * nm == PqSub guard), the [[pqShortlistFor]] shortlist keeps the
+    * closest by (adc_d2, neighbor_id), and the top-[[K]] re-rank by
+    * (cos desc, neighbor_id) reproduces the batch windows' tiebreaks
+    * bit-for-bit. All of a query's candidates derive from its own
+    * input row through stream-static joins, so output is
+    * batching-invariant (pinned by StreamingSpec). Oracle: the batch
+    * [[knnIvfPqSql]] verbatim. */
+  def knnIvfPqServe(spark: SparkSession, dir: String)(stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val nVecs = e.count()
+    val roster = ivfRoster(e, ivfCellsFor(nVecs))
+    val nprobe = ivfNprobeFor(nVecs)
+    val shortlistN = pqShortlistFor(nVecs)
+    // --- static index: rank-1 cell + m-ordered PQ code array + exact
+    // vector per corpus member
+    val cells = e.select(col("vec_id").as("neighbor_id"),
+      element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
+    val subParts = (0 until PqSub).map { m =>
+      struct(lit(m).as("m"), slice(col("v"), m * PqDim + 1, PqDim).as("sv"))
+    }
+    val subs = e.select(col("vec_id"), explode(array(subParts: _*)).as("p"))
+      .select(col("vec_id"), col("p.m").as("m"), col("p.sv").as("sv"))
+      .withColumn("snrm", qdot(col("sv"), col("sv")))
+    val cb = subs.filter(col("vec_id") % PqCentMod === 0 &&
+        col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
+      .select(col("vec_id").as("cent_id"), col("m"),
+        col("sv").as("cv"), col("snrm").as("cnrm"))
+    val codesArr = pqCodesOf(e, cb)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("mc"), x => x.getField("code")).as("codes"))
+    val index = cells
+      .join(codesArr, Seq("neighbor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .persist()
+    val cbJoin = broadcast(cb.select(col("m"), col("cent_id").as("code"),
+      col("cv"), col("cnrm")))
+    // --- per-query serving plan
+    stream
+      .filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", qdot(col("qv"), col("qv")))
+      .withColumn("cent_id", explode(ivfAssignCol(col("qv"), roster, nprobe)))
+      .join(index, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("qv"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .withColumn("qv_s", slice(col("qv"), col("m") * PqDim + 1, lit(PqDim)))
+      .join(cbJoin, Seq("m", "code"))
+      .withColumn("d2", qdot(col("qv_s"), col("qv_s")) + col("cnrm")
+        - lit(2L) * qdot(col("qv_s"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("m"),
+        col("d2"), col("cos_sim"))
+      .as[(Long, Long, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[(Long, Long, Int, Long, Double)],
+         _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          // fold the PqSub ADC terms per neighbor (exact long sums)
+          val acc = scala.collection.mutable.LongMap
+            .empty[(Long, Long, Double)] // nb -> (mMask, adc_d2, cos)
+          it.foreach { case (_, nb, m, d2, cos) =>
+            val (mask, s, _) = acc.getOrElse(nb, (0L, 0L, cos))
+            acc(nb) = (mask | (1L << m), s + d2, cos)
+          }
+          val full = acc.iterator.collect {
+            case (nb, (mask, s, cos))
+              if java.lang.Long.bitCount(mask) == PqSub => (nb, s, cos)
+          }.toArray
+          full.sortBy { case (nb, s, _) => (s, nb) }.take(shortlistN)
+            .sortBy { case (nb, _, cos) => (-cos, nb) }.take(K).zipWithIndex
+            .map { case ((nb, _, cos), i) => (qid, nb, i + 1, cos) }.iterator
+      }
+      .toDF("query_id", "neighbor_id", "knn_rank", "cos_sim")
+  }
+
   /** embed_index_plan — the index planner's decisions as data: for the
     * corpus at hand, the adaptive parameters every ANN/dedup index in
     * this engine would build with — knn_lsh signature width, the

@@ -546,6 +546,19 @@ object CdcStream {
       normalize = false, table = "embeddings")
       .orderBy(col("query_id"), col("knn_rank"))
 
+  /** stream_knn_ivfpq — the streaming twin of the production ANN
+    * composite: arriving query vectors probe the prebuilt IVF+PQ index
+    * (Similarity.knnIvfPqServe) — Nprobe cells against the broadcast
+    * centroid roster, ADC over the probed cells' PQ codes, exact
+    * re-rank of the shortlist — the layout a billion-vector deployment
+    * serves from. Oracle-checked against the batch knn_ivfpq SQL
+    * verbatim. */
+  def streamKnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir, s"stream_knn_ivfpq_sink", OutputMode.Append,
+      graft.operators.Similarity.knnIvfPqServe(spark, dir),
+      normalize = false, table = "embeddings")
+      .orderBy(col("query_id"), col("knn_rank"))
+
   /** stream_near_dedup — the candidate hits of [[nearDupBandHits]]
     * confirmed at ≥ 2 shared bands (the dedup_minhash confirm rule),
     * after full replay. Oracle-checked against the rank-capped batch

@@ -336,6 +336,40 @@ class StreamingSpec extends SparkSpec {
     assert(split === batch)
   }
 
+  test("stream_knn_ivfpq: IVF+PQ serving equals batch knn_ivfpq and is batching-invariant") {
+    import graft.operators.Similarity
+    import graft.streaming.CdcStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("knn_rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"))).toSet
+    val batch = keyed(Similarity.knnIvfPq(spark, sf).collect())
+    // full replay (single AvailableNow batch) reproduces the batch index
+    val streamed = keyed(CdcStream.streamKnnIvfPq(spark, sf).collect())
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // batching invariance: the same queries split across two
+    // micro-batches produce the identical result set
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") < 10000L)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(queries.length >= 3)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Similarity.knnIvfPqServe(spark, sf)(
+      input.toDS().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("t_knn_ivfpq")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = queries.splitAt(queries.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val split = keyed(spark.table("t_knn_ivfpq").collect())
+    spark.catalog.dropTempView("t_knn_ivfpq")
+    assert(split === batch)
+  }
+
   test("stream_quality_gate: streamed gate equals the batch quality rules") {
     import graft.streaming.CdcStream
     val streamed = CdcStream.streamQualityGate(spark, sf).collect()
