@@ -41,18 +41,29 @@ import graft.operators.{Dedup, Similarity}
   *    and a single keeper — the blindness HUB_SF1 r12 measured (200k
   *    keep=true singletons) is the regression this guards against.
   *
-  *  - CC SPLIT path (round-13 directive): two planted exact-dup stars
-  *    of CC_STAR_A (3M) and CC_STAR_B (2M) identical-text docs, fed
-  *    through the REAL star emitter (Dedup.exactDupStarEdges) into
-  *    Dedup.connectedComponentsOf — degrees far past ccSplitDegree
-  *    (2^17), so the pre-loop high-degree node splitting must engage
-  *    (ccLastSplitHubs ≥ 2), converge in bounded rounds, and return
-  *    both components with exact membership (count + id-checksum per
-  *    cluster), with no single-task neighborhood above ~degree/fan.
-  *    A second pass forces fan cap 4 so one split round leaves
-  *    ~750k-degree virtual nodes — the pass must ITERATE at scale
-  *    (≥ 2 split rounds, the 10⁹-degree shape) and still label both
-  *    components exactly.
+  *  - CC SPLIT path (round-13 directive, re-geometried in round 14):
+  *    two planted exact-dup stars of CC_STAR_A (20M) and CC_STAR_B
+  *    (9M) identical-text docs, fed through the REAL star emitter
+  *    (Dedup.exactDupStarEdges) into Dedup.connectedComponentsOf.
+  *    The two-level emitter already divides a group's worst degree by
+  *    StarSalt=64, so the stars must exceed 64·2^17 ≈ 8.4M members
+  *    for any node to cross ccSplitDegree — the round-13 3M/2M
+  *    geometry (committed by an intermediate FLAT-emitter build)
+  *    never engages the split on the final binary, which is exactly
+  *    why the artifact is regenerated here. At 20M/9M the ~130
+  *    per-salt local roots all cross the threshold: splitting must
+  *    engage (ccLastSplitHubs ≥ 2), converge in bounded rounds, and
+  *    return both components with exact membership (count +
+  *    id-checksum per cluster), no single-task neighborhood above
+  *    ~degree/fan.
+  *  - CC ITER path (round-14 directive: one decade past r13): a FLAT
+  *    star of CC_STAR_ITER (20M) edges fed DIRECTLY to
+  *    connectedComponentsOf — the raw 2·10⁷-degree hub an arbitrary
+  *    pair relation (LSH buckets, jaccard pairs — no emitter salting
+  *    in front) can contain. With the fan cap forced to 4, one round
+  *    leaves 5M-degree virtual nodes, so the pass must ITERATE
+  *    (expected 4 rounds: 20M → 5M → 1.25M → 312k → 78k) and still
+  *    label the component exactly by count and id checksum.
   *
   * Text-path plant ids live in [HubBase, HubBase+HubDocs) which must
   * stay below Dedup.corpusOf's +1M synthetic-copy offset (the ScaleGen
@@ -62,7 +73,8 @@ import graft.operators.{Dedup, Similarity}
   *
   * Usage: runMain graft.tools.HubScale [sfDir=target/sf1] [out=HUB_SF1.json]
   *   env HUB_DOCS (default 500000), HUB_VECS (default 200000),
-  *       CC_STAR_A (default 3000000), CC_STAR_B (default 2000000)
+  *       CC_STAR_A (default 20000000), CC_STAR_B (default 9000000),
+  *       CC_STAR_ITER (default 20000000)
   */
 object HubScale {
   val HubBase = 100000L
@@ -167,9 +179,11 @@ object HubScale {
     val hubKeepers = edc.filter(col("cluster_id") === expRoot && col("is_kept")).count()
     edc.unpersist()
 
-    // ---- CC split path: 3M + 2M planted stars through the real loop --
-    val starA = sys.env.getOrElse("CC_STAR_A", "3000000").toLong
-    val starB = sys.env.getOrElse("CC_STAR_B", "2000000").toLong
+    // ---- CC split path: 20M + 9M planted stars through the real loop --
+    // (must exceed 64·2^17 members each: the two-level emitter divides
+    // the worst per-node degree by StarSalt=64 before CC ever sees it)
+    val starA = sys.env.getOrElse("CC_STAR_A", "20000000").toLong
+    val starB = sys.env.getOrElse("CC_STAR_B", "9000000").toLong
     val ccDocs = spark.range(0L, starA + starB)
       .select(col("id").as("doc_id"),
         when(col("id") < starA, lit("alpha boilerplate mirrored across the farm"))
@@ -193,27 +207,27 @@ object HubScale {
     val aSumExp = starA * (starA - 1) / 2
     val bSumExp = starB * starA + starB * (starB - 1) / 2
 
-    // ---- forced-iteration split: fan cap 4 makes one round leave ------
-    // ~750k-degree virtual nodes, so the pass must iterate AT SCALE
-    // (the 10⁹-degree scenario's shape on the same 5M-node graph) and
-    // still label both components exactly
+    // ---- forced-iteration split: a FLAT 20M-degree star (no emitter
+    // salting in front — the arbitrary-pair-relation shape) with the
+    // fan cap forced to 4, so one round leaves 5M-degree virtual nodes
+    // and the pass must iterate (20M → 5M → 1.25M → 312k → 78k, 4
+    // rounds) and still label the component exactly
+    val starIter = sys.env.getOrElse("CC_STAR_ITER", "20000000").toLong
+    val iterEdges = spark.range(1L, starIter)
+      .select(lit(0L).as("doc_a"), col("id").as("doc_b"))
+    val iterSumExp = starIter * (starIter - 1) / 2
     val savedFan = Dedup.ccSplitFanCap.get()
-    val (itRounds, itHubs, itA, itASumOk, itB, itBSumOk) =
+    val (itSplitRounds, itCcRounds, itHubs, itCount, itSumOk) =
       try {
         Dedup.ccSplitFanCap.set(4)
         val cc2 = timed("cc_split_iter")(
-          Dedup.connectedComponentsOf(Dedup.exactDupStarEdges(ccDocs)).persist())
+          Dedup.connectedComponentsOf(iterEdges).persist())
         cc2.count()
-        def agg2(root: Long): (Long, Long) = {
-          val r = cc2.filter(col("cluster_id") === root)
-            .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head
-          (r.getLong(0), r.getLong(1))
-        }
-        val (ac, as) = agg2(0L)
-        val (bc, bs) = agg2(starA)
+        val r = cc2.filter(col("cluster_id") === 0L)
+          .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head
         cc2.unpersist()
-        (Dedup.ccLastSplitRounds.get(), Dedup.ccLastSplitHubs.get(),
-          ac, as == aSumExp, bc, bs == bSumExp)
+        (Dedup.ccLastSplitRounds.get(), Dedup.ccLastRounds.get(),
+          Dedup.ccLastSplitHubs.get(), r.getLong(0), r.getLong(1) == iterSumExp)
       } finally Dedup.ccSplitFanCap.set(savedFan)
 
     def num(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -229,9 +243,9 @@ object HubScale {
       "cc_split_rounds_bounded" -> (ccSplitRounds <= 8),
       "cc_split_a_exact" -> (aCount == starA && aSum == aSumExp),
       "cc_split_b_exact" -> (bCount == starB && bSum == bSumExp),
-      "cc_split_iter_multi_round" -> (itRounds >= 2),
-      "cc_split_iter_a_exact" -> (itA == starA && itASumOk),
-      "cc_split_iter_b_exact" -> (itB == starB && itBSumOk))
+      "cc_split_iter_multi_round" -> (itSplitRounds >= 2),
+      "cc_split_iter_rounds_bounded" -> (itCcRounds <= 8),
+      "cc_split_iter_exact" -> (itCount == starIter && itSumOk))
     val json =
       s"""{"artifact":"HUB_SF1","sf_dir":"$sfDir","hub_docs":$hubDocs,""" +
       s""""hub_vecs":$hubVecs,"hub_base":$HubBase,"hub_vec_base":$hubVecBase,""" +
@@ -248,9 +262,9 @@ object HubScale {
       s""""split_hubs":$splitHubs,""" +
       s""""a_count":$aCount,"a_sum_ok":${aSum == aSumExp},""" +
       s""""b_count":$bCount,"b_sum_ok":${bSum == bSumExp}},""" +
-      s""""cc_split_iter":{"forced_fan":4,"split_rounds":$itRounds,""" +
-      s""""split_hubs":$itHubs,"a_count":$itA,"a_sum_ok":$itASumOk,""" +
-      s""""b_count":$itB,"b_sum_ok":$itBSumOk},""" +
+      s""""cc_split_iter":{"forced_fan":4,"flat_star":$starIter,""" +
+      s""""split_rounds":$itSplitRounds,"cc_rounds":$itCcRounds,""" +
+      s""""split_hubs":$itHubs,"count":$itCount,"sum_ok":$itSumOk},""" +
       s""""checks":{${checks.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
       s""""stages_sec":{""" +
       times.map { case (k, v) => s""""$k":${num(v)}""" }.mkString(",") +
