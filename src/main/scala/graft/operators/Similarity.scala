@@ -416,27 +416,34 @@ object Similarity {
   /** stream_knn_ivfpq serving core: the IVF+PQ index as the
     * stream-static side — the streaming twin of [[knnIvfPq]], the
     * layout a billion-vector deployment actually serves from (cells
-    * prune I/O, codes shrink what's scanned). The index is built once
-    * from the static corpus: each vector's rank-1 IVF cell, its
-    * [[PqSub]] PQ codes pivoted to an m-ordered array, and its exact
-    * vector for the re-rank, persisted co-keyed on cent_id (at
-    * deployment: bucketed storage partitioned by cell — the
-    * [[knnLshServe]] index discipline). Each arriving query explodes
-    * to its adaptive-Nprobe probe cells against the broadcast centroid
-    * roster (the ≤ 512 KiB [[ivfRoster]] collect), equi-joins the
-    * index on cent_id — touching only probed cells' members, never the
-    * corpus — and computes BOTH its exact cosine and its per-subspace
-    * ADC terms declaratively (the codebook is a broadcast join, the
-    * query's subvector slice a column expression), so the keyed state
-    * function only sums longs, shortlists, and ranks: ADC distances
-    * sum per neighbor (all [[PqSub]] subspaces required — the batch
-    * nm == PqSub guard), the [[pqShortlistFor]] shortlist keeps the
-    * closest by (adc_d2, neighbor_id), and the top-[[K]] re-rank by
-    * (cos desc, neighbor_id) reproduces the batch windows' tiebreaks
-    * bit-for-bit. All of a query's candidates derive from its own
-    * input row through stream-static joins, so output is
-    * batching-invariant (pinned by StreamingSpec). Oracle: the batch
-    * [[knnIvfPqSql]] verbatim. */
+    * prune I/O, codes shrink what's scanned). The index the probed-cell
+    * join scans is CODE WIDTH: each corpus member's rank-1 IVF cell and
+    * its [[PqSub]] PQ codes pivoted to an m-ordered array — nothing
+    * else — persisted co-keyed on cent_id (at deployment: bucketed
+    * storage partitioned by cell — the [[knnLshServe]] index
+    * discipline). That is PQ's whole point on the serving path: the
+    * per-query candidate scan reads ~32× fewer bytes than vector-width
+    * rows would. Each arriving query explodes to its adaptive-Nprobe
+    * probe cells against the broadcast centroid roster (the ≤ 512 KiB
+    * [[ivfRoster]] collect), equi-joins the code-only index on cent_id
+    * — touching only probed cells' members, never the corpus — and
+    * computes its per-subspace ADC terms declaratively (the codebook is
+    * a broadcast join, the query's subvector slice a column
+    * expression). The first keyed state function only sums longs and
+    * shortlists: ADC distances fold per neighbor (all [[PqSub]]
+    * subspaces required — the batch nm == PqSub guard) and the
+    * [[pqShortlistFor]] shortlist keeps the closest by
+    * (adc_d2, neighbor_id). Exact vectors enter only AFTER the
+    * shortlist — the batch composite's own post-shortlist discipline
+    * ([[knnIvfPqTuned]]): two stream-static equi-joins fetch the
+    * query's and each surviving neighbor's exact vector from the
+    * corpus (≤ shortlist rows per query), and a second Append-mode
+    * state function re-ranks top-[[K]] by (cos desc, neighbor_id) —
+    * the batch windows' tiebreaks bit-for-bit. All of a query's
+    * candidates derive from its own input row through stream-static
+    * joins and both state functions are per-query complete within the
+    * micro-batch, so output is batching-invariant (pinned by
+    * StreamingSpec). Oracle: the batch [[knnIvfPqSql]] verbatim. */
   def knnIvfPqServe(spark: SparkSession, dir: String)(stream: DataFrame): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
@@ -444,8 +451,8 @@ object Similarity {
     val roster = ivfRoster(e, ivfCellsFor(nVecs))
     val nprobe = ivfNprobeFor(nVecs)
     val shortlistN = pqShortlistFor(nVecs)
-    // --- static index: rank-1 cell + m-ordered PQ code array + exact
-    // vector per corpus member
+    // --- static index: rank-1 cell + m-ordered PQ code array per
+    // corpus member — CODE WIDTH, no exact vectors
     val cells = e.select(col("vec_id").as("neighbor_id"),
       element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
     val subParts = (0 until PqSub).map { m =>
@@ -465,49 +472,64 @@ object Similarity {
         transform(col("mc"), x => x.getField("code")).as("codes"))
     val index = cells
       .join(codesArr, Seq("neighbor_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-        Seq("neighbor_id"))
       .persist()
     val cbJoin = broadcast(cb.select(col("m"), col("cent_id").as("code"),
       col("cv"), col("cnrm")))
-    // --- per-query serving plan
-    stream
+    // --- ADC over the probed cells' codes, shortlist in keyed state
+    val shortlist = stream
       .filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
-      .withColumn("qn", qdot(col("qv"), col("qv")))
       .withColumn("cent_id", explode(ivfAssignCol(col("qv"), roster, nprobe)))
       .join(index, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", qcos(qdot(col("qv"), col("v")), col("qn"), col("nrm")))
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("qv"),
+      .select(col("query_id"), col("neighbor_id"), col("qv"),
         posexplode(col("codes")).as(Seq("m", "code")))
       .withColumn("qv_s", slice(col("qv"), col("m") * PqDim + 1, lit(PqDim)))
       .join(cbJoin, Seq("m", "code"))
       .withColumn("d2", qdot(col("qv_s"), col("qv_s")) + col("cnrm")
         - lit(2L) * qdot(col("qv_s"), col("cv")))
-      .select(col("query_id"), col("neighbor_id"), col("m"),
-        col("d2"), col("cos_sim"))
-      .as[(Long, Long, Int, Long, Double)]
+      .select(col("query_id"), col("neighbor_id"), col("m"), col("d2"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (qid: Long, it: Iterator[(Long, Long, Int, Long)],
+         _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          // fold the PqSub ADC terms per neighbor (exact long sums)
+          val acc = scala.collection.mutable.LongMap
+            .empty[(Long, Long)] // nb -> (mMask, adc_d2)
+          it.foreach { case (_, nb, m, d2) =>
+            val (mask, s) = acc.getOrElse(nb, (0L, 0L))
+            acc(nb) = (mask | (1L << m), s + d2)
+          }
+          acc.iterator.collect {
+            case (nb, (mask, s))
+              if java.lang.Long.bitCount(mask) == PqSub => (nb, s)
+          }.toArray
+            .sortBy { case (nb, s) => (s, nb) }.take(shortlistN)
+            .map { case (nb, _) => (qid, nb) }.iterator
+      }
+      .toDF("query_id", "neighbor_id")
+    // --- exact re-rank of the shortlist: vectors join back from the
+    // corpus for ≤ shortlistN rows per query (batch knnIvfPq's own
+    // q/n join), then a second Append-mode state ranks top-K
+    shortlist
+      .join(e.select(col("vec_id").as("query_id"),
+        col("v").as("qev"), col("nrm").as("qen")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
+      .withColumn("cos_sim", qcos(qdot(col("qev"), col("v")), col("qen"), col("nrm")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (Long, Long, Int, Double)](
         org.apache.spark.sql.streaming.OutputMode.Append,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (qid: Long, it: Iterator[(Long, Long, Int, Long, Double)],
+        (qid: Long, it: Iterator[(Long, Long, Double)],
          _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
-          // fold the PqSub ADC terms per neighbor (exact long sums)
-          val acc = scala.collection.mutable.LongMap
-            .empty[(Long, Long, Double)] // nb -> (mMask, adc_d2, cos)
-          it.foreach { case (_, nb, m, d2, cos) =>
-            val (mask, s, _) = acc.getOrElse(nb, (0L, 0L, cos))
-            acc(nb) = (mask | (1L << m), s + d2, cos)
-          }
-          val full = acc.iterator.collect {
-            case (nb, (mask, s, cos))
-              if java.lang.Long.bitCount(mask) == PqSub => (nb, s, cos)
-          }.toArray
-          full.sortBy { case (nb, s, _) => (s, nb) }.take(shortlistN)
-            .sortBy { case (nb, _, cos) => (-cos, nb) }.take(K).zipWithIndex
-            .map { case ((nb, _, cos), i) => (qid, nb, i + 1, cos) }.iterator
+          it.toArray.sortBy(t => (-t._3, t._2)).take(K).zipWithIndex
+            .map { case ((_, nb, cos), i) => (qid, nb, i + 1, cos) }.iterator
       }
       .toDF("query_id", "neighbor_id", "knn_rank", "cos_sim")
   }

@@ -370,6 +370,29 @@ class StreamingSpec extends SparkSpec {
     assert(split === batch)
   }
 
+  test("stream_knn_ivfpq: probed-cell index join is code-width (no exact vectors pre-shortlist)") {
+    // the serving contract the operator exists for: the static side of
+    // the cent_id equi-join — the per-query candidate scan — carries
+    // ONLY (cent_id, neighbor_id, codes); exact vectors (v, nrm) may
+    // join in only after the ADC shortlist, the batch knnIvfPq's own
+    // post-shortlist discipline
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val input = MemoryStream[(Long, Seq[Float])]
+    val df = Similarity.knnIvfPqServe(spark, sf)(
+      input.toDS().toDF("vec_id", "embedding"))
+    val cellJoins = df.queryExecution.analyzed.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "cent_id")) => j
+    }
+    assert(cellJoins.nonEmpty)
+    cellJoins.foreach { j =>
+      val static = if (j.left.isStreaming) j.right else j.left
+      assert(static.output.map(_.name).toSet === Set("cent_id", "neighbor_id", "codes"))
+    }
+  }
+
   test("stream_quality_gate: streamed gate equals the batch quality rules") {
     import graft.streaming.CdcStream
     val streamed = CdcStream.streamQualityGate(spark, sf).collect()
