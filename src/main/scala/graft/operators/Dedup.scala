@@ -875,6 +875,31 @@ object Dedup {
     * bound and the pass iterated). */
   private[graft] val ccLastSplitRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Max pigeonhole candidates a single partition may emit to the
+    * driver in the narrow census (see [[connectedComponentsOf]]). The
+    * candidate set is otherwise bounded only by 2|E|/(localT+1) — an
+    * adversarial near-threshold degree distribution (many nodes just
+    * above ⌊T/nPart⌋ locally, all below T globally) could push tens of
+    * millions of ids into the driver collect while the REAL hub roster
+    * stays tiny. A partition that overflows the cap sets a flag instead
+    * of emitting the tail, and the round falls back to the full
+    * exact census (the 2|E| combiner shuffle — correct, bounded
+    * executor memory, and paid only on such distributions). 4·fanCap
+    * keeps the worst-case collect at nPart·4096 primitive longs while
+    * leaving real corpora (candidates ≈ hubs ≪ cap) on the narrow
+    * path. Mutable only for specs. */
+  private[graft] val ccCensusCandCap = new java.util.concurrent.atomic.AtomicInteger(4096)
+
+  /** Pigeonhole candidates collected across the last call's census
+    * rounds — observability for the driver-collect bound. */
+  private[graft] val ccLastCensusCands = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Census rounds of the last call whose candidate emission
+    * overflowed [[ccCensusCandCap]] and therefore paid the full 2|E|
+    * census (degenerate-geometry rounds — localT < 64 — take the same
+    * fallback but are the pre-existing path and are not counted). */
+  private[graft] val ccLastCensusOverflow = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Max virtual nodes per split hub per round. Caps the id arithmetic
     * (virtual id = base + hubIndex·fanCap + j) and bounds the chain
     * star a split hub keeps (≤ fanCap edges). When the cap binds — a
@@ -996,12 +1021,26 @@ object Dedup {
     val fanCap = ccSplitFanCap.get().toLong
     var virtBase = Long.MaxValue
     ccLastSplitHubs.set(0)
+    ccLastCensusCands.set(0)
+    ccLastCensusOverflow.set(0)
     var splitRound = 0
     ccLastSplitRounds.set(0)
     var moreHubs = edgeCount > splitT
     while (moreHubs && splitRound < 4) {
       val nPartE = edges.getNumPartitions
       val localT = splitT / nPartE
+      val candCap = ccCensusCandCap.get()
+      // full exact census: the 2|E| combiner shuffle — the fallback
+      // when pigeonhole filtering can't run (degenerate geometry) or
+      // would flood the driver (candidate-cap overflow)
+      def fullCensus(): (Long, Array[(Long, Long)]) = {
+        val hubs = edges
+          .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
+          .reduceByKey(part, _ + _)
+          .filter(_._2 > splitT)
+          .collect()
+        (edges.map(_._1).fold(0L)(math.max), hubs)
+      }
       // (maxRealOrVirtualId, exact (hub, degree) roster) for this round
       val (maxId, hubArr): (Long, Array[(Long, Long)]) =
         if (localT >= 64) {
@@ -1013,36 +1052,60 @@ object Dedup {
               deg(a) = deg.getOrElse(a, 0L) + 1L
               deg(b) = deg.getOrElse(b, 0L) + 1L
             }
-            val cand = deg.iterator
-              .collect { case (u, d) if d > localT => u }.toArray
-            Iterator.single((mx, cand))
+            val over = deg.iterator
+              .collect { case (u, d) if d > localT => (u, d) }.toArray
+            // bounded emission: a partition crowded with near-threshold
+            // local degrees emits only its top-candCap by local degree
+            // plus an overflow flag — the driver collect stays ≤
+            // nPart·candCap primitive longs no matter the distribution
+            val cand =
+              if (over.length <= candCap) over.map(_._1)
+              else over.sortBy(-_._2).take(candCap).map(_._1)
+            Iterator.single((mx, cand, over.length > candCap))
           }.collect()
           val mx = partStats.foldLeft(0L)((m, p) => math.max(m, p._1))
-          val cands = partStats.iterator.flatMap(_._2).toSet
-          if (cands.isEmpty) (mx, Array.empty[(Long, Long)])
-          else {
-            val bcC = spark.sparkContext.broadcast(cands)
-            val hubs = edges.mapPartitions { it =>
-              val cs = bcC.value
-              it.flatMap { case (a, b) =>
-                (if (cs.contains(a)) Iterator((a, 1L)) else Iterator.empty) ++
-                  (if (cs.contains(b)) Iterator((b, 1L)) else Iterator.empty)
-              }
-            }.reduceByKey(_ + _).filter(_._2 > splitT).collect()
-            bcC.unpersist(blocking = false)
-            (mx, hubs)
+          if (partStats.exists(_._3)) {
+            // a truncated partition could hide a true hub below its
+            // top-candCap (the pigeonhole guarantee names only ONE
+            // partition where a hub exceeds localT) — soundness needs
+            // the full census here
+            ccLastCensusOverflow.incrementAndGet()
+            fullCensus()
+          } else {
+            // dedup + sort into a primitive array; membership below is
+            // a binary search, no boxing at 2|E| probes
+            val sorted = partStats.iterator.flatMap(_._2).toArray
+            java.util.Arrays.sort(sorted)
+            var n = 0
+            var i = 0
+            while (i < sorted.length) {
+              if (n == 0 || sorted(n - 1) != sorted(i)) { sorted(n) = sorted(i); n += 1 }
+              i += 1
+            }
+            val cands = java.util.Arrays.copyOf(sorted, n)
+            ccLastCensusCands.addAndGet(n)
+            if (cands.isEmpty) (mx, Array.empty[(Long, Long)])
+            else {
+              val bcC = spark.sparkContext.broadcast(cands)
+              val hubs = edges.mapPartitions { it =>
+                val cs = bcC.value
+                it.flatMap { case (a, b) =>
+                  (if (java.util.Arrays.binarySearch(cs, a) >= 0) Iterator((a, 1L))
+                   else Iterator.empty) ++
+                    (if (java.util.Arrays.binarySearch(cs, b) >= 0) Iterator((b, 1L))
+                     else Iterator.empty)
+                }
+              }.reduceByKey(_ + _).filter(_._2 > splitT).collect()
+              bcC.unpersist(blocking = false)
+              (mx, hubs)
+            }
           }
         } else {
           // degenerate geometry (threshold within ~64× of the partition
           // count — the spec-forced tiny thresholds, or a pathological
           // partitioning): pigeonhole filtering would pass everything,
           // so pay the full census
-          val hubs = edges
-            .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
-            .reduceByKey(part, _ + _)
-            .filter(_._2 > splitT)
-            .collect()
-          (edges.map(_._1).fold(0L)(math.max), hubs)
+          fullCensus()
         }
       if (hubArr.isEmpty) moreHubs = false
       else {
@@ -1063,7 +1126,16 @@ object Dedup {
         // to remove.
         val hubMapLocal: Map[Long, (Long, Long)] =
           hubArr.sortBy(_._1).zipWithIndex.map { case ((u, d), idx) =>
-            val fan = math.min(fanCap, d / splitT + 1L)
+            // aim each virtual node at ≈ (63/64)·T, not exactly T: the
+            // fmix64 route spreads a hub's d edges binomially with
+            // σ ≈ √(d/fan), so a mean AT the threshold leaves ~half a σ
+            // of slack and a third of the virtual nodes statistically
+            // cross T — buying a guaranteed extra census+rewrite round
+            // whose only work is fan-2 residual splits (measured at
+            // 10⁸: slack 182 vs σ 362). The 1/64 margin is ≥ 6σ there
+            // and grows with d, so the non-binding split converges in
+            // ONE round; when fanCap binds the cap dominates anyway.
+            val fan = math.min(fanCap, d / (splitT - splitT / 64L) + 1L)
             (u, (base + idx.toLong * fanCap, fan))
           }.toMap
         val bc = spark.sparkContext.broadcast(hubMapLocal)
@@ -1097,6 +1169,20 @@ object Dedup {
         split.count() // materialize before dropping the originals
         edges.unpersist(blocking = false)
         edges = split
+        // iterate ONLY while some fan was cap-bound (residual virtual
+        // degree ~d/fanCap can still exceed T). An uncapped split aims
+        // every virtual node ≥ 6σ UNDER the threshold, so a re-census
+        // of the rewritten graph finds no true hub — it would only
+        // chase binomial ghosts: post-split virtual nodes sit just
+        // under localT per partition, so the pigeonhole pass would
+        // flag nearly all of them and the exact count would shuffle
+        // ~the whole edge set, a full-census price for nothing. (If a
+        // tail event does leave a virtual node slightly above T, the
+        // CC loop provably absorbs it: single-task neighborhoods are
+        // priced fine to ~5·10⁵, 4× the default threshold.)
+        moreHubs = hubArr.exists { case (_, d) =>
+          d / (splitT - splitT / 64L) + 1L >= fanCap
+        }
         // bc stays referenced by split's lineage and is reclaimed by
         // the ContextCleaner with it; a recompute through the lineage
         // is deterministic now (driver-assigned bases), so eviction or
@@ -1217,12 +1303,37 @@ object Dedup {
     * per cluster" step of a dedup pipeline). Oracle: DuckDB recursive-CTE
     * transitive closure — tractable because components are tiny; the
     * Spark side never materializes the closure, only labels. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponentsOf(dupPairs(spark, dir))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersFromLabels(connectedComponentsOf(dupPairs(spark, dir)))
+
+  private def clustersFromLabels(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** One-shot materialization of the whole duplicate-cluster family:
+    * the component labels — the expensive part (pair relation + CC
+    * fixpoint) that [[dedupClusters]], [[dedupCanonical]],
+    * [[dedupClusterStats]] and [[dedupSurvivorship]] each recompute
+    * when run standalone — are computed ONCE and persisted, and all
+    * four frames derive from them through the very same per-frame code
+    * the standalone operators run (DedupSpec pins frame-for-frame
+    * equality). This is the deployment shape: a 100 TB dedup pass
+    * labels once and writes the manifest, the savings report and the
+    * survivorship census from the one labeling, at ~1× the family's
+    * standalone ~4× cost (priced at sf10 in SURVEY §7.15). The caller
+    * owns the persist: unpersist via the returned labels frame after
+    * the derived frames are written. */
+  def dedupFamily(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val labels = connectedComponentsOf(dupPairs(spark, dir)).persist()
+    Map(
+      "labels" -> labels,
+      "dedup_clusters" -> clustersFromLabels(labels),
+      "dedup_canonical" -> canonicalFromLabels(spark, dir, labels),
+      "dedup_cluster_stats" -> clusterStatsFromLabels(spark, dir, labels),
+      "dedup_survivorship" -> survivorshipFromLabels(spark, dir, labels))
   }
 
   /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` — the
@@ -1270,14 +1381,16 @@ object Dedup {
     * doc_id survives; unclustered docs are their own cluster and are
     * kept). Downstream training reads `WHERE is_kept`. One left join of
     * the corpus against the (small) cluster labels. */
-  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponentsOf(dupPairs(spark, dir))
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalFromLabels(spark, dir, connectedComponentsOf(dupPairs(spark, dir)))
+
+  private def canonicalFromLabels(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame =
     corpus(spark, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("is_kept", col("cluster_id") === col("doc_id"))
       .orderBy(col("doc_id"))
-  }
 
   val dedupCanonicalSql: String =
     s"""WITH RECURSIVE $clusterLabCtes
@@ -1298,8 +1411,11 @@ object Dedup {
     * base = id % 1M). Cost: the CC labels the cluster family already
     * computes + one id-keyed join + a sources-sized rollup; shares
     * everything with dedup_canonical. */
-  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponentsOf(dupPairs(spark, dir))
+  def dedupSurvivorship(spark: SparkSession, dir: String): DataFrame =
+    survivorshipFromLabels(spark, dir, connectedComponentsOf(dupPairs(spark, dir)))
+
+  private def survivorshipFromLabels(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val man = corpus(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
       .join(labels, Seq("doc_id"), "left")
@@ -1805,8 +1921,11 @@ object Dedup {
     * one row per CLUSTER, so everything after the labeling is
     * negligible. Share is one IEEE divide against the scalar corpus
     * count. */
-  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponentsOf(dupPairs(spark, dir))
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    clusterStatsFromLabels(spark, dir, connectedComponentsOf(dupPairs(spark, dir)))
+
+  private def clusterStatsFromLabels(spark: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val nDocs = corpus(spark, dir).agg(count(lit(1)).as("n_docs"))
     labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))

@@ -385,6 +385,65 @@ class DedupSpec extends SparkSpec {
     } finally Dedup.ccSplitDegree.set(saved)
   }
 
+  test("dedupFamily: one labeling, every derived frame equals its standalone operator") {
+    val fam = Dedup.dedupFamily(spark, sf)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+      assert(rows(fam("dedup_clusters")) === rows(Dedup.dedupClusters(spark, sf)))
+      assert(rows(fam("dedup_canonical")) === rows(Dedup.dedupCanonical(spark, sf)))
+      assert(rows(fam("dedup_cluster_stats")) === rows(Dedup.dedupClusterStats(spark, sf)))
+      assert(rows(fam("dedup_survivorship")) === rows(Dedup.dedupSurvivorship(spark, sf)))
+    } finally fam("labels").unpersist()
+  }
+
+  test("connectedComponentsOf: candidate-cap overflow pays the exact census and labels stay exact") {
+    import spark.implicits._
+    // adversarial near-threshold degree distribution: 40 medium nodes
+    // of global degree 128 (= splitT, NOT hubs) scatter local degrees
+    // around localT = 128/2 = 64 across the 2 partitions — pigeonhole
+    // candidates by the dozen — plus one true 340-degree hub. With the
+    // per-partition candidate cap forced to 2 the emission overflows,
+    // so the round must fall back to the full exact census (the driver
+    // sees only the hub roster, never the candidate flood), still
+    // split the true hub, and label exactly.
+    val medium = (0 until 40).flatMap { i =>
+      val m = 1000L + i
+      (0 until 127).map(j => (m, 100000L + i * 1000L + j)) :+ ((m, 5L))
+    }
+    val hubStar = (0 until 300).map(j => (5L, 500000L + j))
+    val path = (0L until 4L).map(i => (8000L + i, 8001L + i))
+    val edges = (medium ++ hubStar ++ path).toDF("doc_a", "doc_b").repartition(2)
+    val want = Dedup.connectedComponentsOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val savedT = Dedup.ccSplitDegree.get()
+    val savedC = Dedup.ccCensusCandCap.get()
+    try {
+      Dedup.ccSplitDegree.set(128)
+      Dedup.ccCensusCandCap.set(2)
+      val got = Dedup.connectedComponentsOf(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.ccLastCensusOverflow.get() >= 1, "overflow must pay the exact census")
+      assert(Dedup.ccLastCensusCands.get() === 0,
+        "no candidate flood may reach the driver on the overflow path")
+      assert(Dedup.ccLastSplitHubs.get() >= 1, "the true hub must still split")
+      assert(got === want, "overflow-path labels must match the unsplit run exactly")
+      assert(got.keys.forall(_ <= 500299L), "no virtual scaffolding in output")
+      // same graph, default cap: the narrow path must carry it — the
+      // bounded collect holds the ~41 candidates, the exact count
+      // kills the 40 mediums (global degree = splitT, not above), and
+      // labels are unchanged
+      Dedup.ccCensusCandCap.set(savedC)
+      val got2 = Dedup.connectedComponentsOf(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.ccLastCensusOverflow.get() === 0, "default cap must never overflow here")
+      assert(Dedup.ccLastCensusCands.get() >= 1)
+      assert(Dedup.ccLastCensusCands.get() <= 2 * 41,
+        "collect must be bounded by the real candidate population")
+      assert(Dedup.ccLastSplitHubs.get() >= 1)
+      assert(got2 === want)
+    } finally { Dedup.ccSplitDegree.set(savedT); Dedup.ccCensusCandCap.set(savedC) }
+  }
+
   test("dedup_containment: thresholds hold and every planted exact copy is a containment-1.0 pair") {
     val res = Dedup.dedupContainment(spark, sf).collect()
     assert(res.nonEmpty)
