@@ -38,7 +38,7 @@ five queries in both forms.
 Usage: replay_cc.py <sfDir> <outDir> [query,query,...]
 after `graft.Verify <sfDir> <outDir> <queries>`.
 """
-import sys, json, glob, os, re, time
+import sys, json, glob, os, re, time, hashlib
 import duckdb
 import pandas as pd
 
@@ -139,8 +139,15 @@ def build_edges_generic(sql, reach_start):
     prefix = sql[:reach_start].rstrip()
     assert prefix.endswith(","), "unexpected CTE prefix shape"
     con.execute("DROP TABLE IF EXISTS edges_mat")
+    # WITH RECURSIVE -> WITH (the UNION-as-UNION-ALL quirk applies only
+    # inside a RECURSIVE block) plus an explicit DISTINCT, so edges_mat
+    # really is the distinct edge set the docstring promises — without
+    # it the logged n_edges is inflated and every propagate round joins
+    # the duplicated relation
     con.execute(
-        f"CREATE TABLE edges_mat AS {prefix[:-1]}\nSELECT a, b FROM edges")
+        "CREATE TABLE edges_mat AS "
+        + prefix[:-1].replace("WITH RECURSIVE", "WITH", 1)
+        + "\nSELECT DISTINCT a, b FROM edges")
 
 
 def propagate():
@@ -183,7 +190,15 @@ for name in sorted(oracles):
     sql = oracles[name]
     m = REACH_RE.search(sql)
     if not m:
-        results[name] = "SKIP: no reach/lab block (use compare.py)"
+        if only:
+            # the caller asked for this query BY NAME: a drifted oracle
+            # shape must fail loudly, not report success while checking
+            # nothing
+            results[name] = "FAIL: no reach/lab block (committed CTE drift?)"
+            print(f"{name}: {results[name]}", flush=True)
+            fails += 1
+        else:
+            results[name] = "SKIP: no reach/lab block (use compare.py)"
         continue
     id_col = m.group(1)
     t0 = time.time()
@@ -198,7 +213,9 @@ for name in sorted(oracles):
                 "SELECT COUNT(*) FROM edges_mat").fetchone()[0]
             rounds = propagate()
             edge_cache_key = key
-            results["_edges_" + str(abs(hash(key)) % 10**6)] = \
+            # md5, not Python's per-process-salted str hash: the key
+            # must be stable so JSON outputs diff across runs
+            results["_edges_" + hashlib.md5(key.encode()).hexdigest()[:6]] = \
                 f"{n_edges} edges, {rounds} propagation rounds"
         final_sql = (sql[:m.start()]
                      + f"lab AS (SELECT id AS {id_col}, cluster_id FROM lab_mat)"
