@@ -1323,7 +1323,7 @@ object Dedup {
     * equality). This is the deployment shape: a 100 TB dedup pass
     * labels once and writes the manifest, the savings report and the
     * survivorship census from the one labeling, at ~1× the family's
-    * standalone ~4× cost (priced at sf10 in SURVEY §7.15). The caller
+    * standalone ~4× cost (priced at sf10 in SURVEY §7.14). The caller
     * owns the persist: unpersist via the returned labels frame after
     * the derived frames are written. */
   def dedupFamily(spark: SparkSession, dir: String): Map[String, DataFrame] = {
