@@ -418,7 +418,8 @@ object Similarity {
     * layout a billion-vector deployment actually serves from (cells
     * prune I/O, codes shrink what's scanned). The index the probed-cell
     * join scans is CODE WIDTH: each corpus member's rank-1 IVF cell and
-    * its [[PqSub]] PQ codes pivoted to an m-ordered array — nothing
+    * its [[PqSub]] PQ codes packed into one long (byte m = subspace
+    * m's codeword slot — the 8-bit-PQ deployment layout) — nothing
     * else — persisted co-keyed on cent_id (at deployment: bucketed
     * storage partitioned by cell — the [[knnLshServe]] index
     * discipline). That is PQ's whole point on the serving path: the
@@ -444,14 +445,19 @@ object Similarity {
     * joins and both state functions are per-query complete within the
     * micro-batch, so output is batching-invariant (pinned by
     * StreamingSpec). Oracle: the batch [[knnIvfPqSql]] verbatim. */
-  def knnIvfPqServe(spark: SparkSession, dir: String)(stream: DataFrame): DataFrame = {
-    import spark.implicits._
-    val e = vecs(spark, dir)
+  /** The CODE-WIDTH serving index [[knnIvfPqServe]] probes, factored
+    * out so the IndexWidth measurement tool prices exactly the frames
+    * the operator serves from (never a reconstruction that could
+    * drift): the persisted (cent_id, neighbor_id, codes) index, the
+    * broadcast ADC codebook, and the adaptive (roster, nprobe,
+    * shortlistN) for the corpus at hand. */
+  private[graft] def ivfPqServeIndex(spark: SparkSession, e: DataFrame)
+      : (DataFrame, DataFrame, (Array[Long], Array[Double]), Int, Int) = {
     val nVecs = e.count()
     val roster = ivfRoster(e, ivfCellsFor(nVecs))
     val nprobe = ivfNprobeFor(nVecs)
     val shortlistN = pqShortlistFor(nVecs)
-    // --- static index: rank-1 cell + m-ordered PQ code array per
+    // --- static index: rank-1 cell + one packed code long per
     // corpus member — CODE WIDTH, no exact vectors
     val cells = e.select(col("vec_id").as("neighbor_id"),
       element_at(ivfAssignCol(col("v"), roster, 1), 1).as("cent_id"))
@@ -465,16 +471,34 @@ object Similarity {
         col("vec_id") < lit(PqCentMod.toLong * PqCentCap))
       .select(col("vec_id").as("cent_id"), col("m"),
         col("sv").as("cv"), col("snrm").as("cnrm"))
+    // the 8 subspace codes packed into ONE long (subspace m in byte m):
+    // every codeword id is a vec_id multiple of PqCentMod below
+    // PqCentMod·PqCentCap, so id/PqCentMod is byte-exact — the 8-bit-PQ
+    // deployment layout, 8 bytes of codes per member instead of an
+    // unpacked array<int> (~48 B). Packing is a shift-or, so no
+    // m-ordering pass is needed.
     val codesArr = pqCodesOf(e, cb)
       .groupBy(col("vec_id"))
-      .agg(array_sort(collect_list(struct(col("m"), col("code")))).as("mc"))
-      .select(col("vec_id").as("neighbor_id"),
-        transform(col("mc"), x => x.getField("code")).as("codes"))
+      .agg(sum(expr(s"shiftleft(code div $PqCentMod, m * 8)")).as("code_pack"))
+      .select(col("vec_id").as("neighbor_id"), col("code_pack"))
     val index = cells
       .join(codesArr, Seq("neighbor_id"))
       .persist()
     val cbJoin = broadcast(cb.select(col("m"), col("cent_id").as("code"),
       col("cv"), col("cnrm")))
+    (index, cbJoin, roster, nprobe, shortlistN)
+  }
+
+  /** Exact-vector frame for the IndexWidth tool — [[vecs]] with the
+    * serving index's column naming, package-visible for measurement
+    * only. */
+  private[graft] def exactVecsFor(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+
+  def knnIvfPqServe(spark: SparkSession, dir: String)(stream: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = vecs(spark, dir)
+    val (index, cbJoin, roster, nprobe, shortlistN) = ivfPqServeIndex(spark, e)
     // --- ADC over the probed cells' codes, shortlist in keyed state
     val shortlist = stream
       .filter(isQuery(col("vec_id")))
@@ -482,8 +506,11 @@ object Similarity {
       .withColumn("cent_id", explode(ivfAssignCol(col("qv"), roster, nprobe)))
       .join(index, Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"),
-        posexplode(col("codes")).as(Seq("m", "code")))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("code_pack"),
+        explode(typedLit((0 until PqSub).toArray)).as("m"))
+      // unpack byte m back to its codeword id (the cbJoin key)
+      .withColumn("code",
+        expr(s"(shiftright(code_pack, m * 8) & 255) * ${PqCentMod}L"))
       .withColumn("qv_s", slice(col("qv"), col("m") * PqDim + 1, lit(PqDim)))
       .join(cbJoin, Seq("m", "code"))
       .withColumn("d2", qdot(col("qv_s"), col("qv_s")) + col("cnrm")

@@ -373,9 +373,9 @@ class StreamingSpec extends SparkSpec {
   test("stream_knn_ivfpq: probed-cell index join is code-width (no exact vectors pre-shortlist)") {
     // the serving contract the operator exists for: the static side of
     // the cent_id equi-join — the per-query candidate scan — carries
-    // ONLY (cent_id, neighbor_id, codes); exact vectors (v, nrm) may
-    // join in only after the ADC shortlist, the batch knnIvfPq's own
-    // post-shortlist discipline
+    // ONLY (cent_id, neighbor_id, code_pack); exact vectors (v, nrm)
+    // may join in only after the ADC shortlist, the batch knnIvfPq's
+    // own post-shortlist discipline
     import graft.operators.Similarity
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -389,7 +389,7 @@ class StreamingSpec extends SparkSpec {
     assert(cellJoins.nonEmpty)
     cellJoins.foreach { j =>
       val static = if (j.left.isStreaming) j.right else j.left
-      assert(static.output.map(_.name).toSet === Set("cent_id", "neighbor_id", "codes"))
+      assert(static.output.map(_.name).toSet === Set("cent_id", "neighbor_id", "code_pack"))
     }
   }
 
