@@ -477,6 +477,8 @@ object Similarity {
     // deployment layout, 8 bytes of codes per member instead of an
     // unpacked array<int> (~48 B). Packing is a shift-or, so no
     // m-ordering pass is needed.
+    require(PqCentCap <= 256 && PqSub <= 8,
+      "one packed long holds 8 subspace bytes: PqCentCap <= 256, PqSub <= 8")
     val codesArr = pqCodesOf(e, cb)
       .groupBy(col("vec_id"))
       .agg(sum(expr(s"shiftleft(code div $PqCentMod, m * 8)")).as("code_pack"))
