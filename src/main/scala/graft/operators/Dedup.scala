@@ -974,7 +974,15 @@ object Dedup {
     // canonical (larger, smaller) undirected edges
     var edges = raw.map { case (a, b) => if (a > b) (a, b) else (b, a) }
       .distinct().persist()
-    val edgeCount = edges.count()
+    // one pass for count AND endpoint sum (the loop's convergence seed):
+    // two separate jobs over the persisted edges were pure scheduling
+    // overhead — the sum is only valid while `edges` is this RDD, so the
+    // split pass below recomputes it when it rewrites the graph.
+    val (edgeCount, edgeSum0) = edges.mapPartitions { it =>
+      var c = 0L; var s = 0L
+      it.foreach { case (a, b) => c += 1L; s += a + b }
+      Iterator.single((c, s))
+    }.fold((0L, 0L))((x, y) => (x._1 + y._1, x._2 + y._2))
     val nPart = math.max(2, (edgeCount / 500000L).toInt)
     val part = new org.apache.spark.HashPartitioner(nPart)
 
@@ -1193,13 +1201,22 @@ object Dedup {
 
     def endpointSum(e: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
       e.map { case (u, v) => u + v }.fold(0L)(_ + _)
-    var prevSum = endpointSum(edges)
+    // reuse the entry pass's sum unless the split pass rewrote the graph
+    // (rare — only when a hub census fired); emptiness likewise falls out
+    // of the entry count: a split only ever runs on a non-empty graph.
+    var prevSum = if (splitRound > 0) endpointSum(edges) else edgeSum0
     var rounds = 0
-    var converged = edges.isEmpty()
+    var converged = edgeCount == 0L
     while (!converged) {
       // large-star: per node u over its FULL neighborhood, hook every
       // larger neighbor onto min(N(u) ∪ {u}) — output stays canonical
       // because v > u ≥ m
+      // ls carries cross-group duplicates (two emitters can hook the same
+      // v onto the same m): they are deduped IN-GROUP by the small-star
+      // sort below instead of by a dedicated `.distinct` — that distinct
+      // was a full extra shuffle of the ls pair set every round, paid only
+      // to remove a few collision rows before the very groupByKey that can
+      // absorb them for free.
       val ls = edges
         .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
         .groupByKey(part)
@@ -1207,14 +1224,27 @@ object Dedup {
           val m = math.min(u, nbrs.min)
           nbrs.iterator.filter(_ > u).map(v => (v, m))
         }
-        .distinct(nPart)
       // small-star: per node u over its smaller neighbors (all of them,
-      // post-large-star), hook u and every non-min neighbor onto the min
+      // post-large-star), hook u and every non-min neighbor onto the min.
+      // Every ls value is < its key, so u > every nbr here; sort+unique
+      // replaces both the old `(nbrs ∪ {u}).filter(_ != m)` set algebra
+      // and the removed ls.distinct.
       val ss = ls
         .groupByKey(part)
         .flatMap { case (u, nbrs) =>
-          val m = nbrs.min
-          (nbrs.iterator ++ Iterator(u)).filter(_ != m).map(v => (v, m))
+          val arr = nbrs.toArray
+          java.util.Arrays.sort(arr)
+          val m = arr(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var prev = m
+          var i = 1
+          while (i < arr.length) {
+            val x = arr(i)
+            if (x != prev) { out += ((x, m)); prev = x }
+            i += 1
+          }
+          if (u != m) out += ((u, m))
+          out.iterator
         }
         .distinct(nPart)
         .persist()
@@ -1256,9 +1286,13 @@ object Dedup {
     * rows. (The oracle's recursive closure over full clique pairs
     * yields the same components, which is all that is compared.) */
   private[graft] def dupPairs(spark: SparkSession, dir: String): DataFrame =
+    // No `.distinct()` here: the only consumer is connectedComponentsOf,
+    // which canonicalizes (a > b) and runs its own RDD distinct on entry —
+    // the DF-level distinct was a second full exchange+aggregate over the
+    // same pair set for zero semantic effect (star edges and jaccard pairs
+    // overlap on exact-dup groups, and CC dedups that union anyway).
     exactDupStarEdges(corpus(spark, dir))
       .unionByName(jaccardPairs(spark, dir).select(col("doc_a"), col("doc_b")))
-      .distinct()
 
   /** Salt fan for [[exactDupStarEdges]]: a duplicate group's members
     * spread across up to this many window partitions, so no emitter

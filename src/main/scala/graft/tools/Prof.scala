@@ -188,6 +188,36 @@ object Prof {
         .filter(col("n_shared_bands") >= 2)
       time("mh_full_repart")(pairsRepart)
     }
+    if (want("rsg_ab")) {
+      // rareShingleGroups fused-vs-split A/B: does the bucketPairs
+      // codegen-split observation (explicit exchange between the
+      // kernel-heavy producer and the object-hash-aggregate) apply to
+      // the rare-shingle groupBy too?
+      import org.apache.spark.sql.graftvec.MinHashExpressions.collectCapped
+      val sh = Dedup.corpusShingles(spark, sfDir)
+      def fused = sh.groupBy(col("h"))
+        .agg(collectCapped(col("doc_id"), Dedup.ShingleFreqCap + 1).as("ds"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= Dedup.ShingleFreqCap)
+        .select(col("ds"))
+      def split = sh.repartition(col("h")).groupBy(col("h"))
+        .agg(collectCapped(col("doc_id"), Dedup.ShingleFreqCap + 1).as("ds"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= Dedup.ShingleFreqCap)
+        .select(col("ds"))
+      time("rsg_fused")(fused.select(explode(col("ds")).as("d")).agg(sum(col("d"))))
+      time("rsg_split")(split.select(explode(col("ds")).as("d")).agg(sum(col("d"))))
+      time("rsg_fused2")(fused.select(explode(col("ds")).as("d")).agg(sum(col("d"))))
+      time("rsg_split2")(split.select(explode(col("ds")).as("d")).agg(sum(col("d"))))
+    }
+    if (want("star_ab")) {
+      // exactDupStarEdges cost + the dupPairs union.distinct cost
+      val star = Dedup.exactDupStarEdges(Dedup.corpus(spark, sfDir))
+      time("star_edges")(star.agg(sum(col("doc_a") + col("doc_b"))))
+      val jp = Dedup.jaccardPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      time("dup_union_nodist")(star.unionByName(jp).agg(sum(col("doc_a") + col("doc_b"))))
+      time("dup_union_dist")(star.unionByName(jp).distinct().agg(sum(col("doc_a") + col("doc_b"))))
+    }
     if (want("cc_only")) {
       val pairs = Dedup.dupPairs(spark, sfDir).persist()
       pairs.count() // materialize outside the timer
