@@ -167,8 +167,13 @@ object CdcStream {
                      transform: DataFrame => DataFrame,
                      normalize: Boolean = true,
                      table: String = "events"): DataFrame = {
+    val profT0 = System.nanoTime()
+    def prof(phase: String): Unit =
+      if (sys.env.contains("GRAFT_STREAM_PROF"))
+        println(f"SPROF $name%-22s $phase%-12s ${(System.nanoTime() - profT0) / 1e9}%7.3fs")
     spark.catalog.dropTempView(name) // allow re-running in one session
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    prof("schema")
     // The file stream source wants a directory of data FILES; stage the
     // table behind symlinks (at deployment the source would already be a
     // directory of log segments). A single-file table links as-is; a
@@ -214,18 +219,32 @@ object CdcStream {
       (stagedBytes / (2L << 20)).toInt))
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("GRAFT_STREAM_PARTS", autoParts.toString))
-    // Keyed state must NOT live as JVM objects: the default in-memory
+    // Keyed state must NOT live as JVM objects at scale: the in-memory
     // provider holds every (key → state) entry of every retained version
     // on-heap, and at sf10 the band-bucket state of stream_near_dedup
     // alone exceeds the 24g driver heap (measured: full-GC heartbeat
     // timeouts, then a dead context poisoning the rest of the bench).
-    // RocksDB keeps state off-heap with native spill — the same choice a
+    // RocksDB keeps state off-heap with native spill — the choice a
     // 100 TB deployment makes, where live-key volume always dwarfs any
-    // executor's heap. Restored after the replay so tests that pin the
-    // default provider's behavior are unaffected.
+    // executor's heap. But the backend is a function of STATE VOLUME,
+    // the same way the partition count above is a function of ingest
+    // volume: below ~8 MB of staged input even the worst observed state
+    // amplification (stream_near_dedup's ~32 band entries/doc) stays in
+    // the low hundreds of MB, where RocksDB's per-partition native store
+    // open/commit/compaction round-trips cost more than the state they
+    // manage (measured at sf0.1: the 8-query stateful stream subset runs
+    // 0.75× under the in-memory provider — 15.2 s → 11.4 s — while sf1+
+    // inputs stay on RocksDB, whose sf10 necessity is measured above).
+    // GRAFT_STREAM_STORE pins either backend explicitly. Restored after
+    // the replay so tests that pin a provider's behavior are unaffected.
     val prevStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val autoStore =
+      if (stagedBytes <= (8L << 20))
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      else
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      sys.env.getOrElse("GRAFT_STREAM_STORE", autoStore))
     // RocksDB's row-count metric does a READ BEFORE EVERY WRITE to
     // detect insert-vs-update; with millions of fresh bucket keys per
     // replay (stream_near_dedup at sf10) that doubles state-store work
@@ -264,6 +283,7 @@ object CdcStream {
     // pass, and every Update consumer in this file folds the emission
     // union idempotently (per-key min/max/max_by), so a duplicate batch
     // could not change a result even if one occurred.
+    prof("staged")
     val transformed = transform(if (normalize) toChangeEvents(stream) else stream)
     val fileSink = outputMode != OutputMode.Complete
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-sink")
@@ -279,7 +299,9 @@ object CdcStream {
             batch.write.mode("append").parquet(sinkDir.toString)
           }.start()
         else w.format("memory").queryName(name).start()
+      prof("started")
       q.awaitTermination()
+      prof("terminated")
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       prevStore match {
