@@ -13,8 +13,30 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * only the referenced columns).
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Session-scoped memo of RESOLVED RELATIONS (logical plans), not data:
+    * `spark.read.parquet(path)` re-lists the path and re-reads a footer on
+    * EVERY call (~40-60 ms on this box), and a bench/verify session builds
+    * each table relation a thousand-plus times — pure metadata overhead the
+    * a catalog table would never pay (the guide's "cache file listings"
+    * point, applied to path reads). The memo hands back the same analyzed
+    * relation; every execution still scans the parquet files themselves.
+    * Staleness: keyed on the path's mtime — an overwrite (tests and tools
+    * regenerate tables in place) replaces the directory contents, bumps
+    * the mtime, and misses the memo. Keyed per SparkSession so test
+    * sessions never see another session's plans. */
+  private val relMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+      catch { case _: Throwable => -1L }
+    if (mtime < 0) spark.read.parquet(path) // nonexistent/odd path: no memo
+    else {
+      if (relMemo.size > 256) relMemo.clear() // bound stopped-session debris
+      relMemo.computeIfAbsent((spark, path, mtime), _ => spark.read.parquet(path))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

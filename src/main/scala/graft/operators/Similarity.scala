@@ -1861,7 +1861,14 @@ object Similarity {
     * shapes and costs are those of the audited operators plus two
     * count-only joins on (query, neighbor) keys. */
   def knnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    // The ground-truth pair set is consumed FOUR times (semi-join +
+    // denominator count, × two methods); unpersisted, each consumer
+    // replayed the full brute scan (34 parquet scans in the physical
+    // plan, zero subtree reuse). Persisting the (QueryCap·K)-row frame
+    // computes it once per run — bounded by construction, and the bench
+    // clears the cache between attempts so nothing leaks across runs.
     val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .persist()
     def methodRow(name: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")

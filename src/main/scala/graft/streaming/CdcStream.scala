@@ -172,7 +172,7 @@ object CdcStream {
       if (sys.env.contains("GRAFT_STREAM_PROF"))
         println(f"SPROF $name%-22s $phase%-12s ${(System.nanoTime() - profT0) / 1e9}%7.3fs")
     spark.catalog.dropTempView(name) // allow re-running in one session
-    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    val schema = graft.core.Tables.load(spark, dir, table).schema
     prof("schema")
     // The file stream source wants a directory of data FILES; stage the
     // table behind symlinks (at deployment the source would already be a
@@ -650,7 +650,7 @@ object CdcStream {
     * StreamingSpec asserts it equals the batch latest-state. */
   def streamApplyToLake(spark: SparkSession, dir: String, path: String,
                         buckets: Int = 16): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = graft.core.Tables.load(spark, dir, "events").schema
     val stage = scratchDir("graft-lake-stream")
     java.nio.file.Files.createSymbolicLink(
       stage.resolve("events.parquet"),
@@ -800,7 +800,7 @@ object CdcStream {
     * the full-table batch compare bit-for-bit. */
   def streamReconDigest(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.Reconcile
-    val src = spark.read.parquet(s"$dir/orders.parquet")
+    val src = graft.core.Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
     val stage = scratchDir("graft-recon-stream")
     // stage the feed as several files so AvailableNow actually runs
@@ -852,7 +852,7 @@ object CdcStream {
     * into the identical 16-bucket compare, bit-for-bit. */
   def streamReconIncremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.cdc.Reconcile
-    val src = spark.read.parquet(s"$dir/orders.parquet")
+    val src = graft.core.Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
     // Verified watermark from the ledger: one scalar, captured once.
     val mxKey = src.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
