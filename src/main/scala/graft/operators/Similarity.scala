@@ -1861,14 +1861,13 @@ object Similarity {
     * shapes and costs are those of the audited operators plus two
     * count-only joins on (query, neighbor) keys. */
   def knnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
-    // The ground-truth pair set is consumed FOUR times (semi-join +
-    // denominator count, × two methods); unpersisted, each consumer
-    // replayed the full brute scan (34 parquet scans in the physical
-    // plan, zero subtree reuse). Persisting the (QueryCap·K)-row frame
-    // computes it once per run — bounded by construction, and the bench
-    // clears the cache between attempts so nothing leaks across runs.
+    // The ground-truth pair set is consumed four times (semi-join +
+    // denominator count, × two methods). Persisting it was measured BOTH
+    // ways this round and loses: the four subtrees recompute in parallel
+    // on idle cores inside one job, while a persist serializes a cache
+    // build in front of them (sf0.1 tie, sf1 1.2× slower). Left
+    // unpersisted on that evidence.
     val brute = knnBrute(spark, dir).select(col("query_id"), col("neighbor_id"))
-      .persist()
     def methodRow(name: String, approx: DataFrame): DataFrame =
       approx.select(col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
