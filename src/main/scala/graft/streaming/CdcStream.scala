@@ -756,7 +756,11 @@ object CdcStream {
           .groupBy(col("bucket"))
           .agg(aggs.head, aggs.tail: _*)
       }
-    merged.write.mode("overwrite").parquet(statePath(batchId))
+    // bucket-count rows by construction: one file per version is the
+    // right layout at any scale (guide §6 small-files point) — without
+    // the coalesce each 16-64-row version lands as one part file per
+    // shuffle partition, paying dozens of opens per micro-batch
+    merged.coalesce(1).write.mode("overwrite").parquet(statePath(batchId))
     val gc = new org.apache.hadoop.fs.Path(statePath(batchId - 2))
     if (fs.exists(gc)) fs.delete(gc, true)
   }
